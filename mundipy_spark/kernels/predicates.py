@@ -1,0 +1,519 @@
+"""Vectorized spatial predicates (no GEOS).
+
+Implements the predicate surface of the reference's dispatch table
+(mundipy/geometry.py:92-99: contains, covered_by, covers, crosses,
+disjoint, intersects, overlaps, touches, within) over the internal
+representation from :mod:`mundipy_spark.kernels.wkb`.
+
+Vectorization contract: the hot call is *many points vs one polygon*
+(`points_in_geom`) — O(edges) numpy passes over the whole point batch,
+zero per-point Python. Pairwise geometry-vs-geometry predicates loop per
+pair but vectorize over vertices/edges inside the pair.
+
+Point-in-polygon uses the even-odd crossing rule, which is tolerant of
+invalid (self-intersecting) rings by construction — this stands in for
+the reference's lazy `make_valid` repair-on-GEOSException path
+(mundipy/geometry.py:296-320).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mundipy_spark.kernels import wkb
+
+EPS = 1e-12
+
+
+# ---------------------------------------------------------------------------
+# structure helpers
+# ---------------------------------------------------------------------------
+
+
+def geom_vertices(geom) -> np.ndarray:
+    """All vertices as (n, 2)."""
+    arrs = list(wkb._coord_arrays(geom))
+    if not arrs:
+        return np.empty((0, 2), dtype=np.float64)
+    return np.concatenate(arrs, axis=0)
+
+
+def _ring_segments(ring: np.ndarray) -> np.ndarray:
+    """Closed-ring edges as (m, 4) [x1, y1, x2, y2]."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) < 2:
+        return np.empty((0, 4), dtype=np.float64)
+    nxt = np.roll(r, -1, axis=0)
+    segs = np.concatenate([r, nxt], axis=1)
+    # drop the closing wrap edge if the ring is already explicitly closed
+    if np.allclose(r[0], r[-1]):
+        segs = segs[:-1]
+    return segs
+
+
+def _line_segments(line: np.ndarray) -> np.ndarray:
+    l = np.asarray(line, dtype=np.float64)
+    if len(l) < 2:
+        return np.empty((0, 4), dtype=np.float64)
+    return np.concatenate([l[:-1], l[1:]], axis=1)
+
+
+def geom_segments(geom) -> np.ndarray:
+    """All boundary segments of a geometry as (m, 4)."""
+    t, data = geom
+    if t == "Point" or t == "MultiPoint":
+        return np.empty((0, 4), dtype=np.float64)
+    if t == "LineString":
+        return _line_segments(data)
+    if t == "MultiLineString":
+        parts = [_line_segments(l) for l in data]
+    elif t == "Polygon":
+        parts = [_ring_segments(r) for r in data]
+    elif t == "MultiPolygon":
+        parts = [_ring_segments(r) for poly in data for r in poly]
+    elif t == "GeometryCollection":
+        parts = [geom_segments(g) for g in data]
+    else:
+        raise ValueError(t)
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return np.empty((0, 4), dtype=np.float64)
+    return np.concatenate(parts, axis=0)
+
+
+def _polygons_of(geom):
+    """Yield ring-lists of every polygon in the geometry."""
+    t, data = geom
+    if t == "Polygon":
+        yield data
+    elif t == "MultiPolygon":
+        yield from data
+    elif t == "GeometryCollection":
+        for g in data:
+            yield from _polygons_of(g)
+
+
+def has_area(geom) -> bool:
+    return next(_polygons_of(geom), None) is not None
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon (even-odd), vectorized over points
+# ---------------------------------------------------------------------------
+
+
+def crossings_in_ring(xs: np.ndarray, ys: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Parity of ray crossings for each point vs one ring → bool inside."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    r = np.asarray(ring, dtype=np.float64)
+    n = len(r)
+    inside = np.zeros(len(xs), dtype=bool)
+    if n < 3:
+        return inside
+    x1, y1 = r[:, 0], r[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    # edge-by-edge, vectorized over all points (edges << points in practice)
+    for i in range(n):
+        yi, yj, xi, xj = y1[i], y2[i], x1[i], x2[i]
+        if yi == yj:
+            continue
+        cond = (yi > ys) != (yj > ys)
+        if not cond.any():
+            continue
+        xint = (xj - xi) * (ys - yi) / (yj - yi) + xi
+        inside ^= cond & (xs < xint)
+    return inside
+
+
+def points_on_segments(xs, ys, segs: np.ndarray, eps: float = 1e-9) -> np.ndarray:
+    """True where a point lies within eps of any segment."""
+    d = point_segs_min_dist(xs, ys, segs)
+    return d <= eps
+
+
+def point_segs_min_dist(xs, ys, segs: np.ndarray) -> np.ndarray:
+    """Min distance from each point to the nearest of m segments.
+
+    Memory-bounded: chunks the (n_points x m_segs) matrix.
+    """
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(segs) == 0:
+        return np.full(len(xs), np.inf)
+    out = np.full(len(xs), np.inf)
+    sx1, sy1, sx2, sy2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    dx, dy = sx2 - sx1, sy2 - sy1
+    ln2 = dx * dx + dy * dy
+    ln2 = np.where(ln2 == 0, 1.0, ln2)
+    chunk = max(1, int(4_000_000 / max(len(segs), 1)))
+    for s in range(0, len(xs), chunk):
+        px = xs[s : s + chunk, None]
+        py = ys[s : s + chunk, None]
+        t = ((px - sx1) * dx + (py - sy1) * dy) / ln2
+        t = np.clip(t, 0.0, 1.0)
+        qx = sx1 + t * dx
+        qy = sy1 + t * dy
+        d2 = (px - qx) ** 2 + (py - qy) ** 2
+        out[s : s + chunk] = np.sqrt(d2.min(axis=1))
+    return out
+
+
+def points_in_geom(xs, ys, geom, boundary: bool = True, eps: float = 1e-9) -> np.ndarray:
+    """Vectorized containment of points in a (Multi)Polygon.
+
+    ``boundary=True`` counts boundary points as inside ("covers"
+    semantics); ``False`` gives strict interior ("contains" for points).
+    """
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    inside = np.zeros(len(xs), dtype=bool)
+    for rings in _polygons_of(geom):
+        if not rings:
+            continue
+        acc = crossings_in_ring(xs, ys, rings[0])
+        for hole in rings[1:]:
+            acc ^= crossings_in_ring(xs, ys, hole)  # even-odd handles holes
+        inside |= acc
+    segs = geom_segments(geom)
+    if len(segs):
+        on_edge = points_on_segments(xs, ys, segs, eps)
+        if boundary:
+            inside |= on_edge
+        else:
+            inside &= ~on_edge
+    return inside
+
+
+# ---------------------------------------------------------------------------
+# segment-segment intersection, vectorized pairwise
+# ---------------------------------------------------------------------------
+
+
+def _cross(ox, oy, ax, ay, bx, by):
+    return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+
+def segments_intersect_any(a: np.ndarray, b: np.ndarray) -> bool:
+    """True if any segment of a (n,4) intersects any segment of b (m,4).
+
+    Proper + improper (touching) intersections both count. Vectorized as
+    an (n, m) orientation test with bbox pre-rejection.
+    """
+    if len(a) == 0 or len(b) == 0:
+        return False
+    ax1, ay1, ax2, ay2 = (a[:, i][:, None] for i in range(4))
+    bx1, by1, bx2, by2 = (b[:, i][None, :] for i in range(4))
+    # bbox reject
+    ok = (
+        (np.maximum(ax1, ax2) >= np.minimum(bx1, bx2) - EPS)
+        & (np.minimum(ax1, ax2) <= np.maximum(bx1, bx2) + EPS)
+        & (np.maximum(ay1, ay2) >= np.minimum(by1, by2) - EPS)
+        & (np.minimum(ay1, ay2) <= np.maximum(by1, by2) + EPS)
+    )
+    if not ok.any():
+        return False
+    d1 = _cross(ax1, ay1, ax2, ay2, bx1, by1)
+    d2 = _cross(ax1, ay1, ax2, ay2, bx2, by2)
+    d3 = _cross(bx1, by1, bx2, by2, ax1, ay1)
+    d4 = _cross(bx1, by1, bx2, by2, ax2, ay2)
+    proper = ok & (d1 * d2 < 0) & (d3 * d4 < 0)
+    if proper.any():
+        return True
+    col = ok & (
+        ((np.abs(d1) <= EPS) | (np.abs(d2) <= EPS) | (np.abs(d3) <= EPS) | (np.abs(d4) <= EPS))
+    )
+    if not col.any():
+        return False
+    # touching / collinear-overlap: bbox overlap + some orientation zero
+    return bool(
+        (col & (d1 * d2 <= EPS) & (d3 * d4 <= EPS)).any()
+    )
+
+
+def segments_cross_properly(a: np.ndarray, b: np.ndarray) -> bool:
+    """True only for proper (interior) crossings."""
+    if len(a) == 0 or len(b) == 0:
+        return False
+    ax1, ay1, ax2, ay2 = (a[:, i][:, None] for i in range(4))
+    bx1, by1, bx2, by2 = (b[:, i][None, :] for i in range(4))
+    d1 = _cross(ax1, ay1, ax2, ay2, bx1, by1)
+    d2 = _cross(ax1, ay1, ax2, ay2, bx2, by2)
+    d3 = _cross(bx1, by1, bx2, by2, ax1, ay1)
+    d4 = _cross(bx1, by1, bx2, by2, ax2, ay2)
+    return bool(((d1 * d2 < -EPS) & (d3 * d4 < -EPS)).any())
+
+
+# ---------------------------------------------------------------------------
+# rect batches vs one geometry (tile-covering refinement)
+# ---------------------------------------------------------------------------
+
+
+def rects_intersect_geom(minx, miny, maxx, maxy, geom) -> np.ndarray:
+    """Vectorized: which of n rects intersect the geometry.
+
+    rect ∩ geom ≠ ∅ iff any geom vertex in rect, OR rect center in geom,
+    OR any geom edge passes through the rect (Liang–Barsky clip test).
+    """
+    minx = np.asarray(minx, dtype=np.float64)
+    miny = np.asarray(miny, dtype=np.float64)
+    maxx = np.asarray(maxx, dtype=np.float64)
+    maxy = np.asarray(maxy, dtype=np.float64)
+    n = len(minx)
+    hit = np.zeros(n, dtype=bool)
+
+    verts = geom_vertices(geom)
+    if len(verts):
+        vx, vy = verts[:, 0], verts[:, 1]
+        chunk = max(1, int(4_000_000 / max(len(verts), 1)))
+        for s in range(0, n, chunk):
+            sl = slice(s, s + chunk)
+            inside = (
+                (vx[None, :] >= minx[sl, None])
+                & (vx[None, :] <= maxx[sl, None])
+                & (vy[None, :] >= miny[sl, None])
+                & (vy[None, :] <= maxy[sl, None])
+            )
+            hit[sl] |= inside.any(axis=1)
+
+    if has_area(geom):
+        cx, cy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
+        todo = ~hit
+        if todo.any():
+            hit[todo] |= points_in_geom(cx[todo], cy[todo], geom)
+
+    segs = geom_segments(geom)
+    if len(segs):
+        todo = np.where(~hit)[0]
+        if len(todo):
+            hit[todo] |= _segs_cross_rects(segs, minx[todo], miny[todo], maxx[todo], maxy[todo])
+    return hit
+
+
+def _segs_cross_rects(segs: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
+    """Liang–Barsky: for each rect, does any segment intersect it."""
+    x1, y1, x2, y2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    dx, dy = x2 - x1, y2 - y1
+    n = len(minx)
+    out = np.zeros(n, dtype=bool)
+    chunk = max(1, int(2_000_000 / max(len(segs), 1)))
+    for s in range(0, n, chunk):
+        sl = slice(s, min(s + chunk, n))
+        rminx, rminy = minx[sl][:, None], miny[sl][:, None]
+        rmaxx, rmaxy = maxx[sl][:, None], maxy[sl][:, None]
+        p = np.stack([-dx, dx, -dy, dy])[None, :, :] * np.ones((sl.stop - sl.start, 1, 1))
+        q = np.stack(
+            [
+                x1[None, :] - rminx,
+                rmaxx - x1[None, :],
+                y1[None, :] - rminy,
+                rmaxy - y1[None, :],
+            ],
+            axis=1,
+        )
+        t0 = np.zeros(q.shape[::2])  # (rects, segs)
+        t1 = np.ones_like(t0)
+        ok = np.ones_like(t0, dtype=bool)
+        for k in range(4):
+            pk, qk = p[:, k, :], q[:, k, :]
+            zero = np.abs(pk) < EPS
+            ok &= ~(zero & (qk < 0))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = np.where(zero, 0.0, qk / np.where(pk == 0, 1.0, pk))
+            t0 = np.where(~zero & (pk < 0), np.maximum(t0, t), t0)
+            t1 = np.where(~zero & (pk > 0), np.minimum(t1, t), t1)
+        ok &= t0 <= t1
+        out[sl] = ok.any(axis=1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pairwise geometry predicates
+# ---------------------------------------------------------------------------
+
+
+def bbox_disjoint(a, b) -> bool:
+    a0, a1, a2, a3 = wkb.bounds(a)
+    b0, b1, b2, b3 = wkb.bounds(b)
+    return a2 < b0 or b2 < a0 or a3 < b1 or b3 < a1
+
+
+def _points_of(geom) -> np.ndarray | None:
+    t, d = geom
+    if t == "Point":
+        return np.asarray(d, dtype=np.float64).reshape(1, 2)
+    if t == "MultiPoint":
+        return np.asarray(d, dtype=np.float64).reshape(-1, 2)
+    return None
+
+
+def intersects(a, b) -> bool:
+    """Boundary-inclusive intersects (GEOS semantics)."""
+    if bbox_disjoint(a, b):
+        return False
+    for g in (a, b):
+        if g[0] == "GeometryCollection":
+            parts = g[1]
+            other = b if g is a else a
+            return any(intersects(p, other) for p in parts)
+    pa, pb = _points_of(a), _points_of(b)
+    if pa is not None and pb is not None:
+        d = np.sqrt(
+            ((pa[:, None, :] - pb[None, :, :]) ** 2).sum(axis=2)
+        )
+        return bool((d <= 1e-9).any())
+    if pa is not None:
+        return bool(_points_hit_geom(pa, b).any())
+    if pb is not None:
+        return bool(_points_hit_geom(pb, a).any())
+    # both are lines/polygons
+    sa, sb = geom_segments(a), geom_segments(b)
+    if segments_intersect_any(sa, sb):
+        return True
+    # containment without boundary touch
+    if has_area(b):
+        va = geom_vertices(a)
+        if len(va) and points_in_geom(va[:1, 0], va[:1, 1], b).any():
+            return True
+    if has_area(a):
+        vb = geom_vertices(b)
+        if len(vb) and points_in_geom(vb[:1, 0], vb[:1, 1], a).any():
+            return True
+    return False
+
+
+def _points_hit_geom(pts: np.ndarray, g, eps: float = 1e-9) -> np.ndarray:
+    """Which points intersect geometry g (area: PIP incl. boundary;
+    lines: within eps of a segment)."""
+    hit = np.zeros(len(pts), dtype=bool)
+    if has_area(g):
+        hit |= points_in_geom(pts[:, 0], pts[:, 1], g)
+    segs = geom_segments(g)
+    if len(segs) and not has_area(g):
+        hit |= points_on_segments(pts[:, 0], pts[:, 1], segs, eps)
+    return hit
+
+
+def disjoint(a, b) -> bool:
+    return not intersects(a, b)
+
+
+def covers(a, b) -> bool:
+    """Every point of b within a (boundary-inclusive)."""
+    if bbox_disjoint(a, b):
+        return False
+    a0, a1, a2, a3 = wkb.bounds(a)
+    b0, b1, b2, b3 = wkb.bounds(b)
+    if b0 < a0 - EPS or b1 < a1 - EPS or b2 > a2 + EPS or b3 > a3 + EPS:
+        return False
+    pb = _points_of(b)
+    if pb is not None:
+        return bool(_points_hit_geom(pb, a).all())
+    if not has_area(a):
+        return False  # a line covers only points/collinear lines; rare — conservative
+    vb = geom_vertices(b)
+    if not points_in_geom(vb[:, 0], vb[:, 1], a).all():
+        return False
+    # no edge of b may properly exit a
+    return not segments_cross_properly(geom_segments(b), geom_segments(a))
+
+
+def contains(a, b) -> bool:
+    """Like covers, but b must touch a's interior and (for points) not lie
+    solely on a's boundary."""
+    if not covers(a, b):
+        return False
+    pb = _points_of(b)
+    if pb is not None and has_area(a):
+        strict = points_in_geom(pb[:, 0], pb[:, 1], a, boundary=False)
+        return bool(strict.any())
+    return True
+
+
+def within(a, b) -> bool:
+    return contains(b, a)
+
+
+def covered_by(a, b) -> bool:
+    return covers(b, a)
+
+
+def touches(a, b) -> bool:
+    """Boundaries meet, interiors don't."""
+    if not intersects(a, b):
+        return False
+    pa = _points_of(a)
+    if pa is not None and has_area(b):
+        inside = points_in_geom(pa[:, 0], pa[:, 1], b, boundary=False)
+        on = _points_hit_geom(pa, b)
+        return bool(on.any() and not inside.any())
+    pb = _points_of(b)
+    if pb is not None and has_area(a):
+        return touches(b, a)
+    if segments_cross_properly(geom_segments(a), geom_segments(b)):
+        return False
+    if has_area(a):
+        vb = geom_vertices(b)
+        if points_in_geom(vb[:, 0], vb[:, 1], a, boundary=False).any():
+            return False
+    if has_area(b):
+        va = geom_vertices(a)
+        if points_in_geom(va[:, 0], va[:, 1], b, boundary=False).any():
+            return False
+    return True
+
+
+def crosses(a, b) -> bool:
+    """Interiors intersect in a lower dimension (line/line point crossing,
+    line passing through a polygon)."""
+    dim_a, dim_b = _dim(a), _dim(b)
+    if dim_a == 1 and dim_b == 1:
+        return segments_cross_properly(geom_segments(a), geom_segments(b))
+    if dim_a == 1 and dim_b == 2:
+        va = geom_vertices(a)
+        ins = points_in_geom(va[:, 0], va[:, 1], b, boundary=False)
+        if ins.any() and not ins.all():
+            return True
+        # all vertices on one side: a proper boundary crossing still means
+        # the line interior enters and exits the polygon
+        return segments_cross_properly(geom_segments(a), geom_segments(b))
+    if dim_a == 2 and dim_b == 1:
+        return crosses(b, a)
+    if dim_a == 0 and dim_b >= 1:
+        pa = _points_of(a)
+        hit = _points_hit_geom(pa, b)
+        return bool(hit.any() and not hit.all())
+    if dim_b == 0 and dim_a >= 1:
+        return crosses(b, a)
+    return False
+
+
+def overlaps(a, b) -> bool:
+    """Same dimension, interiors intersect, neither covers the other."""
+    if _dim(a) != _dim(b):
+        return False
+    return intersects(a, b) and not covers(a, b) and not covers(b, a)
+
+
+def _dim(geom) -> int:
+    t = geom[0]
+    if t in ("Point", "MultiPoint"):
+        return 0
+    if t in ("LineString", "MultiLineString"):
+        return 1
+    if t in ("Polygon", "MultiPolygon"):
+        return 2
+    return max((_dim(g) for g in geom[1]), default=0)
+
+
+PREDICATES = {
+    "intersects": intersects,
+    "disjoint": disjoint,
+    "contains": contains,
+    "within": within,
+    "covers": covers,
+    "covered_by": covered_by,
+    "touches": touches,
+    "crosses": crosses,
+    "overlaps": overlaps,
+}

@@ -1,0 +1,240 @@
+"""From-scratch map projections over numpy arrays (no pyproj).
+
+Replaces the reference's pyproj transformer path
+(mundipy/cache/__init__.py:10-14, mundipy/geometry.py:190-201) with
+public-formula implementations:
+
+- WGS84 <-> UTM via the Krüger series (Karney 2011, "Transverse Mercator
+  with an accuracy of a few nanometers" — 3rd-order coefficients, ~mm
+  accuracy within a zone);
+- Web Mercator (EPSG:3857), Mollweide (ESRI:54009 — the reference's
+  meters fallback, mundipy/pcs/__init__.py:58-60), and spherical
+  azimuthal equidistant (local tangent-plane for distance sandwiches).
+
+All functions take/return numpy float64 arrays in degrees/meters and are
+called from inside Arrow batch kernels — one numpy pass per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+WGS84_E2 = WGS84_F * (2.0 - WGS84_F)
+WGS84_E = np.sqrt(WGS84_E2)
+UTM_K0 = 0.9996
+UTM_E0 = 500_000.0
+UTM_N0_SOUTH = 10_000_000.0
+SPHERE_R = 6371008.8  # mean radius for spherical projections
+
+_N = WGS84_F / (2.0 - WGS84_F)
+_A_CAP = WGS84_A / (1.0 + _N) * (1.0 + _N**2 / 4.0 + _N**4 / 64.0)
+_ALPHA = (
+    _N / 2.0 - 2.0 * _N**2 / 3.0 + 5.0 * _N**3 / 16.0,
+    13.0 * _N**2 / 48.0 - 3.0 * _N**3 / 5.0,
+    61.0 * _N**3 / 240.0,
+)
+_BETA = (
+    _N / 2.0 - 2.0 * _N**2 / 3.0 + 37.0 * _N**3 / 96.0,
+    _N**2 / 48.0 + _N**3 / 15.0,
+    17.0 * _N**3 / 480.0,
+)
+_DELTA = (
+    2.0 * _N - 2.0 * _N**2 / 3.0 - 2.0 * _N**3,
+    7.0 * _N**2 / 3.0 - 8.0 * _N**3 / 5.0,
+    56.0 * _N**3 / 15.0,
+)
+
+
+def utm_zone(lon, lat) -> np.ndarray:
+    """Standard 6-degree zone number (1..60)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    z = np.floor((lon + 180.0) / 6.0).astype(np.int64) + 1
+    return np.clip(z, 1, 60)
+
+
+def utm_epsg(lon: float, lat: float) -> str:
+    """EPSG code of the UTM zone containing a point — the deterministic
+    stand-in for the reference's EPSG-region-scan `choose_pcs`
+    (mundipy/pcs/__init__.py:26-62; the LA golden EPSG:32611 in
+    tests/test_pcs.py:16-21 falls out of this rule)."""
+    z = int(utm_zone(lon, lat)[()] if np.isscalar(lon) else utm_zone([lon], [lat])[0])
+    return f"EPSG:{32600 + z}" if lat >= 0 else f"EPSG:{32700 + z}"
+
+
+def utm_forward(lon, lat, zone: int, south: bool = False):
+    """WGS84 deg -> UTM meters (Krüger 3rd-order series)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lon0 = np.deg2rad(zone * 6.0 - 183.0)
+    lam = np.deg2rad(lon) - lon0
+    phi = np.deg2rad(lat)
+    sphi = np.sin(phi)
+    t = np.sinh(np.arctanh(sphi) - WGS84_E * np.arctanh(WGS84_E * sphi))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, a in enumerate(_ALPHA, start=1):
+        xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    e = UTM_E0 + UTM_K0 * _A_CAP * eta
+    n = (UTM_N0_SOUTH if south else 0.0) + UTM_K0 * _A_CAP * xi
+    return e, n
+
+
+def utm_inverse(e, n, zone: int, south: bool = False):
+    """UTM meters -> WGS84 deg."""
+    e = np.asarray(e, dtype=np.float64)
+    n = np.asarray(n, dtype=np.float64)
+    xi = (n - (UTM_N0_SOUTH if south else 0.0)) / (UTM_K0 * _A_CAP)
+    eta = (e - UTM_E0) / (UTM_K0 * _A_CAP)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, b in enumerate(_BETA, start=1):
+        xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    phi = chi.copy()
+    for j, d in enumerate(_DELTA, start=1):
+        phi += d * np.sin(2 * j * chi)
+    lon0 = zone * 6.0 - 183.0
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return lon0 + np.rad2deg(lam), np.rad2deg(phi)
+
+
+def web_mercator_forward(lon, lat):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -85.06, 85.06)
+    x = WGS84_A * np.deg2rad(lon)
+    y = WGS84_A * np.log(np.tan(np.pi / 4.0 + np.deg2rad(lat) / 2.0))
+    return x, y
+
+
+def web_mercator_inverse(x, y):
+    lon = np.rad2deg(np.asarray(x, dtype=np.float64) / WGS84_A)
+    lat = np.rad2deg(2.0 * np.arctan(np.exp(np.asarray(y, dtype=np.float64) / WGS84_A)) - np.pi / 2.0)
+    return lon, lat
+
+
+def mollweide_forward(lon, lat, iters: int = 12):
+    """Spherical Mollweide (equal-area; the ESRI:54009 fallback role)."""
+    lam = np.deg2rad(np.asarray(lon, dtype=np.float64))
+    phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+    theta = phi.copy()
+    target = np.pi * np.sin(phi)
+    for _ in range(iters):
+        f = 2.0 * theta + np.sin(2.0 * theta) - target
+        fp = 2.0 + 2.0 * np.cos(2.0 * theta)
+        fp = np.where(np.abs(fp) < 1e-12, 1e-12, fp)
+        theta = theta - f / fp
+    x = SPHERE_R * np.sqrt(8.0) / np.pi * lam * np.cos(theta)
+    y = SPHERE_R * np.sqrt(2.0) * np.sin(theta)
+    return x, y
+
+
+def mollweide_inverse(x, y):
+    theta = np.arcsin(np.clip(np.asarray(y, dtype=np.float64) / (SPHERE_R * np.sqrt(2.0)), -1, 1))
+    phi = np.arcsin(np.clip((2.0 * theta + np.sin(2.0 * theta)) / np.pi, -1, 1))
+    lam = np.pi * np.asarray(x, dtype=np.float64) / (SPHERE_R * np.sqrt(8.0) * np.cos(theta))
+    return np.rad2deg(lam), np.rad2deg(phi)
+
+
+def aeqd_forward(lon, lat, lon0: float, lat0: float):
+    """Spherical azimuthal equidistant centered at (lon0, lat0) — the
+    local tangent plane used for distance sandwiches on batches whose
+    extent doesn't fit one UTM zone."""
+    lam = np.deg2rad(np.asarray(lon, dtype=np.float64) - lon0)
+    phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+    phi0 = np.deg2rad(lat0)
+    cosc = np.clip(
+        np.sin(phi0) * np.sin(phi) + np.cos(phi0) * np.cos(phi) * np.cos(lam), -1.0, 1.0
+    )
+    c = np.arccos(cosc)
+    k = np.where(c < 1e-12, 1.0, c / np.where(np.sin(c) == 0, 1.0, np.sin(c)))
+    x = SPHERE_R * k * np.cos(phi) * np.sin(lam)
+    y = SPHERE_R * k * (np.cos(phi0) * np.sin(phi) - np.sin(phi0) * np.cos(phi) * np.cos(lam))
+    return x, y
+
+
+def aeqd_inverse(x, y, lon0: float, lat0: float):
+    x = np.asarray(x, dtype=np.float64) / SPHERE_R
+    y = np.asarray(y, dtype=np.float64) / SPHERE_R
+    c = np.sqrt(x * x + y * y)
+    phi0 = np.deg2rad(lat0)
+    safe_c = np.where(c < 1e-12, 1e-12, c)
+    phi = np.arcsin(
+        np.clip(np.cos(c) * np.sin(phi0) + y * np.sin(safe_c) / safe_c * np.cos(phi0), -1, 1)
+    )
+    lam = np.arctan2(
+        x * np.sin(safe_c),
+        safe_c * np.cos(phi0) * np.cos(c) - y * np.sin(phi0) * np.sin(safe_c),
+    )
+    lam = np.where(c < 1e-12, 0.0, lam)
+    phi = np.where(c < 1e-12, phi0, phi)
+    return lon0 + np.rad2deg(lam), np.rad2deg(phi)
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle distance in meters, vectorized. Also JVM-expressible
+    (see functions.st.haversine_expr) so kNN refinement can stay in
+    whole-stage codegen."""
+    lon1, lat1, lon2, lat2 = (np.deg2rad(np.asarray(v, dtype=np.float64)) for v in (lon1, lat1, lon2, lat2))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * SPHERE_R * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+# --- geometry-level transforms -------------------------------------------
+
+
+def transform_geom(geom, fwd):
+    """Apply a coordinate transform fn (x_arr, y_arr) -> (x', y') to every
+    vertex of a geometry, preserving structure."""
+    t, data = geom
+    if t == "Point":
+        x, y = fwd(np.asarray([data[0]]), np.asarray([data[1]]))
+        return (t, np.asarray([x[0], y[0]], dtype=np.float64))
+    if t in ("LineString", "MultiPoint"):
+        arr = np.asarray(data, dtype=np.float64).reshape(-1, 2)
+        x, y = fwd(arr[:, 0], arr[:, 1])
+        return (t, np.column_stack([x, y]))
+    if t in ("Polygon", "MultiLineString"):
+        out = []
+        for part in data:
+            arr = np.asarray(part, dtype=np.float64).reshape(-1, 2)
+            x, y = fwd(arr[:, 0], arr[:, 1])
+            out.append(np.column_stack([x, y]))
+        return (t, out)
+    if t == "MultiPolygon":
+        return (t, [transform_geom(("Polygon", poly), fwd)[1] for poly in data])
+    if t == "GeometryCollection":
+        return (t, [transform_geom(g, fwd) for g in data])
+    raise ValueError(t)
+
+
+def local_projection(minx: float, miny: float, maxx: float, maxy: float):
+    """Pick a deterministic local PCS for a bbox, mirroring the
+    reference's choose-smallest-containing-region rule
+    (mundipy/pcs/__init__.py:26-62) with a UTM-zone formula:
+
+    - extent fits one UTM zone (<= ~6 deg of lon, same hemisphere-ish)
+      -> that zone's transverse Mercator;
+    - else -> Mollweide (the reference's ESRI:54009 meters fallback).
+
+    Returns (name, forward_fn, inverse_fn).
+    """
+    cx = (minx + maxx) / 2.0
+    cy = (miny + maxy) / 2.0
+    if (maxx - minx) <= 6.0 and (maxy - miny) <= 40.0 and -80.0 <= cy <= 84.0:
+        zone = int(utm_zone([cx], [cy])[0])
+        south = cy < 0
+        name = f"EPSG:{(32700 if south else 32600) + zone}"
+        return (
+            name,
+            lambda x, y, z=zone, s=south: utm_forward(x, y, z, s),
+            lambda x, y, z=zone, s=south: utm_inverse(x, y, z, s),
+        )
+    return ("ESRI:54009", mollweide_forward, mollweide_inverse)

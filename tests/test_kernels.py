@@ -1,0 +1,322 @@
+"""Pure-numpy kernel tests (no SparkSession — fast)."""
+
+import numpy as np
+import pytest
+
+from mundipy_spark.kernels import measure, predicates, proj, tiling, wkb
+
+
+# --- wkb ---------------------------------------------------------------------
+
+
+def test_point_roundtrip():
+    g = ("Point", np.array([-118.24, 34.05]))
+    buf = wkb.dumps(g)
+    assert len(buf) == 21
+    t, d = wkb.loads(buf)
+    assert t == "Point"
+    assert np.allclose(d, [-118.24, 34.05])
+
+
+def test_bulk_point_codec():
+    x = np.array([1.5, -2.25, 179.9])
+    y = np.array([0.0, 45.5, -89.9])
+    bufs = wkb.encode_points(x, y)
+    xx, yy = wkb.decode_points(bufs)
+    assert np.allclose(xx, x) and np.allclose(yy, y)
+    # bulk encode agrees with scalar encode
+    assert bufs[0] == wkb.dumps(("Point", np.array([1.5, 0.0])))
+
+
+def test_polygon_roundtrip_and_wkt():
+    ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+    hole = np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], dtype=float)
+    g = ("Polygon", [ring, hole])
+    g2 = wkb.loads(wkb.dumps(g))
+    assert g2[0] == "Polygon" and len(g2[1]) == 2
+    assert np.allclose(g2[1][1], hole)
+    g3 = wkb.from_wkt(wkb.to_wkt(g))
+    assert np.allclose(g3[1][0], ring)
+
+
+def test_multipolygon_geojson_roundtrip():
+    g = (
+        "MultiPolygon",
+        [
+            [np.array([[0, 0], [1, 0], [1, 1], [0, 0]], dtype=float)],
+            [np.array([[5, 5], [6, 5], [6, 6], [5, 5]], dtype=float)],
+        ],
+    )
+    gj = wkb.to_geojson(g)
+    g2 = wkb.from_geojson(gj)
+    assert g2[0] == "MultiPolygon" and len(g2[1]) == 2
+    assert wkb.bounds(g) == (0.0, 0.0, 6.0, 6.0)
+    g3 = wkb.loads(wkb.dumps(g))
+    assert np.allclose(g3[1][1][0], g[1][1][0])
+
+
+def test_geometrycollection_roundtrip():
+    g = (
+        "GeometryCollection",
+        [
+            ("Point", np.array([1.0, 2.0])),
+            ("LineString", np.array([[0, 0], [1, 1]], dtype=float)),
+        ],
+    )
+    g2 = wkb.loads(wkb.dumps(g))
+    assert g2[0] == "GeometryCollection" and g2[1][0][0] == "Point"
+    g3 = wkb.from_wkt(wkb.to_wkt(g))
+    assert g3[1][1][0] == "LineString"
+
+
+def test_big_endian_decode():
+    import struct
+
+    buf = b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", 3.0, 4.0)
+    t, d = wkb.loads(buf)
+    assert t == "Point" and np.allclose(d, [3.0, 4.0])
+
+
+def test_z_dropped():
+    import struct
+
+    # ISO WKB PointZ (code 1001)
+    buf = b"\x01" + struct.pack("<I", 1001) + struct.pack("<ddd", 1.0, 2.0, 3.0)
+    t, d = wkb.loads(buf)
+    assert t == "Point" and np.allclose(d, [1.0, 2.0])
+
+
+# --- tiling -------------------------------------------------------------------
+
+
+def test_point_cell_roundtrip():
+    cells = tiling.point_cell([-118.24, 2.0], [34.05, 48.0], 10)
+    res, x, y = tiling.cell_res_xy(cells)
+    assert (res == 10).all()
+    minx, miny, maxx, maxy = tiling.cell_bounds(cells)
+    assert (minx <= np.array([-118.24, 2.0])).all()
+    assert (maxx >= np.array([-118.24, 2.0])).all()
+    assert (miny <= np.array([34.05, 48.0])).all()
+    assert (maxy >= np.array([34.05, 48.0])).all()
+
+
+def test_cell_hierarchy():
+    c = tiling.point_cell([10.0], [20.0], 8)[0]
+    p = tiling.parent([c])[0]
+    assert p in set(tiling.point_cell([10.0], [20.0], 7).tolist())
+    kids = tiling.children(int(p))
+    assert c in set(kids.tolist())
+
+
+def test_k_ring_wraparound():
+    # a cell at the antimeridian: ring must wrap in x
+    c = int(tiling.point_cell([179.99], [0.0], 6)[0])
+    ring = tiling.k_ring(c, 1)
+    assert len(ring) == 9
+    minx = tiling.cell_bounds(ring)[0]
+    assert (minx == -180.0).any()  # wrapped cell present
+
+
+def test_k_ring_pole_clamp():
+    c = int(tiling.point_cell([0.0], [89.9], 4)[0])
+    ring = tiling.k_ring(c, 1)
+    assert len(ring) == 6  # top row clipped
+
+
+def test_ring_only_partition():
+    c = int(tiling.point_cell([5.0], [5.0], 8)[0])
+    disk = set(tiling.k_ring(c, 2).tolist())
+    union = set()
+    for k in range(3):
+        union |= set(tiling.ring_only(c, k).tolist())
+    assert union == disk
+
+
+def test_cover_bbox_and_geometry():
+    ring = np.array([[0.1, 0.1], [5.9, 0.1], [5.9, 5.9], [0.1, 5.9], [0.1, 0.1]])
+    g = ("Polygon", [ring])
+    res = 7  # cell ~1.4 deg
+    cells = tiling.cover_geometry(g, res)
+    assert len(cells) > 0
+    # every point inside the polygon must land in a covered cell
+    rng = np.random.default_rng(0)
+    px = rng.uniform(0.2, 5.8, 200)
+    py = rng.uniform(0.2, 5.8, 200)
+    pc = tiling.point_cell(px, py, res)
+    assert set(pc.tolist()) <= set(cells.tolist())
+
+
+def test_cover_thin_diagonal_excludes_far_corner():
+    # a thin diagonal polygon: bbox covering would include cells the
+    # geometry never touches; exact covering must exclude some
+    ring = np.array([[0, 0], [10, 10], [10.2, 10], [0.2, 0], [0, 0]], dtype=float)
+    g = ("Polygon", [ring])
+    res = 8
+    bbox_cells = tiling.cover_bbox(*wkb.bounds(g), res)
+    geom_cells = tiling.cover_geometry(g, res)
+    assert len(geom_cells) < len(bbox_cells)
+
+
+def test_pick_resolution():
+    r = tiling.pick_resolution(-118.7, 33.7, -118.1, 34.3, target_cells=16)
+    w = tiling.cell_deg(r)
+    assert (0.6 / w + 1) ** 2 <= 20  # rough, stays under budget
+
+
+# --- predicates ----------------------------------------------------------------
+
+
+SQUARE = ("Polygon", [np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)])
+DONUT = (
+    "Polygon",
+    [
+        np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float),
+        np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], dtype=float),
+    ],
+)
+
+
+def test_point_in_polygon_basic():
+    xs = np.array([5.0, 15.0, 5.0, 0.0])
+    ys = np.array([5.0, 5.0, 5.0, 5.0])
+    inside = predicates.points_in_geom(xs, ys, SQUARE)
+    assert inside.tolist() == [True, False, True, True]  # boundary inclusive
+    strict = predicates.points_in_geom(xs, ys, SQUARE, boundary=False)
+    assert strict.tolist() == [True, False, True, False]
+
+
+def test_point_in_donut_hole():
+    inside = predicates.points_in_geom([5.0, 2.0], [5.0, 2.0], DONUT)
+    assert inside.tolist() == [False, True]
+
+
+def test_intersects_polygon_polygon():
+    other = ("Polygon", [np.array([[8, 8], [12, 8], [12, 12], [8, 12], [8, 8]], dtype=float)])
+    far = ("Polygon", [np.array([[20, 20], [21, 20], [21, 21], [20, 21], [20, 20]], dtype=float)])
+    inner = ("Polygon", [np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], dtype=float)])
+    assert predicates.intersects(SQUARE, other)
+    assert not predicates.intersects(SQUARE, far)
+    assert predicates.intersects(SQUARE, inner)  # containment, no edge crossing
+    assert predicates.contains(SQUARE, inner)
+    assert predicates.within(inner, SQUARE)
+    assert not predicates.contains(SQUARE, other)
+
+
+def test_touches_and_crosses():
+    edge_pt = ("Point", np.array([10.0, 5.0]))
+    assert predicates.touches(edge_pt, SQUARE)
+    assert not predicates.touches(("Point", np.array([5.0, 5.0])), SQUARE)
+    line = ("LineString", np.array([[-5, 5], [15, 5]], dtype=float))
+    assert predicates.crosses(line, SQUARE)
+    assert predicates.intersects(line, SQUARE)
+
+
+def test_overlaps():
+    other = ("Polygon", [np.array([[5, 5], [15, 5], [15, 15], [5, 15], [5, 5]], dtype=float)])
+    assert predicates.overlaps(SQUARE, other)
+    inner = ("Polygon", [np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], dtype=float)])
+    assert not predicates.overlaps(SQUARE, inner)
+
+
+def test_self_intersecting_ring_tolerated():
+    # bowtie: even-odd rule keeps both lobes, no exception (reference
+    # repairs via make_valid; ours is tolerant by construction)
+    bow = ("Polygon", [np.array([[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], dtype=float)])
+    inside = predicates.points_in_geom([0.5, 1.5, 1.0], [1.0, 1.0, 1.8], bow)
+    assert inside[0] and inside[1]
+
+
+def test_rects_intersect_geom():
+    tri = ("Polygon", [np.array([[0, 0], [10, 0], [0, 10], [0, 0]], dtype=float)])
+    minx = np.array([1.0, 8.0, 20.0, 4.0])
+    miny = np.array([1.0, 8.0, 20.0, 4.0])
+    hit = predicates.rects_intersect_geom(minx, miny, minx + 1, miny + 1, tri)
+    assert hit.tolist() == [True, False, False, True]
+
+
+# --- proj ----------------------------------------------------------------------
+
+
+def test_utm_roundtrip_cm_accuracy():
+    lon = np.array([-118.24, -118.0, -117.5])
+    lat = np.array([34.05, 33.7, 34.4])
+    e, n = proj.utm_forward(lon, lat, 11)
+    lon2, lat2 = proj.utm_inverse(e, n, 11)
+    assert np.abs(lon2 - lon).max() < 1e-8
+    assert np.abs(lat2 - lat).max() < 1e-8
+
+
+def test_utm_known_point():
+    # Public golden: (0N, 3E) is the natural origin of zone 31 -> E=500000, N=0
+    e, n = proj.utm_forward(np.array([3.0]), np.array([0.0]), 31)
+    assert abs(e[0] - 500000.0) < 1e-3 and abs(n[0]) < 1e-3
+    # one degree of longitude at the equator ~ 111.32 km
+    e2, _ = proj.utm_forward(np.array([4.0]), np.array([0.0]), 31)
+    assert abs((e2[0] - e[0]) - 111320.0) < 120
+
+
+def test_utm_epsg_rule_la():
+    # reference golden: LA -> EPSG:32611 (tests/test_pcs.py:16-21)
+    assert proj.utm_epsg(-118.24, 34.05) == "EPSG:32611"
+    assert proj.utm_epsg(151.2, -33.87) == "EPSG:32756"  # Sydney, southern
+
+
+def test_webmercator_and_mollweide_roundtrip():
+    lon = np.array([12.5, -118.24])
+    lat = np.array([41.9, 34.05])
+    x, y = proj.web_mercator_forward(lon, lat)
+    lon2, lat2 = proj.web_mercator_inverse(x, y)
+    assert np.abs(lon2 - lon).max() < 1e-9 and np.abs(lat2 - lat).max() < 1e-9
+    x, y = proj.mollweide_forward(lon, lat)
+    lon2, lat2 = proj.mollweide_inverse(x, y)
+    assert np.abs(lon2 - lon).max() < 1e-6 and np.abs(lat2 - lat).max() < 1e-6
+
+
+def test_aeqd_distance_preserving_from_center():
+    # AEQD preserves distance from the center: check vs haversine
+    x, y = proj.aeqd_forward(np.array([-117.0]), np.array([35.0]), -118.0, 34.0)
+    d_plane = np.hypot(x, y)[0]
+    d_hav = proj.haversine_m(-118.0, 34.0, -117.0, 35.0)[()]
+    assert abs(d_plane - d_hav) < 1.0
+
+
+def test_haversine_known():
+    # LA -> NYC great-circle ~ 3944 km (public figure)
+    d = proj.haversine_m(-118.24, 34.05, -74.0, 40.71)
+    assert abs(d / 1000.0 - 3944) < 30
+
+
+# --- measure ---------------------------------------------------------------------
+
+
+def test_area_planar_with_hole():
+    assert measure.geom_area_planar(DONUT) == pytest.approx(100.0 - 4.0)
+
+
+def test_area_m2_one_degree_square_at_equator():
+    ring = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)
+    g = ("Polygon", [ring])
+    a = measure.geom_area_m2(g)
+    # ~111.32km x ~110.57km = ~1.231e10 m2
+    assert a == pytest.approx(1.231e10, rel=0.01)
+
+
+def test_length_m_known():
+    g = ("LineString", np.array([[0, 0], [1, 0]], dtype=float))
+    assert measure.geom_length_m(g) == pytest.approx(111320, rel=0.001)
+
+
+def test_distance_m_point_to_polygon():
+    g = ("Point", np.array([0.0, 0.0]))
+    sq = ("Polygon", [np.array([[1, 0], [2, 0], [2, 1], [1, 1], [1, 0]], dtype=float)])
+    d = measure.geom_distance_m(g, sq)
+    assert d == pytest.approx(111320, rel=0.001)
+    inside = ("Point", np.array([1.5, 0.5]))
+    assert measure.geom_distance_m(inside, sq) == 0.0
+
+
+def test_hausdorff():
+    a = ("LineString", np.array([[0, 0], [1, 0]], dtype=float))
+    b = ("LineString", np.array([[0, 0.001], [1, 0.001]], dtype=float))
+    d = measure.hausdorff_distance_m(a, b)
+    assert d == pytest.approx(110.6, rel=0.02)
