@@ -1,0 +1,430 @@
+"""Spatial functions: JVM column expressions + Arrow pandas UDFs.
+
+Design rule (the scale rule): anything on the *probe side* of a
+web-scale join — cell assignment, bbox tests, point distance — must be
+expressible as built-in column arithmetic so it stays inside
+whole-stage codegen on a 1000-executor cluster. Pandas UDFs are reserved
+for true geometry kernels (PIP refinement, buffers, overlays) and always
+operate on Arrow batches, never per row (north-star requirement).
+
+Reference parity: this module is the Spark rendering of the reference's
+scalar dispatch table (mundipy/geometry.py:20-162) — measures carry the
+TRANSFORM_INPUT local-PCS sandwich; constructive ops return geometry
+while other columns (mundipy's "properties", geometry.py:264) ride along
+in the DataFrame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mundipy_spark.kernels import (
+    constructive,
+    measure,
+    overlay,
+    predicates,
+    proj,
+    tiling,
+    wkb,
+)
+
+# ---------------------------------------------------------------------------
+# JVM-side expressions (whole-stage codegen; also SQL-oracle-expressible)
+# ---------------------------------------------------------------------------
+
+
+def cell_expr(lon: Column, lat: Column, res: int) -> Column:
+    """Tile cell id as pure column arithmetic — the probe-side tiling of
+    the web-scale join never leaves the JVM. Matches
+    kernels.tiling.point_cell bit-for-bit (tested)."""
+    nx, ny = tiling.nx_at(res), tiling.ny_at(res)
+    x = F.least(
+        F.greatest(F.floor((lon + 180.0) / 360.0 * nx), F.lit(0)), F.lit(nx - 1)
+    ).cast("long")
+    y = F.least(
+        F.greatest(F.floor((lat + 90.0) / 180.0 * ny), F.lit(0)), F.lit(ny - 1)
+    ).cast("long")
+    return (
+        F.shiftleft(F.lit(res).cast("long"), tiling._RES_SHIFT)
+        .bitwiseOR(F.shiftleft(x, tiling._X_SHIFT))
+        .bitwiseOR(y)
+    )
+
+
+def cell_sql(lon_expr: str, lat_expr: str, res: int) -> str:
+    """The same cell id as an ANSI-SQL string (DuckDB oracle parity)."""
+    nx, ny = tiling.nx_at(res), tiling.ny_at(res)
+    x = f"least(greatest(CAST(floor(({lon_expr} + 180.0) / 360.0 * {nx}) AS BIGINT), 0), {nx - 1})"
+    y = f"least(greatest(CAST(floor(({lat_expr} + 90.0) / 180.0 * {ny}) AS BIGINT), 0), {ny - 1})"
+    return f"((CAST({res} AS BIGINT) << {tiling._RES_SHIFT}) | ({x} << {tiling._X_SHIFT}) | {y})"
+
+
+def haversine_expr(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle meters, fully JVM-side — kNN candidate scoring stays
+    in codegen."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2.0
+    dlon = F.radians(lon2 - lon1) / 2.0
+    h = F.sin(dlat) ** 2 + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) ** 2
+    return 2.0 * proj.SPHERE_R * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
+
+
+def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    r = proj.SPHERE_R
+    return (
+        f"2.0 * {r} * asin(sqrt(least("
+        f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2), 1.0)))"
+    )
+
+
+def bbox_intersects_expr(
+    minx: Column, miny: Column, maxx: Column, maxy: Column,
+    qminx: Column, qminy: Column, qmaxx: Column, qmaxy: Column,
+) -> Column:
+    """The reference's inside_bbox range scan (mundipy/dataset.py:117-122)
+    as plain Catalyst range predicates (parquet min/max prunable)."""
+    return (maxx >= qminx) & (minx <= qmaxx) & (maxy >= qminy) & (miny <= qmaxy)
+
+
+# ---------------------------------------------------------------------------
+# decode helpers for UDF bodies
+# ---------------------------------------------------------------------------
+
+
+def _geoms(col: pd.Series):
+    return [wkb.loads(b) if b is not None else None for b in col]
+
+
+def _xy(col: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Fast path when the whole batch is plain points; generic otherwise."""
+    vals = list(col)
+    try:
+        return wkb.decode_points(vals)
+    except (ValueError, TypeError):
+        xs = np.empty(len(vals))
+        ys = np.empty(len(vals))
+        for i, b in enumerate(vals):
+            g = wkb.loads(b)
+            if g is None or g[0] != "Point":
+                c = constructive.centroid_planar(g) if g else (np.nan, np.nan)
+                xs[i], ys[i] = c[0], c[1]
+            else:
+                xs[i], ys[i] = g[1][0], g[1][1]
+        return xs, ys
+
+
+# ---------------------------------------------------------------------------
+# pandas UDFs (Arrow-batched geometry kernels)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.BinaryType())
+def st_point(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    return pd.Series(wkb.encode_points(lon.to_numpy(np.float64), lat.to_numpy(np.float64)))
+
+
+@F.pandas_udf(T.DoubleType())
+def st_x(g: pd.Series) -> pd.Series:
+    return pd.Series(_xy(g)[0])
+
+
+@F.pandas_udf(T.DoubleType())
+def st_y(g: pd.Series) -> pd.Series:
+    return pd.Series(_xy(g)[1])
+
+
+@F.pandas_udf(T.BinaryType())
+def st_geomfromtext(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: wkb.dumps(wkb.from_wkt(v)) if v is not None else None)
+
+
+@F.pandas_udf(T.StringType())
+def st_astext(g: pd.Series) -> pd.Series:
+    return g.map(lambda b: wkb.to_wkt(wkb.loads(b)) if b is not None else None)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_geomfromgeojson(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: wkb.dumps(wkb.from_geojson(v)) if v is not None else None)
+
+
+@F.pandas_udf(T.StringType())
+def st_asgeojson(g: pd.Series) -> pd.Series:
+    import json
+
+    return g.map(lambda b: json.dumps(wkb.to_geojson(wkb.loads(b))) if b is not None else None)
+
+
+@F.pandas_udf(T.StringType())
+def st_geometrytype(g: pd.Series) -> pd.Series:
+    return g.map(lambda b: wkb.loads(b)[0] if b is not None else None)
+
+
+_BOUNDS_SCHEMA = T.StructType(
+    [
+        T.StructField("minx", T.DoubleType()),
+        T.StructField("miny", T.DoubleType()),
+        T.StructField("maxx", T.DoubleType()),
+        T.StructField("maxy", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_BOUNDS_SCHEMA)
+def st_bounds(g: pd.Series) -> pd.DataFrame:
+    rows = [
+        wkb.bounds(wkb.loads(b)) if b is not None else (None, None, None, None) for b in g
+    ]
+    return pd.DataFrame(rows, columns=["minx", "miny", "maxx", "maxy"])
+
+
+@F.pandas_udf(T.DoubleType())
+def st_area(g: pd.Series) -> pd.Series:
+    """Area in m² (TRANSFORM_INPUT semantics, reference geometry.py:77)."""
+    return g.map(lambda b: measure.geom_area_m2(wkb.loads(b)) if b is not None else None)
+
+
+@F.pandas_udf(T.DoubleType())
+def st_length(g: pd.Series) -> pd.Series:
+    return g.map(lambda b: measure.geom_length_m(wkb.loads(b)) if b is not None else None)
+
+
+@F.pandas_udf(T.DoubleType())
+def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for ba, bb in zip(a, b):
+        if ba is None or bb is None:
+            out.append(None)
+            continue
+        out.append(measure.geom_distance_m(wkb.loads(ba), wkb.loads(bb)))
+    return pd.Series(out, dtype="float64")
+
+
+@F.pandas_udf(T.DoubleType())
+def st_hausdorff_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            measure.hausdorff_distance_m(wkb.loads(x), wkb.loads(y))
+            if x is not None and y is not None
+            else None
+            for x, y in zip(a, b)
+        ],
+        dtype="float64",
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def st_centroid(g: pd.Series) -> pd.Series:
+    return g.map(
+        lambda b: wkb.dumps(constructive.centroid(wkb.loads(b))) if b is not None else None
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def st_envelope(g: pd.Series) -> pd.Series:
+    return g.map(
+        lambda b: wkb.dumps(constructive.envelope(wkb.loads(b))) if b is not None else None
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def st_convexhull(g: pd.Series) -> pd.Series:
+    return g.map(
+        lambda b: wkb.dumps(constructive.convex_hull(wkb.loads(b))) if b is not None else None
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def st_buffer(g: pd.Series, dist_m: pd.Series) -> pd.Series:
+    out = []
+    for b, d in zip(g, dist_m):
+        if b is None:
+            out.append(None)
+            continue
+        out.append(wkb.dumps(constructive.buffer_m(wkb.loads(b), float(d))))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_simplify(g: pd.Series, tol: pd.Series) -> pd.Series:
+    out = []
+    for b, t in zip(g, tol):
+        if b is None:
+            out.append(None)
+            continue
+        out.append(wkb.dumps(constructive.simplify(wkb.loads(b), float(t))))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_makevalid(g: pd.Series) -> pd.Series:
+    return g.map(
+        lambda b: wkb.dumps(constructive.make_valid(wkb.loads(b))) if b is not None else None
+    )
+
+
+@F.pandas_udf(T.BooleanType())
+def st_isvalid(g: pd.Series) -> pd.Series:
+    return g.map(lambda b: constructive.is_valid(wkb.loads(b)) if b is not None else None)
+
+
+def _pairwise_predicate(name: str):
+    fn = predicates.PREDICATES[name]
+
+    @F.pandas_udf(T.BooleanType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        ga_cache: dict[bytes, object] = {}
+        for ba, bb in zip(a, b):
+            if ba is None or bb is None:
+                out.append(None)
+                continue
+            ka = bytes(ba)
+            if ka not in ga_cache:  # polygon side repeats a lot in joins
+                ga_cache[ka] = wkb.loads(ka)
+                if len(ga_cache) > 4096:
+                    ga_cache.clear()
+            out.append(fn(ga_cache[ka], wkb.loads(bb)))
+        return pd.Series(out, dtype="boolean")
+
+    _udf.__name__ = f"st_{name}"
+    return _udf
+
+
+st_intersects = _pairwise_predicate("intersects")
+st_contains = _pairwise_predicate("contains")
+st_within = _pairwise_predicate("within")
+st_covers = _pairwise_predicate("covers")
+st_covered_by = _pairwise_predicate("covered_by")
+st_touches = _pairwise_predicate("touches")
+st_crosses = _pairwise_predicate("crosses")
+st_overlaps = _pairwise_predicate("overlaps")
+st_disjoint = _pairwise_predicate("disjoint")
+
+
+@F.pandas_udf(T.BooleanType())
+def st_dwithin(a: pd.Series, b: pd.Series, dist_m: pd.Series) -> pd.Series:
+    """distance(a,b) <= d without materializing the buffer (the reference
+    computes within() as intersects(buffer(r)), mundipy/dataset.py:164-177
+    — equivalent semantics, cheaper plan)."""
+    out = []
+    for ba, bb, d in zip(a, b, dist_m):
+        if ba is None or bb is None:
+            out.append(None)
+            continue
+        out.append(measure.geom_distance_m(wkb.loads(ba), wkb.loads(bb)) <= float(d))
+    return pd.Series(out, dtype="boolean")
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def st_cells(g: pd.Series, res: pd.Series) -> pd.Series:
+    """Covering cells of a geometry — the polygon-side exploder of the
+    tile join (flatMap-style via F.explode downstream)."""
+    out = []
+    for b, r in zip(g, res):
+        if b is None:
+            out.append(None)
+            continue
+        out.append(tiling.cover_geometry(wkb.loads(b), int(r)).tolist())
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.LongType())
+def st_cell_of_geom(g: pd.Series, res: pd.Series) -> pd.Series:
+    """Cell of a geometry's representative point (points: the point)."""
+    xs, ys = _xy(g)
+    r = int(res.iloc[0]) if len(res) else 0
+    return pd.Series(tiling.point_cell(xs, ys, r))
+
+
+_POINT_INTERSECTS_CACHE_LIMIT = 4096
+
+
+@F.pandas_udf(T.BooleanType())
+def st_point_in_geom(lon: pd.Series, lat: pd.Series, g: pd.Series) -> pd.Series:
+    """Batch PIP: groups the batch by polygon buffer so each distinct
+    polygon is decoded once and tested against all its points in one
+    vectorized pass — the refinement kernel of the tile join."""
+    xs = lon.to_numpy(np.float64)
+    ys = lat.to_numpy(np.float64)
+    out = np.zeros(len(xs), dtype=object)
+    df = pd.DataFrame({"i": np.arange(len(xs))})
+    df["key"] = [bytes(b) if b is not None else None for b in g]
+    for key, grp in df.groupby("key", sort=False, dropna=False):
+        idx = grp["i"].to_numpy()
+        if key is None:
+            out[idx] = None
+            continue
+        geom = wkb.loads(key)
+        hit = predicates.points_in_geom(xs[idx], ys[idx], geom)
+        for i, h in zip(idx, hit):
+            out[i] = bool(h)
+    return pd.Series(out, dtype="boolean")
+
+
+@F.pandas_udf(T.DoubleType())
+def st_intersection_area(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact |A∩B| in m² for arbitrary polygon pairs (signed-triangle
+    decomposition) — the kernel of the overlap-weighted join (reference
+    docs/tutorials/catchment-area.mdx:152-160)."""
+    out = []
+    for ba, bb in zip(a, b):
+        if ba is None or bb is None:
+            out.append(None)
+            continue
+        ga, gb = wkb.loads(ba), wkb.loads(bb)
+        (pa, pb), _, _, _ = measure._projected(ga, gb)
+        out.append(overlay.intersection_area_planar(pa, pb))
+    return pd.Series(out, dtype="float64")
+
+
+# ---------------------------------------------------------------------------
+# SQL registration
+# ---------------------------------------------------------------------------
+
+_SQL_FUNCTIONS = {
+    "st_point": st_point,
+    "st_x": st_x,
+    "st_y": st_y,
+    "st_geomfromtext": st_geomfromtext,
+    "st_astext": st_astext,
+    "st_geomfromgeojson": st_geomfromgeojson,
+    "st_asgeojson": st_asgeojson,
+    "st_geometrytype": st_geometrytype,
+    "st_area": st_area,
+    "st_length": st_length,
+    "st_distance": st_distance,
+    "st_hausdorff_distance": st_hausdorff_distance,
+    "st_centroid": st_centroid,
+    "st_envelope": st_envelope,
+    "st_convexhull": st_convexhull,
+    "st_buffer": st_buffer,
+    "st_simplify": st_simplify,
+    "st_makevalid": st_makevalid,
+    "st_isvalid": st_isvalid,
+    "st_intersects": st_intersects,
+    "st_contains": st_contains,
+    "st_within": st_within,
+    "st_covers": st_covers,
+    "st_covered_by": st_covered_by,
+    "st_touches": st_touches,
+    "st_crosses": st_crosses,
+    "st_overlaps": st_overlaps,
+    "st_disjoint": st_disjoint,
+    "st_dwithin": st_dwithin,
+    "st_cells": st_cells,
+    "st_point_in_geom": st_point_in_geom,
+    "st_intersection_area": st_intersection_area,
+}
+
+
+def register_sql(spark) -> None:
+    """Expose every st_* function to spark.sql()."""
+    for name, udf in _SQL_FUNCTIONS.items():
+        spark.udf.register(name, udf)

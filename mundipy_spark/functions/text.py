@@ -1,0 +1,167 @@
+"""Text-analysis functions for the training-data pipeline.
+
+Everything that can be column arithmetic IS column arithmetic (split,
+regexp, md5) so it scales JVM-side; only language-ID's n-gram scoring
+drops to an Arrow pandas UDF. Each function has a deterministic
+definition the DuckDB oracle can reproduce in SQL (see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# JVM-side expressions
+# ---------------------------------------------------------------------------
+
+
+def token_count_expr(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+
+
+def token_count_sql(text: str) -> str:
+    return (
+        f"CASE WHEN length(trim({text})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({text}), '\\s+')) END"
+    )
+
+
+def md5_int_expr(s: Column) -> Column:
+    """First 14 hex chars of md5 as a bigint — a portable 56-bit hash both
+    Spark (`conv`) and DuckDB (`CAST('0x'||... AS BIGINT)`) compute
+    identically; the shared primitive for MinHash/fingerprints."""
+    return F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long")
+
+
+def md5_int_sql(s: str) -> str:
+    return f"CAST(('0x' || substr(md5({s}), 1, 14)) AS BIGINT)"
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Heuristic quality score in [0,1]: length band + alpha ratio +
+    mean-word-length band. Deterministic, SQL-reproducible."""
+    n = F.length(text)
+    toks = token_count_expr(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    alpha_ratio = F.when(n > 0, alpha.cast("double") / n).otherwise(F.lit(0.0))
+    mean_wl = F.when(toks > 0, n.cast("double") / toks).otherwise(F.lit(0.0))
+    len_band = F.when((n >= 100) & (n <= 20000), 1.0).when(n > 0, 0.5).otherwise(0.0)
+    wl_band = F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), 1.0).otherwise(0.5)
+    return (len_band + alpha_ratio + wl_band) / 3.0
+
+
+def quality_score_sql(text: str) -> str:
+    n = f"length({text})"
+    toks = token_count_sql(text)
+    alpha = f"length(regexp_replace({text}, '[^A-Za-z]', '', 'g'))"
+    alpha_ratio = f"(CASE WHEN {n} > 0 THEN CAST({alpha} AS DOUBLE) / {n} ELSE 0.0 END)"
+    mean_wl = f"(CASE WHEN {toks} > 0 THEN CAST({n} AS DOUBLE) / ({toks}) ELSE 0.0 END)"
+    len_band = f"(CASE WHEN {n} >= 100 AND {n} <= 20000 THEN 1.0 WHEN {n} > 0 THEN 0.5 ELSE 0.0 END)"
+    wl_band = f"(CASE WHEN {mean_wl} >= 3.0 AND {mean_wl} <= 12.0 THEN 1.0 ELSE 0.5 END)"
+    return f"(({len_band} + {alpha_ratio} + {wl_band}) / 3.0)"
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Document fingerprint: 56-bit hash of whitespace-normalized text."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return md5_int_expr(norm)
+
+
+def fingerprint_sql(text: str) -> str:
+    norm = f"regexp_replace(lower(trim({text})), '\\s+', ' ', 'g')"
+    return md5_int_sql(norm)
+
+
+def shingles_expr(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array<string>, built with JVM array ops
+    (split → transform over a sequence of slice windows). Documents
+    shorter than k words get their whole text as the single shingle."""
+    toks = F.split(F.trim(text), r"\s+")
+    nsh = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), nsh - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram/stopword heuristic) — the one pandas UDF here
+# ---------------------------------------------------------------------------
+
+# tiny per-language marker sets (public common stopwords)
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"},
+    "fr": {"le", "la", "les", "et", "est", "une", "pour", "dans", "que", "des"},
+    "es": {"el", "la", "los", "las", "es", "una", "para", "con", "que", "por"},
+}
+
+
+@F.pandas_udf(T.StringType())
+def lang_id(text: pd.Series) -> pd.Series:
+    """Heuristic language ID: CJK codepoint ratio → zh; else the language
+    whose stopword markers hit most tokens; 'und' when nothing hits."""
+    out = []
+    for t in text:
+        if t is None:
+            out.append(None)
+            continue
+        n_cjk = sum(1 for ch in t[:2000] if "一" <= ch <= "鿿")
+        if n_cjk > max(4, len(t[:2000]) * 0.05):
+            out.append("zh")
+            continue
+        toks = t.lower().split()
+        if not toks:
+            out.append("und")
+            continue
+        best, best_hits = "und", 0
+        for lang, markers in _LANG_MARKERS.items():
+            hits = sum(1 for w in toks if w in markers)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        out.append(best if best_hits > 0 else "und")
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens (vectorized per batch: one token
+    hash pass, bincount-style bit voting)."""
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, t in enumerate(text):
+        if t is None:
+            out[i] = 0
+            continue
+        toks = t.lower().split()
+        if not toks:
+            out[i] = 0
+            continue
+        # vectorized: hash every token via numpy (FNV-1a over bytes)
+        hs = np.array([_fnv1a64(w) for w in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig)
+    return pd.Series(out)
+
+
+def _fnv1a64(s: str) -> np.uint64:
+    h = np.uint64(0xCBF29CE484222325)
+    for byte in s.encode("utf-8"):
+        h = np.uint64(h ^ np.uint64(byte)) * np.uint64(0x100000001B3)
+    return h
+
+
+def hamming64_expr(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,362 @@
+"""Spatial joins compiled to tile-cell equi-joins.
+
+The reference expresses joins as per-feature probes of an R-tree/GiST
+indexed layer (intersects: mundipy/dataset.py:143-162; within:
+dataset.py:164-177; nearest: dataset.py:179-206). At Spark scale the
+same filter-then-refine shape becomes:
+
+    polygons --st_cells--> explode cover --+
+                                           +--> equi-join on cell --> bbox
+    points  --cell_expr (pure JVM)---------+    prefilter (codegen) -->
+                                                exact PIP refine (Arrow UDF)
+
+Plan properties (the 100 TB story):
+- the point/probe side is never shuffled when the polygon index is
+  broadcast (OSM admin layers tile to ~10^6-10^7 cell rows — comfortably
+  broadcastable; pass broadcast_index=False to fall back to a shuffled
+  equi-join, where AQE skew-join plus optional salting handles hot urban
+  cells);
+- a point lands in exactly ONE cell at a fixed resolution, so the
+  equi-join emits each (point, polygon-cover-row) candidate at most once
+  — no dedup shuffle is needed before refinement;
+- refinement cost is bounded by candidates, not |points| x |polygons|,
+  and the bbox prefilter runs JVM-side so the Arrow UDF only sees
+  near-hits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mundipy_spark.functions import st
+from mundipy_spark.kernels import proj, tiling
+
+DEFAULT_RES = 8  # ~0.7 deg cells; override per layer via pick_resolution
+
+
+# ---------------------------------------------------------------------------
+# cell helpers (JVM-side)
+# ---------------------------------------------------------------------------
+
+
+def cell_xy_expr(cell: Column) -> tuple[Column, Column, Column]:
+    res = F.shiftright(cell, tiling._RES_SHIFT)
+    x = F.shiftright(cell, tiling._X_SHIFT).bitwiseAND(F.lit(tiling._XY_MASK))
+    y = cell.bitwiseAND(F.lit(tiling._XY_MASK))
+    return res, x, y
+
+
+def neighbors_expr(cell: Column, res: int, k: int = 1) -> Column:
+    """array<long> of the (2k+1)^2 neighborhood of a cell, pure JVM
+    arithmetic: longitude wraps, latitude clamps (drops out-of-range)."""
+    nx, ny = tiling.nx_at(res), tiling.ny_at(res)
+    _, x, y = cell_xy_expr(cell)
+    cells = []
+    for dx in range(-k, k + 1):
+        for dy in range(-k, k + 1):
+            xn = (x + dx + nx) % nx
+            yn = y + dy
+            c = (
+                F.shiftleft(F.lit(res).cast("long"), tiling._RES_SHIFT)
+                .bitwiseOR(F.shiftleft(xn, tiling._X_SHIFT))
+                .bitwiseOR(yn)
+            )
+            cells.append(F.when((yn >= 0) & (yn < ny), c))
+    return F.array_compact(F.array(*cells))
+
+
+# ---------------------------------------------------------------------------
+# polygon tile index
+# ---------------------------------------------------------------------------
+
+
+def tile_index(
+    polys: DataFrame,
+    geom_col: str = "geometry",
+    res: int = DEFAULT_RES,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Explode a polygon layer into its covering cells, carrying bbox
+    columns for the JVM-side prefilter. One output row per (polygon,
+    cell). This is the broadcast side of every tile join; persist it
+    when reused across queries (the Spark analogue of the reference's
+    layer lru_cache, mundipy/dataset.py:113-115)."""
+    cols = keep if keep is not None else [c for c in polys.columns if c != geom_col]
+    b = polys.withColumn("_b", st.st_bounds(F.col(geom_col)))
+    return (
+        b.select(
+            *cols,
+            F.col(geom_col).alias(geom_col),
+            F.col("_b.minx").alias("minx"),
+            F.col("_b.miny").alias("miny"),
+            F.col("_b.maxx").alias("maxx"),
+            F.col("_b.maxy").alias("maxy"),
+            F.explode(st.st_cells(F.col(geom_col), F.lit(res))).alias("cell"),
+        )
+    )
+
+
+def add_point_cell(
+    df: DataFrame, lon: str = "lon", lat: str = "lat", res: int = DEFAULT_RES,
+    out: str = "cell",
+) -> DataFrame:
+    return df.withColumn(out, st.cell_expr(F.col(lon), F.col(lat), res))
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon / intersects join
+# ---------------------------------------------------------------------------
+
+
+def tile_join_points(
+    points: DataFrame,
+    polys: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    geom_col: str = "geometry",
+    res: int = DEFAULT_RES,
+    how: str = "inner",
+    broadcast_index: bool = True,
+    salt: int = 0,
+    poly_cols: list[str] | None = None,
+) -> DataFrame:
+    """Points-vs-polygons intersects join (the reference's canonical
+    point-in-polygon tagging workload, tests/test_example.py:10-27).
+
+    how='inner' keeps matching pairs; how='left' keeps all points with
+    polygon columns null when unmatched (the 'none' default semantics of
+    the reference's tagging loop).
+
+    salt>0 replicates the index rows salt ways and scatters probes by a
+    hash — only meaningful when broadcast_index=False (a broadcast join
+    has no shuffle to skew).
+    """
+    index = tile_index(polys, geom_col=geom_col, res=res, keep=poly_cols)
+    pts = add_point_cell(points, lon, lat, res)
+
+    join_keys = ["cell"]
+    if salt > 0 and not broadcast_index:
+        index = index.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        pts = pts.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(lon), F.col(lat)), F.lit(salt))
+        )
+        join_keys = ["cell", "_salt"]
+
+    rhs = F.broadcast(index) if broadcast_index else index
+    cand = pts.join(rhs, on=join_keys, how="inner")
+    # JVM-side bbox prefilter before the Arrow refinement kernel
+    cand = cand.filter(
+        (F.col(lon) >= F.col("minx"))
+        & (F.col(lon) <= F.col("maxx"))
+        & (F.col(lat) >= F.col("miny"))
+        & (F.col(lat) <= F.col("maxy"))
+    )
+    matched = cand.filter(
+        st.st_point_in_geom(F.col(lon), F.col(lat), F.col(geom_col))
+    ).drop("minx", "miny", "maxx", "maxy", "cell", geom_col, "_salt")
+
+    if how == "inner":
+        return matched
+    if how == "left":
+        return points.join(
+            matched, on=[c for c in points.columns if c in matched.columns], how="left"
+        )
+    raise ValueError(f"unsupported how={how!r}")
+
+
+# ---------------------------------------------------------------------------
+# within-radius join (point-point distance join)
+# ---------------------------------------------------------------------------
+
+
+def radius_res(radius_m: float, max_abs_lat: float = 66.0) -> int:
+    """Finest resolution whose cell width (in meters, at max_abs_lat) is
+    >= radius, so ring-1 neighbors are a complete candidate set."""
+    import math
+
+    coslat = max(math.cos(math.radians(min(abs(max_abs_lat), 89.0))), 0.05)
+    for res in range(tiling.MAX_RES, -1, -1):
+        width_m = tiling.cell_deg(res) * 111_320.0 * coslat
+        height_m = tiling.cell_deg(res) * 111_320.0
+        if min(width_m, height_m) >= radius_m:
+            return res
+    return 0
+
+
+def within_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    left_lon: str = "lon",
+    left_lat: str = "lat",
+    right_lon: str = "lon",
+    right_lat: str = "lat",
+    res: int | None = None,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """All (left, right) pairs within radius_m great-circle meters —
+    reference `Dataset.within` (mundipy/dataset.py:164-177), but as a
+    symmetric distance join instead of probe loops.
+
+    Entirely JVM-side: cell assignment, ring-1 neighbor explode on the
+    right, equi-join, haversine refinement — zero Python in the hot path.
+    Shuffles both sides on cell unless broadcast_right.
+    """
+    if res is None:
+        res = radius_res(radius_m)
+    lcol = add_point_cell(left, left_lon, left_lat, res, out="_lcell")
+    r = right
+    if right_lon == left_lon:  # disambiguate columns on self-ish joins
+        r = right.select(
+            *[F.col(c).alias(f"r_{c}") for c in right.columns]
+        )
+        right_lon, right_lat = f"r_{right_lon}", f"r_{right_lat}"
+    rcol = r.withColumn(
+        "_lcell",
+        F.explode(
+            neighbors_expr(
+                st.cell_expr(F.col(right_lon), F.col(right_lat), res), res, k=1
+            )
+        ),
+    )
+    rhs = F.broadcast(rcol) if broadcast_right else rcol
+    dist = st.haversine_expr(
+        F.col(left_lon), F.col(left_lat), F.col(right_lon), F.col(right_lat)
+    )
+    return (
+        lcol.join(rhs, on="_lcell", how="inner")
+        .withColumn("dist_m", dist)
+        .filter(F.col("dist_m") <= radius_m)
+        .drop("_lcell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN join (expanding-ring, reference Dataset.nearest semantics)
+# ---------------------------------------------------------------------------
+
+
+def knn_join(
+    probes: DataFrame,
+    targets: DataFrame,
+    k: int = 1,
+    probe_id: str = "doc_id",
+    probe_lon: str = "lon",
+    probe_lat: str = "lat",
+    target_lon: str = "lon",
+    target_lat: str = "lat",
+    start_res: int = 7,
+    min_res: int = 1,
+    broadcast_targets: bool = True,
+) -> DataFrame:
+    """k-nearest-neighbor join by expanding cells, mirroring the
+    reference's expanding-bbox nearest (mundipy/dataset.py:179-206:
+    buffers 1e3..1e8 then full scan; returns none on empty layer).
+
+    Strategy: at each resolution (start_res, start_res-2, ...) targets
+    explode to their ring-1 neighborhood and equi-join the unmatched
+    probes; probes that collected >= k candidates resolve by a window
+    top-k on haversine; the rest escalate to the coarser level. A final
+    residual broadcast cross-join catches probes in empty regions (the
+    reference's full-scan fallback, dataset.py:201-206).
+
+    Ring-boundary caveat (same one the reference's coarse bbox has —
+    SURVEY §7.5.4): a neighbor in ring 2 can beat a ring-1 match near
+    cell corners; we therefore join ring-1 but only ACCEPT matches whose
+    distance <= one cell height at that res, which ring-1 provably
+    covers; farther matches re-compete at the coarser level.
+    """
+    t = targets.select(
+        F.col(target_lon).alias("t_lon"), F.col(target_lat).alias("t_lat"),
+        *[F.col(c).alias(f"t_{c}") for c in targets.columns if c not in (target_lon, target_lat)],
+    )
+    unmatched = probes
+    results = None
+    res = start_res
+    while res >= min_res:
+        exploded = t.withColumn(
+            "_cell",
+            F.explode(
+                neighbors_expr(st.cell_expr(F.col("t_lon"), F.col("t_lat"), res), res, k=1)
+            ),
+        )
+        rhs = F.broadcast(exploded) if broadcast_targets else exploded
+        p = add_point_cell(unmatched, probe_lon, probe_lat, res, out="_cell")
+        cand = p.join(rhs, on="_cell", how="left")
+        dist = st.haversine_expr(
+            F.col(probe_lon), F.col(probe_lat), F.col("t_lon"), F.col("t_lat")
+        )
+        # guarantee radius: one cell height in meters (height is
+        # latitude-extent, independent of latitude)
+        guarantee_m = tiling.cell_deg(res) * 111_320.0 * 0.999
+        cand = cand.withColumn("dist_m", dist)
+        w = W.partitionBy(probe_id).orderBy(F.col("dist_m").asc_nulls_last())
+        ranked = cand.withColumn("_rn", F.row_number().over(w))
+        got = ranked.filter(
+            (F.col("_rn") <= k) & F.col("dist_m").isNotNull() & (F.col("dist_m") <= guarantee_m)
+        )
+        # a probe is settled only if its k-th candidate is inside the
+        # guarantee radius
+        settled_ids = (
+            got.groupBy(probe_id).count().filter(F.col("count") >= k).select(probe_id)
+        )
+        settled = got.join(settled_ids, probe_id, "inner").drop("_rn", "_cell")
+        results = settled if results is None else results.unionByName(settled)
+        unmatched = unmatched.join(settled_ids, probe_id, "left_anti")
+        res -= 2
+    # residual full cross-join (small by construction)
+    w = W.partitionBy(probe_id).orderBy(F.col("dist_m").asc())
+    residual = (
+        unmatched.join(F.broadcast(t), how="cross")
+        .withColumn(
+            "dist_m",
+            st.haversine_expr(
+                F.col(probe_lon), F.col(probe_lat), F.col("t_lon"), F.col("t_lat")
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return results.unionByName(residual) if results is not None else residual
+
+
+# ---------------------------------------------------------------------------
+# overlap-weighted aggregation join (catchment-style, reference J5)
+# ---------------------------------------------------------------------------
+
+
+def overlap_weighted_join(
+    zones: DataFrame,
+    regions: DataFrame,
+    weight_col: str,
+    zone_geom: str = "geometry",
+    region_geom: str = "geometry",
+    zone_id: str = "zone_id",
+    res: int = DEFAULT_RES,
+) -> DataFrame:
+    """For each zone, sum region weights scaled by the overlapped
+    fraction of each region: sum(w * |zone∩region| / |region|)
+    (reference docs/tutorials/catchment-area.mdx:152-160)."""
+    zidx = tile_index(zones, geom_col=zone_geom, res=res).withColumnRenamed(
+        zone_geom, "_zgeom"
+    )
+    ridx = tile_index(regions, geom_col=region_geom, res=res).select(
+        F.col("cell"),
+        F.col(region_geom).alias("_rgeom"),
+        F.col(weight_col).alias("_w"),
+    )
+    cand = (
+        zidx.join(ridx, "cell")
+        .dropDuplicates([zone_id, "_rgeom"])
+        .withColumn("_ia", st.st_intersection_area(F.col("_zgeom"), F.col("_rgeom")))
+        .filter(F.col("_ia") > 0)
+        .withColumn("_ra", st.st_area(F.col("_rgeom")))
+    )
+    return cand.groupBy(zone_id).agg(
+        F.sum(F.col("_w") * F.col("_ia") / F.col("_ra")).alias("weighted_" + weight_col)
+    )

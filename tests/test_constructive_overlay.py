@@ -1,0 +1,165 @@
+"""Constructive + overlay kernel tests (pure numpy)."""
+
+import numpy as np
+import pytest
+
+from mundipy_spark.kernels import constructive, measure, overlay, predicates, wkb
+
+SQ = lambda x0, y0, s: np.array(
+    [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]], dtype=float
+)
+
+
+def test_centroid_square():
+    g = ("Polygon", [SQ(0, 0, 10)])
+    c = constructive.centroid(g)
+    assert np.allclose(c[1], [5, 5])
+
+
+def test_centroid_with_hole():
+    g = ("Polygon", [SQ(0, 0, 10), SQ(0, 0, 5)[::-1]])  # hole in SW corner
+    c = constructive.centroid(g)
+    assert c[1][0] > 5 and c[1][1] > 5  # pulled away from the hole
+
+
+def test_convex_hull():
+    pts = ("MultiPoint", np.array([[0, 0], [4, 0], [4, 4], [0, 4], [2, 2], [1, 3]], dtype=float))
+    h = constructive.convex_hull(pts)
+    assert h[0] == "Polygon"
+    assert measure.geom_area_planar(h) == pytest.approx(16.0)
+
+
+def test_simplify_collinear():
+    line = ("LineString", np.array([[0, 0], [1, 0.001], [2, 0], [3, 0.001], [4, 0]], dtype=float))
+    s = constructive.simplify(line, 0.01)
+    assert len(s[1]) == 2
+    s2 = constructive.simplify(line, 0.0001)
+    assert len(s2[1]) == 5
+
+
+def test_buffer_point_is_circle():
+    g = ("Point", np.array([2.0, 3.0]))
+    b = constructive.buffer_planar(g, 1.0)
+    assert b[0] == "Polygon"
+    a = measure.geom_area_planar(b)
+    assert a == pytest.approx(np.pi, rel=0.01)  # 32-gon ~ pi
+    # all ring points at distance 1
+    d = np.hypot(b[1][0][:, 0] - 2.0, b[1][0][:, 1] - 3.0)
+    assert np.allclose(d, 1.0)
+
+
+def test_buffer_polygon_grows_area():
+    g = ("Polygon", [SQ(0, 0, 10)])
+    b = constructive.buffer_planar(g, 1.0)
+    a = measure.geom_area_planar(b)
+    # exact: 100 + 4*10*1 + pi*1^2
+    assert a == pytest.approx(100 + 40 + np.pi, rel=0.01)
+    # contains the original corners' neighborhoods
+    assert predicates.points_in_geom([-0.5, 10.5], [5.0, 5.0], b).all()
+
+
+def test_buffer_line_capsules():
+    g = ("LineString", np.array([[0, 0], [10, 0]], dtype=float))
+    b = constructive.buffer_planar(g, 1.0)
+    assert predicates.points_in_geom([5.0, 0.0, -0.9], [0.9, -0.9, 0.0], b).all()
+    assert not predicates.points_in_geom([5.0], [1.5], b).any()
+
+
+def test_buffer_m_meters():
+    g = ("Point", np.array([-118.24, 34.05]))
+    b = constructive.buffer_m(g, 1000.0)
+    a = measure.geom_area_m2(b)
+    assert a == pytest.approx(np.pi * 1e6, rel=0.02)
+
+
+def test_make_valid_orientation_and_closure():
+    open_ring = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)[::-1]  # CW, open
+    g = constructive.make_valid(("Polygon", [open_ring]))
+    r = g[1][0]
+    assert np.allclose(r[0], r[-1])
+    assert measure.ring_area_planar(r) > 0  # exterior CCW
+
+
+def test_is_valid():
+    assert constructive.is_valid(("Polygon", [SQ(0, 0, 10)]))
+    bow = ("Polygon", [np.array([[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], dtype=float)])
+    assert not constructive.is_valid(bow)
+
+
+# --- overlay ----------------------------------------------------------------
+
+
+def test_sh_clip_square_overlap():
+    out = overlay.sutherland_hodgman(SQ(0, 0, 10), SQ(5, 5, 10))
+    a = abs(measure.ring_area_planar(np.vstack([out, out[:1]])))
+    assert a == pytest.approx(25.0)
+
+
+def test_intersection_area_concave_exact():
+    # L-shaped (concave) polygon vs square — exact expected value
+    L = (
+        "Polygon",
+        [np.array([[0, 0], [10, 0], [10, 4], [4, 4], [4, 10], [0, 10], [0, 0]], dtype=float)],
+    )
+    sq = ("Polygon", [SQ(2, 2, 6)])  # [2,8]x[2,8]
+    # overlap: ([2,8]x[2,4]) + ([2,4]x[4,8]) = 12 + 8
+    a = overlay.intersection_area_planar(L, sq)
+    assert a == pytest.approx(20.0, abs=1e-9)
+    assert overlay.union_area_planar(L, sq) == pytest.approx(
+        measure.geom_area_planar(L) + 36 - 20
+    )
+    assert overlay.difference_area_planar(L, sq) == pytest.approx(
+        measure.geom_area_planar(L) - 20
+    )
+
+
+def test_intersection_area_with_hole():
+    donut = ("Polygon", [SQ(0, 0, 10), SQ(4, 4, 2)[::-1]])
+    sq = ("Polygon", [SQ(3, 3, 4)])  # [3,7]^2, contains the whole hole
+    a = overlay.intersection_area_planar(donut, sq)
+    assert a == pytest.approx(16.0 - 4.0, abs=1e-9)
+
+
+def test_intersection_area_disjoint_and_contained():
+    a = ("Polygon", [SQ(0, 0, 2)])
+    b = ("Polygon", [SQ(5, 5, 2)])
+    assert overlay.intersection_area_planar(a, b) == 0.0
+    inner = ("Polygon", [SQ(0.5, 0.5, 1)])
+    assert overlay.intersection_area_planar(a, inner) == pytest.approx(1.0)
+
+
+def test_clip_convex_polygon_geometry():
+    g = ("Polygon", [SQ(0, 0, 10)])
+    c = overlay.clip_convex(g, SQ(5, 5, 10)[:-1])
+    assert c[0] == "Polygon"
+    assert measure.geom_area_planar(c) == pytest.approx(25.0)
+
+
+def test_clip_line_convex():
+    line = ("LineString", np.array([[-5, 5], [15, 5]], dtype=float))
+    c = overlay.clip_convex(line, SQ(0, 0, 10)[:-1])
+    assert c[0] == "LineString"
+    assert measure.geom_length_planar(c) == pytest.approx(10.0)
+
+
+def test_clip_points():
+    pts = ("MultiPoint", np.array([[1, 1], [11, 11], [5, 5]], dtype=float))
+    c = overlay.clip_convex(pts, SQ(0, 0, 10)[:-1])
+    assert c[0] == "MultiPoint" and len(c[1]) == 2
+
+
+def test_intersection_geometry_convex_path():
+    a = ("Polygon", [SQ(0, 0, 10)])
+    tri = ("Polygon", [np.array([[5, 5], [13, 5], [5, 13], [5, 5]], dtype=float)])
+    g = overlay.intersection(a, tri)
+    # [5,10]^2 cut by x+y<=18: 25 - 0.5*2^2 = 23
+    assert measure.geom_area_planar(g) == pytest.approx(23.0)
+    assert overlay.intersection_area_planar(a, tri) == pytest.approx(23.0)
+
+
+def test_clip_to_rect_matches_tile_use():
+    tri = ("Polygon", [np.array([[0, 0], [10, 0], [0, 10], [0, 0]], dtype=float)])
+    c = overlay.clip_to_rect(tri, 0, 0, 5, 5)
+    assert measure.geom_area_planar(c) == pytest.approx(25.0 - 0.0, abs=1e-9) or True
+    # exact: the rect [0,5]^2 cut by x+y<=10 keeps the whole 25 sq area
+    assert measure.geom_area_planar(c) == pytest.approx(25.0)

@@ -1,0 +1,179 @@
+"""Spatial join operators over Spark, incl. the reference's golden
+coffeeshops x neighborhoods workload (reference tests/test_example.py:10-27)
+run on the reference's own fixture data."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mundipy_spark.functions import st
+from mundipy_spark.kernels import tiling, wkb
+from mundipy_spark.operators import joins
+from mundipy_spark.sources.geojson import read_geojson
+from tests.conftest import REFERENCE_FIXTURES
+
+needs_fixtures = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_FIXTURES), reason="reference fixtures not present"
+)
+
+
+@pytest.fixture(scope="module")
+def la(spark):
+    hoods = read_geojson(spark, f"{REFERENCE_FIXTURES}/los-angeles.geojson").select(
+        "geometry", "name"
+    )
+    shops = read_geojson(spark, f"{REFERENCE_FIXTURES}/la_coffeeshops.geojson")
+    shops = (
+        shops.withColumn("lon", st.st_x("geometry"))
+        .withColumn("lat", st.st_y("geometry"))
+        .withColumn("shop_id", F.monotonically_increasing_id())
+    )
+    return hoods.cache(), shops.select("shop_id", "name", "lon", "lat").cache()
+
+
+@needs_fixtures
+def test_coffeeshops_golden(spark, la):
+    """Port of the reference golden counts: 12 features out, exactly 2 in
+    'North Hollywood', 1 named 'Philz Coffee'."""
+    hoods, shops = la
+    res = 10
+    tagged = joins.tile_join_points(
+        shops,
+        hoods.withColumnRenamed("name", "neighborhood_name"),
+        res=res,
+        how="left",
+    ).withColumn("neighborhood_name", F.coalesce("neighborhood_name", F.lit("none")))
+    rows = tagged.collect()
+    assert len(rows) == 12
+    assert sum(1 for r in rows if r.neighborhood_name == "North Hollywood") == 2
+    assert sum(1 for r in rows if r["name"] == "Philz Coffee") == 1
+
+
+@needs_fixtures
+def test_tile_join_matches_bruteforce(spark, la):
+    """Every (shop, hood) intersects pair from the tile join equals the
+    brute-force kernel answer — the coarse index must not lose matches."""
+    hoods, shops = la
+    got = {
+        (r.shop_id, r.neighborhood_name)
+        for r in joins.tile_join_points(
+            shops, hoods.withColumnRenamed("name", "neighborhood_name"), res=9
+        ).collect()
+    }
+    # brute force driver-side with the same kernels
+    from mundipy_spark.kernels import predicates
+
+    hood_rows = hoods.collect()
+    shop_rows = shops.collect()
+    expect = set()
+    for h in hood_rows:
+        g = wkb.loads(h.geometry)
+        xs = np.array([s.lon for s in shop_rows])
+        ys = np.array([s.lat for s in shop_rows])
+        hit = predicates.points_in_geom(xs, ys, g)
+        for s, isin in zip(shop_rows, hit):
+            if isin:
+                expect.add((s.shop_id, h.name))
+    assert got == expect
+
+
+@needs_fixtures
+def test_knn_join_nearest_hood_centroid(spark, la):
+    """kNN against neighborhood centroids: every shop gets exactly one
+    nearest, matching a brute-force haversine argmin."""
+    hoods, shops = la
+    cent = hoods.withColumn("geometry", st.st_centroid("geometry")).select(
+        st.st_x("geometry").alias("lon"),
+        st.st_y("geometry").alias("lat"),
+        F.col("name").alias("hood"),
+    )
+    got = joins.knn_join(
+        shops, cent, k=1, probe_id="shop_id", start_res=7
+    ).select("shop_id", "t_hood", "dist_m")
+    rows = {r.shop_id: (r.t_hood, r.dist_m) for r in got.collect()}
+    assert len(rows) == 12
+
+    from mundipy_spark.kernels import proj
+
+    cent_rows = cent.collect()
+    for s in shops.collect():
+        d = proj.haversine_m(
+            np.full(len(cent_rows), s.lon),
+            np.full(len(cent_rows), s.lat),
+            np.array([c.lon for c in cent_rows]),
+            np.array([c.lat for c in cent_rows]),
+        )
+        best = int(np.argmin(d))
+        assert rows[s.shop_id][0] == cent_rows[best].hood, s["name"]
+        assert rows[s.shop_id][1] == pytest.approx(float(d[best]), rel=1e-9)
+
+
+def test_within_radius_join_selfpairs(spark):
+    """Distance self-join on a small deterministic grid vs brute force."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n = 120
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(n),
+            "lon": rng.uniform(-118.5, -118.0, n),
+            "lat": rng.uniform(33.8, 34.3, n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    radius = 3000.0
+    got = joins.within_radius_join(df, df, radius_m=radius)
+    pairs = {(r.pid, r.r_pid) for r in got.collect()}
+
+    from mundipy_spark.kernels import proj
+
+    lon, lat = pdf.lon.to_numpy(), pdf.lat.to_numpy()
+    expect = set()
+    for i in range(n):
+        d = proj.haversine_m(np.full(n, lon[i]), np.full(n, lat[i]), lon, lat)
+        for j in np.nonzero(d <= radius)[0]:
+            expect.add((i, int(j)))
+    assert pairs == expect
+
+
+def test_neighbors_expr_matches_kernel(spark):
+    cells = [
+        int(tiling.point_cell([179.9], [0.0], 8)[0]),  # antimeridian
+        int(tiling.point_cell([0.0], [89.9], 8)[0]),  # pole
+        int(tiling.point_cell([-118.2], [34.0], 8)[0]),
+    ]
+    df = spark.createDataFrame([(c,) for c in cells], "cell long")
+    got = df.select(joins.neighbors_expr(F.col("cell"), 8, 1).alias("n")).collect()
+    for row, c in zip(got, cells):
+        assert sorted(row.n) == sorted(tiling.k_ring(c, 1).tolist())
+
+
+def test_overlap_weighted_join(spark):
+    """Catchment semantics: zone overlapping halves of two unit squares
+    gets half of each weight (reference catchment-area.mdx:152-160)."""
+    import pandas as pd
+
+    def sq_wkb(x0, y0, s):
+        ring = np.array(
+            [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]],
+            dtype=float,
+        )
+        return wkb.dumps(("Polygon", [ring]))
+
+    zones = spark.createDataFrame(
+        pd.DataFrame({"zone_id": [1], "geometry": [sq_wkb(0.5, 0.0, 1.0)]})
+    )
+    regions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "geometry": [sq_wkb(0, 0, 1), sq_wkb(1, 0, 1), sq_wkb(5, 5, 1)],
+                "pop": [100.0, 200.0, 999.0],
+            }
+        )
+    )
+    out = joins.overlap_weighted_join(zones, regions, "pop", res=8).collect()
+    assert len(out) == 1
+    assert out[0].weighted_pop == pytest.approx(150.0, rel=1e-3)
