@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship web-scale query (geoparse -> tile ->
+spatial join -> per-region counts) at sf0.001. `queries()` exposes one
+callable per implemented operator from SURVEY.md §2 plus the
+training-data operators; `oracle_sql()` carries the DuckDB twin of each
+(same column names — the driver hash-compares values).
+
+Float policy for oracle parity: sums of doubles are cast to
+DECIMAL(18,6) in BOTH engines (exact arithmetic, no summation-order
+wobble); similarity ranks order by round(cos, 6) with an id tie-break.
 """
 
 from __future__ import annotations
@@ -12,27 +16,407 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mundipy_spark.functions import st
+from mundipy_spark.functions import text as tx
+from mundipy_spark.operators import dedup, geoparse, joins, similarity, textstats
+from mundipy_spark.plans import pipeline
+from mundipy_spark.sources import pages as pages_src
+
+# deterministic probe cities for the kNN query
+CITIES = [
+    ("losangeles", -118.24, 34.05),
+    ("newyork", -74.0, 40.71),
+    ("london", -0.13, 51.51),
+    ("tokyo", 139.69, 35.69),
+    ("sydney", 151.21, -33.87),
+    ("saopaulo", -46.63, -23.55),
+    ("johannesburg", 28.05, -26.2),
+    ("delhi", 77.21, 28.61),
+]
+
+CELL_RES = 8
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pages_src.synth_pages(spark, sf_dir)
+
+
+def _geo_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return geoparse.parse_geo_tokens(_pages(spark, sf_dir)).filter(
+        F.col("lat").isNotNull()
+    )
+
+
+# SQL CTE that re-derives the geoparsed pages arithmetically (the oracle
+# never sees our regexp — an independent derivation)
+GEO_SQL_CTE = f"""
+WITH {pages_src.PAGES_SQL_CTE.strip()},
+geo AS (
+  SELECT doc_id, url, text, lang,
+         CAST((doc_id * {pages_src.LAT_MUL}) % 18000 - 9000 AS DOUBLE) / 100.0 AS lat,
+         CAST((doc_id * {pages_src.LON_MUL}) % 36000 - 18000 AS DOUBLE) / 100.0 AS lon
+  FROM pages WHERE doc_id % 8 <> 0
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_geocode_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full pipeline, pages per admin region."""
+    pages = _pages(spark, sf_dir)
+    regions = pages_src.synth_regions(spark, step_deg=10.0)
+    out = pipeline.geocode_pages(pages, regions)
+    return (
+        out.filter(F.col("region").isNotNull())
+        .groupBy("region")
+        .agg(F.count("*").alias("n_pages"))
+        .orderBy("region")
+    )
+
+
+def q_geoparse_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _geo_pages(spark, sf_dir).select("url", "lat", "lon")
+
+
+def q_tile_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geo = _geo_pages(spark, sf_dir)
+    return (
+        geo.withColumn("cell", st.cell_expr(F.col("lon"), F.col("lat"), CELL_RES))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_bbox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 range scan: geo pages inside a query bbox (Europe-ish)."""
+    geo = _geo_pages(spark, sf_dir)
+    return geo.filter(
+        (F.col("lon") >= -10.0) & (F.col("lon") <= 30.0)
+        & (F.col("lat") >= 35.0) & (F.col("lat") <= 60.0)
+    ).select("url", "lat", "lon")
+
+
+def q_bounds_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 global bounds of the geoparsed layer."""
+    geo = _geo_pages(spark, sf_dir)
+    return geo.agg(
+        F.min("lon").alias("minx"),
+        F.min("lat").alias("miny"),
+        F.max("lon").alias("maxx"),
+        F.max("lat").alias("maxy"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_knn_cities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 nearest join: each geo page's nearest probe city."""
+    geo = _geo_pages(spark, sf_dir).select("doc_id", "url", "lon", "lat")
+    cities = spark.createDataFrame(CITIES, "city string, lon double, lat double")
+    out = joins.knn_join(
+        geo, cities, k=1, probe_id="doc_id", start_res=3, min_res=1,
+        tie_break=["t_city"],
+    )
+    return out.select(F.col("url"), F.col("t_city").alias("city"))
+
+
+def q_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 distance join: geo-page pairs within 750 km (small probe set)."""
+    geo = _geo_pages(spark, sf_dir).filter(F.col("doc_id") % 3 == 1).select(
+        "doc_id", "lon", "lat"
+    )
+    pairs = joins.within_radius_join(geo, geo, radius_m=750_000.0)
+    return (
+        pairs.filter(F.col("doc_id") < F.col("r_doc_id"))
+        .select(
+            F.col("doc_id").alias("a"),
+            F.col("r_doc_id").alias("b"),
+        )
+    )
+
+
+def q_region_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/A4: region tagging + weighted aggregate over region pop."""
+    pages = _pages(spark, sf_dir)
+    regions = pages_src.synth_regions(spark, step_deg=10.0)
+    out = pipeline.geocode_pages(pages, regions)
+    return (
+        out.filter(F.col("region").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("pop").cast("decimal(18,6)")), 2).cast("double").alias("sum_pop"),
+        )
+    )
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.doc_stats(docs)
+
+
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.token_frequencies(docs, min_count=2)
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_dedup(docs)
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_signatures(docs, n_hashes=8)
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidates -> exact n-gram Jaccard refine."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs, n_hashes=8)
+    cand = dedup.lsh_candidate_pairs(sigs, n_hashes=8, bands=4)
+    out = dedup.jaccard_ngram_pairs(docs, cand, threshold=0.2)
+    return out.select(
+        "a", "b", F.round(F.col("jaccard"), 6).cast("double").alias("jaccard")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5).select("qid", "nid", "rank")
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.col("event_type"),
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+                ),
+                2,
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (UDF signature — rows-only oracle)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_dedup(docs, max_hamming=10)
+
+
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID profile (UDF — rows-only oracle)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.lang_profile(docs).select("lang_detected", "n_docs")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: fake payloads -> mapInPandas feature extract
+    (decode is stubbed; rows-only oracle)."""
+    from mundipy_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    return multimodal.extract_image_features(multimodal.attach_fake_payloads(docs))
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN (scale path — rows-only oracle;
+    recall vs brute force is asserted in tests)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_bucket_topk(emb, queries, k=5, dim=64).select(
+        "qid", "nid", "rank"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_geocode_regions(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "geocode_regions": q_geocode_regions,
+        "geoparse_points": q_geoparse_points,
+        "tile_cells": q_tile_cells,
+        "bbox_scan": q_bbox_scan,
+        "bounds_agg": q_bounds_agg,
+        "knn_cities": q_knn_cities,
+        "within_radius": q_within_radius,
+        "region_pop": q_region_pop,
+        "doc_stats": q_doc_stats,
+        "token_freq": q_token_freq,
+        "exact_dedup": q_exact_dedup,
+        "minhash": q_minhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ann_topk": q_ann_topk,
+        "events_hourly": q_events_hourly,
+        "tpch_q1": q_tpch_q1,
+        "simhash_pairs": q_simhash_pairs,
+        "lang_profile": q_lang_profile,
+        "multimodal_features": q_multimodal_features,
+        "lsh_ann": q_lsh_ann,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    region = pages_src.region_name_sql("lon", "lat", 10.0)
+    cell = st.cell_sql("lon", "lat", CELL_RES)
+    knn_dist = st.haversine_sql("lon", "lat", "c.clon", "c.clat")
+    pair_dist = st.haversine_sql("g1.lon", "g1.lat", "g2.lon", "g2.lat")
+    cities_values = ", ".join(f"('{n}', {lo}, {la})" for n, lo, la in CITIES)
+
+    return {
+        "geocode_regions": f"""
+{GEO_SQL_CTE}
+SELECT {region} AS region, count(*) AS n_pages
+FROM geo GROUP BY 1 ORDER BY 1
+""",
+        "geoparse_points": f"""
+{GEO_SQL_CTE}
+SELECT url, lat, lon FROM geo
+""",
+        "tile_cells": f"""
+{GEO_SQL_CTE}
+SELECT {cell} AS cell, count(*) AS n FROM geo GROUP BY 1
+""",
+        "bbox_scan": f"""
+{GEO_SQL_CTE}
+SELECT url, lat, lon FROM geo
+WHERE lon >= -10.0 AND lon <= 30.0 AND lat >= 35.0 AND lat <= 60.0
+""",
+        "bounds_agg": f"""
+{GEO_SQL_CTE}
+SELECT min(lon) AS minx, min(lat) AS miny, max(lon) AS maxx, max(lat) AS maxy,
+       count(*) AS n
+FROM geo
+""",
+        "knn_cities": f"""
+{GEO_SQL_CTE},
+cities(cname, clon, clat) AS (VALUES {cities_values}),
+scored AS (
+  SELECT geo.url, c.cname,
+         row_number() OVER (
+           PARTITION BY geo.url ORDER BY {knn_dist} ASC, c.cname ASC
+         ) AS rn
+  FROM geo, cities c
+)
+SELECT url, cname AS city FROM scored WHERE rn = 1
+""",
+        "within_radius": f"""
+{GEO_SQL_CTE}
+SELECT g1.doc_id AS a, g2.doc_id AS b
+FROM geo g1, geo g2
+WHERE g1.doc_id % 3 = 1 AND g2.doc_id % 3 = 1
+  AND g1.doc_id < g2.doc_id
+  AND {pair_dist} <= 750000.0
+""",
+        "region_pop": f"""
+{GEO_SQL_CTE},
+regions AS (
+  SELECT {region} AS region, lang FROM geo
+),
+pop AS (
+  SELECT region, lang,
+         CAST((CAST(split_part(region, '_', 2) AS BIGINT) * 31 +
+               CAST(split_part(region, '_', 3) AS BIGINT) * 17) % 1000 + 1 AS DOUBLE) AS pop
+  FROM regions
+)
+SELECT lang, count(*) AS n, CAST(round(sum(CAST(pop AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_pop
+FROM pop GROUP BY lang
+""",
+        "doc_stats": textstats.doc_stats_sql(),
+        "token_freq": textstats.token_frequencies_sql(),
+        "exact_dedup": f"""
+WITH fp AS (
+  SELECT doc_id, {tx.fingerprint_sql('text')} AS fingerprint FROM documents
+)
+SELECT min(doc_id) AS doc_id, fingerprint, count(*) AS dup_count
+FROM fp GROUP BY fingerprint
+""",
+        "minhash": dedup.minhash_sql(n_hashes=8),
+        "jaccard_pairs": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i : i + 2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ninter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       CAST(round(CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter), 6) AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.2
+""",
+        "ann_topk": """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 10
+), scored AS (
+  SELECT q.qid, c.vec_id AS nid,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY round(list_cosine_similarity(q.qe, c.e), 6) DESC, c.vec_id ASC
+         ) AS rank
+  FROM q, emb c WHERE c.vec_id <> q.qid
+)
+SELECT qid, nid, rank FROM scored WHERE rank <= 5
+""",
+        "events_hourly": """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        # simhash_pairs / lang_profile / multimodal_features / lsh_ann:
+        # UDF-backed or approximate — intentionally rows-only checks.
+    }

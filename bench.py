@@ -1,0 +1,131 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The north-star metric is spatial-join throughput (docs/sec, pages
+geocoded + tiled). The sf0.1 documents table is only 5k rows — pure
+overhead at Spark scale — so the geocode benchmark replicates the pages
+deterministically (REPLICATION x, distinct doc_ids, same arithmetic
+coordinate derivation) to measure real per-row throughput. All other
+queries run at native SF.
+
+Scaling-efficiency evidence (north_rule: N vs 4N executors) is produced
+by BENCH/scaling.py, which re-runs the geocode benchmark in fresh JVMs
+at local[8] and local[32] and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+REPLICATION = int(os.environ.get("BENCH_REPLICATION", "400"))  # 5k -> 2M pages
+
+
+def replicated_pages(spark, sf_dir: str, factor: int):
+    """documents x factor with distinct doc_ids; same derivations as
+    sources.pages.synth_pages so the join workload is identical."""
+    from mundipy_spark.sources import pages as pages_src
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+    )
+    latc = (F.col("doc_id") * pages_src.LAT_MUL) % 18000 - 9000
+    lonc = (F.col("doc_id") * pages_src.LON_MUL) % 36000 - 18000
+    has_geo = (F.col("doc_id") % 8) != 0
+    text = F.when(
+        has_geo,
+        F.concat(F.col("text"), F.lit(" geo:"), latc.cast("string"), F.lit(","), lonc.cast("string")),
+    ).otherwise(F.col("text"))
+    return big.select(
+        "doc_id",
+        F.concat(F.lit("https://example.org/"), F.col("source"), F.lit("/"), F.col("doc_id")).alias("url"),
+        text.alias("text"),
+        "lang",
+    )
+
+
+def bench_geocode(spark, sf_dir: str) -> tuple[float, int]:
+    from mundipy_spark.operators import geoparse, joins
+    from mundipy_spark.sources import pages as pages_src
+
+    pages = replicated_pages(spark, sf_dir, REPLICATION)
+    regions = pages_src.synth_regions(spark, step_deg=10.0)
+    n_pages = REPLICATION * spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    t0 = time.time()
+    geo = geoparse.parse_geo_tokens(pages).filter(F.col("lat").isNotNull())
+    tagged = joins.tile_join_points(geo, regions, res=8, how="inner")
+    n = tagged.groupBy("region").agg(F.count("*").alias("n")).count()
+    dt = time.time() - t0
+    assert n > 0
+    return dt, n_pages
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from mundipy_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    queries: dict[str, float] = {}
+
+    # headline: the web-scale geocode pipeline (docs/sec)
+    dt, n_pages = bench_geocode(spark, sf_dir)
+    queries["geocode_pipeline"] = round(dt, 3)
+    docs_per_sec = n_pages / dt
+
+    # operator suite at native SF (count() forces full execution)
+    suite = {
+        "tile_cells": entry_mod.q_tile_cells,
+        "minhash": entry_mod.q_minhash,
+        "exact_dedup": entry_mod.q_exact_dedup,
+        "doc_stats": entry_mod.q_doc_stats,
+        "ann_topk": entry_mod.q_ann_topk,
+        "knn_cities": entry_mod.q_knn_cities,
+        "within_radius": entry_mod.q_within_radius,
+        "events_hourly": entry_mod.q_events_hourly,
+        "tpch_q1": entry_mod.q_tpch_q1,
+        "simhash_pairs": entry_mod.q_simhash_pairs,
+    }
+    for name, fn in suite.items():
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "spatial-join throughput (docs/sec, pages geocoded + tiled)",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "docs_per_sec": round(docs_per_sec, 1),
+                "geocode_pages": n_pages,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

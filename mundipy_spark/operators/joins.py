@@ -67,6 +67,51 @@ def neighbors_expr(cell: Column, res: int, k: int = 1) -> Column:
     return F.array_compact(F.array(*cells))
 
 
+def neighbors_radius_expr(cell: Column, res: int, radius_m: float, lat: Column) -> Column:
+    """Latitude-aware neighborhood: enough ±x columns that any point
+    within radius_m of a point in `cell` shares a cell with this list.
+
+    Cell HEIGHT in meters is latitude-independent, so res is chosen with
+    height >= radius (dy in ±1 suffices); cell WIDTH shrinks by cos(lat),
+    so dxmax grows toward the poles — computed per row, fully JVM-side,
+    capped at the half-grid (a polar cap where everything is within
+    radius)."""
+    nx, ny = tiling.nx_at(res), tiling.ny_at(res)
+    width_deg = tiling.cell_deg(res)
+    _, x, y = cell_xy_expr(cell)
+    # effective latitude: |lat| plus one cell of slack for the dy move
+    eff = F.least(F.abs(lat) + F.lit(width_deg), F.lit(89.9))
+    cosl = F.greatest(F.cos(F.radians(eff)), F.lit(1e-6))
+    dxmax = F.least(
+        F.ceil(F.lit(radius_m) / (F.lit(width_deg * 111_320.0) * cosl)).cast("long") + 1,
+        F.lit(nx // 2),
+    )
+    dxs = F.sequence(-dxmax, dxmax)
+
+    # NB: F.transform passes (element, index) to a 2-arg lambda — bind yn
+    # through a closure factory so the lambda stays single-argument.
+    def row_cells(yn):
+        def one(dx):
+            return (
+                F.shiftleft(F.lit(res).cast("long"), tiling._RES_SHIFT)
+                .bitwiseOR(F.shiftleft((x + dx + 2 * nx) % nx, tiling._X_SHIFT))
+                .bitwiseOR(yn)
+            )
+
+        return one
+
+    out = []
+    for dy in (-1, 0, 1):
+        yn = y + dy
+        out.append(
+            F.when(
+                (yn >= 0) & (yn < ny),
+                F.transform(dxs, row_cells(yn)),
+            ).otherwise(F.array().cast("array<long>"))
+        )
+    return F.array_distinct(F.flatten(F.array(*out)))
+
+
 # ---------------------------------------------------------------------------
 # polygon tile index
 # ---------------------------------------------------------------------------
@@ -173,16 +218,12 @@ def tile_join_points(
 # ---------------------------------------------------------------------------
 
 
-def radius_res(radius_m: float, max_abs_lat: float = 66.0) -> int:
-    """Finest resolution whose cell width (in meters, at max_abs_lat) is
-    >= radius, so ring-1 neighbors are a complete candidate set."""
-    import math
-
-    coslat = max(math.cos(math.radians(min(abs(max_abs_lat), 89.0))), 0.05)
+def radius_res(radius_m: float) -> int:
+    """Finest resolution whose cell HEIGHT (latitude-independent meters)
+    is >= radius; the longitude direction is handled per-row by
+    neighbors_radius_expr."""
     for res in range(tiling.MAX_RES, -1, -1):
-        width_m = tiling.cell_deg(res) * 111_320.0 * coslat
-        height_m = tiling.cell_deg(res) * 111_320.0
-        if min(width_m, height_m) >= radius_m:
+        if tiling.cell_deg(res) * 111_320.0 >= radius_m:
             return res
     return 0
 
@@ -218,8 +259,11 @@ def within_radius_join(
     rcol = r.withColumn(
         "_lcell",
         F.explode(
-            neighbors_expr(
-                st.cell_expr(F.col(right_lon), F.col(right_lat), res), res, k=1
+            neighbors_radius_expr(
+                st.cell_expr(F.col(right_lon), F.col(right_lat), res),
+                res,
+                radius_m,
+                F.col(right_lat),
             )
         ),
     )
@@ -252,6 +296,7 @@ def knn_join(
     start_res: int = 7,
     min_res: int = 1,
     broadcast_targets: bool = True,
+    tie_break: list[str] | None = None,
 ) -> DataFrame:
     """k-nearest-neighbor join by expanding cells, mirroring the
     reference's expanding-bbox nearest (mundipy/dataset.py:179-206:
@@ -264,11 +309,17 @@ def knn_join(
     residual broadcast cross-join catches probes in empty regions (the
     reference's full-scan fallback, dataset.py:201-206).
 
-    Ring-boundary caveat (same one the reference's coarse bbox has —
-    SURVEY §7.5.4): a neighbor in ring 2 can beat a ring-1 match near
-    cell corners; we therefore join ring-1 but only ACCEPT matches whose
-    distance <= one cell height at that res, which ring-1 provably
-    covers; farther matches re-compete at the coarser level.
+    Ring-boundary correctness (the subtlety the reference's coarse bbox
+    shares — SURVEY §7.5.4): ring-1 candidates are only complete out to
+    one cell extent in EACH axis, and the longitudinal extent in meters
+    shrinks by cos(lat). A match is therefore ACCEPTED only when its
+    distance <= cell_deg * 111320 * min(1, cos(|lat|+cell_deg)) — the
+    per-row radius ring-1 provably covers; anything farther re-competes
+    at the next (coarser) level, and the residual broadcast fallback is
+    exhaustive.
+
+    tie_break: target column names ordering equidistant matches
+    deterministically (dist_m, then these, ascending).
     """
     t = targets.select(
         F.col(target_lon).alias("t_lon"), F.col(target_lat).alias("t_lat"),
@@ -290,11 +341,19 @@ def knn_join(
         dist = st.haversine_expr(
             F.col(probe_lon), F.col(probe_lat), F.col("t_lon"), F.col("t_lat")
         )
-        # guarantee radius: one cell height in meters (height is
-        # latitude-extent, independent of latitude)
-        guarantee_m = tiling.cell_deg(res) * 111_320.0 * 0.999
+        # per-row guarantee radius: ring-1 is complete out to one cell
+        # extent in each axis; the lon axis shrinks by cos(lat)
+        wdeg = tiling.cell_deg(res)
+        eff_lat = F.least(F.abs(F.col(probe_lat)) + F.lit(wdeg), F.lit(89.9))
+        guarantee_m = (
+            F.lit(wdeg * 111_320.0 * 0.999)
+            * F.least(F.lit(1.0), F.cos(F.radians(eff_lat)))
+        )
         cand = cand.withColumn("dist_m", dist)
-        w = W.partitionBy(probe_id).orderBy(F.col("dist_m").asc_nulls_last())
+        order = [F.col("dist_m").asc_nulls_last()] + [
+            F.col(c).asc() for c in (tie_break or [])
+        ]
+        w = W.partitionBy(probe_id).orderBy(*order)
         ranked = cand.withColumn("_rn", F.row_number().over(w))
         got = ranked.filter(
             (F.col("_rn") <= k) & F.col("dist_m").isNotNull() & (F.col("dist_m") <= guarantee_m)
@@ -309,7 +368,9 @@ def knn_join(
         unmatched = unmatched.join(settled_ids, probe_id, "left_anti")
         res -= 2
     # residual full cross-join (small by construction)
-    w = W.partitionBy(probe_id).orderBy(F.col("dist_m").asc())
+    w = W.partitionBy(probe_id).orderBy(
+        F.col("dist_m").asc(), *[F.col(c).asc() for c in (tie_break or [])]
+    )
     residual = (
         unmatched.join(F.broadcast(t), how="cross")
         .withColumn(

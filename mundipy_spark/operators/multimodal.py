@@ -1,0 +1,125 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads ride as `binary` columns with a metadata
+struct; decode / feature-extract / resize / frame-sample run as Arrow
+batch UDFs over mapInPandas. The decode step itself is STUBBED (the
+sandbox ships no image/audio codecs — see `_decode_image_stub`), but
+everything Spark-side is real and tested: schema, partition-preserving
+mapInPandas plumbing, batch shapes, and the deterministic fake decoder
+that downstream stages exercise.
+
+At 100 TB the shape matters more than the codec: payloads must NOT be
+shuffled (decode before any groupBy, project metadata early, keep the
+binary column out of wide stages) — these operators read payload
+columns only inside mapInPandas and emit compact features.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = "width int, height int, channels int, format string"
+
+
+def attach_fake_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake media payloads for plumbing tests: a seeded
+    byte blob + metadata derived from the id (arithmetic, reproducible)."""
+    return df.withColumn(
+        "media",
+        F.struct(
+            F.encode(F.concat(F.lit("IMG"), F.col(id_col).cast("string")), "UTF-8").alias("payload"),
+            ((F.col(id_col) % 8) * 64 + 64).cast("int").alias("width"),
+            ((F.col(id_col) % 5) * 64 + 64).cast("int").alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit("fake/raw").alias("format"),
+        ),
+    )
+
+
+def _decode_image_stub(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """STUB decoder: no real codecs in this container. Deterministic
+    fake: a seeded gradient so downstream feature math is testable.
+    Swap for PIL/cv2 `imdecode` on a cluster with codecs installed —
+    the Spark-side plumbing does not change.
+    """
+    if payload is None:
+        raise NotImplementedError("real image decode requires a codec library")
+    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") & 0xFFFF
+    y = np.arange(height, dtype=np.float32)[:, None]
+    x = np.arange(width, dtype=np.float32)[None, :]
+    base = (x + 2 * y + seed) % 256
+    return np.repeat(base[:, :, None], channels, axis=2)
+
+
+FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, mean_intensity double, "
+    "std_intensity double, aspect double"
+)
+
+
+def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas feature extraction: decode (stub) -> per-image stats.
+
+    Batch shape: the UDF receives Arrow batches of (id, media struct),
+    decodes each payload, and emits one compact feature row per image —
+    the binary column never leaves the stage.
+    """
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                m = r["media"]
+                img = _decode_image_stub(
+                    m["payload"], int(m["width"]), int(m["height"]), int(m["channels"])
+                )
+                rows.append(
+                    {
+                        "doc_id": r[id_col],
+                        "width": int(m["width"]),
+                        "height": int(m["height"]),
+                        "mean_intensity": float(img.mean()),
+                        "std_intensity": float(img.std()),
+                        "aspect": float(m["width"]) / float(m["height"]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "mean_intensity", "std_intensity", "aspect"
+            ])
+
+    return df.select(id_col, "media").mapInPandas(op, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, payload binary"
+
+
+def resize_images(df: DataFrame, target: int = 64, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas resize: decode (stub) -> nearest-neighbor downsample ->
+    re-encode (raw bytes). Demonstrates the payload-in/payload-out batch
+    shape real pipelines use."""
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                m = r["media"]
+                img = _decode_image_stub(
+                    m["payload"], int(m["width"]), int(m["height"]), int(m["channels"])
+                )
+                ys = np.linspace(0, img.shape[0] - 1, target).astype(int)
+                xs = np.linspace(0, img.shape[1] - 1, target).astype(int)
+                small = img[ys][:, xs]
+                rows.append(
+                    {
+                        "doc_id": r[id_col],
+                        "width": target,
+                        "height": target,
+                        "payload": small.astype(np.uint8).tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "payload"])
+
+    return df.select(id_col, "media").mapInPandas(op, RESIZE_SCHEMA)

@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exactness baseline: the dot product is
+`F.zip_with` + `F.aggregate` — pure JVM higher-order functions, no
+Python, no UDF. The scale path is LSH bucketing (random-hyperplane
+signs) so candidate generation is an equi-join, the same compile-to-
+equi-join trick as the spatial tile index.
+
+At 10^12 rows the brute-force path is a broadcast of the (small) query
+set against the full corpus — a map-only scan, no shuffle; the LSH path
+shuffles each side once on the bucket key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
+def cosine_expr(a, b):
+    return (_dot(a, b) / (_norm(a) * _norm(b))).alias("cosine")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    queries is broadcast (small); ranking is a window top-k with a
+    deterministic tie-break (rounded similarity desc, neighbor id asc)
+    so results are stable across float summation orders."""
+    q = queries.select(
+        F.col(query_id).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .withColumn("cosine", _dot(F.col("qvec"), F.col("nvec")) / (_norm("qvec") * _norm("nvec")))
+    )
+    w = W.partitionBy("qid").orderBy(F.round(F.col("cosine"), 6).desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cosine")
+    )
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "vec_id",
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH: sign-bit signatures
+    bucket the corpus; queries probe their bucket in each of n_tables
+    independent tables; exact cosine re-ranks the union of candidates.
+
+    The hyperplanes are a deterministic seeded matrix shipped as a
+    literal array column (tiny: n_tables*n_planes*dim floats), so
+    signature computation is JVM-side higher-order functions — no UDF.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim)).astype(float)
+
+    def sig_expr(vec, t: int):
+        bits = []
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(float(v)) for v in planes[t, p]])
+            bits.append(F.when(_dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0)) * (1 << p))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    def with_sigs(df, idc, vc, alias):
+        cols = [F.col(idc).alias(f"{alias}id"), F.col(vc).alias(f"{alias}vec")]
+        tables = F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), sig_expr(F.col(vc), t).alias("sig"))
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(*cols, F.explode(tables).alias("ts")).select(
+            f"{alias}id", f"{alias}vec", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
+        )
+
+    cb = with_sigs(corpus, id_col, vec_col, "n")
+    qb = with_sigs(queries, query_id, vec_col, "q")
+    cand = (
+        qb.join(cb, on=["t", "sig"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "qvec", "nid", "nvec")
+        .distinct()
+        .withColumn("cosine", _dot("qvec", "nvec") / (_norm("qvec") * _norm("nvec")))
+    )
+    w = W.partitionBy("qid").orderBy(F.round(F.col("cosine"), 6).desc(), F.col("nid").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cosine")
+    )
+
+
+def embedding_near_dup(
+    corpus: DataFrame,
+    threshold: float = 0.98,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 14,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via one LSH table +
+    exact-cosine refine (a >= threshold keeps the pair)."""
+    pairs = lsh_bucket_topk(
+        corpus, corpus, k=50, n_planes=n_planes, dim=dim, seed=seed,
+        vec_col=vec_col, id_col=id_col, query_id=id_col, n_tables=2,
+    )
+    return (
+        pairs.filter((F.col("cosine") >= threshold) & (F.col("qid") < F.col("nid")))
+        .select(F.col("qid").alias("a"), F.col("nid").alias("b"), "cosine")
+        .distinct()
+    )

@@ -1,0 +1,78 @@
+"""Checkpoint table: per-partition lineage + metrics + mid-job resume.
+
+The reference's union-spatial-cache avoids refetching already-covered
+regions (mundipy/cache/__init__.py:16-99). At cluster scale that role is
+a durable checkpoint TABLE (north_rule: "resumable from checkpoint with
+per-partition lineage + metrics"):
+
+- work is keyed by a coarse tile cell (`part_key`), the same key the
+  output is partitioned by, so completed keys are skippable partitions;
+- every completed key records row counts in/out, an input fingerprint
+  (order-insensitive xor-of-hashes so it is partitioning-invariant),
+  and a wall-clock stamp — the lineage a re-run audits before trusting
+  a checkpoint;
+- resume = left-anti join of the work keys against completed keys with
+  MATCHING fingerprints (a changed input invalidates just that key).
+
+Storage is parquet append (an Iceberg/Delta table on a real cluster —
+same API surface, atomic commits for free).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CKPT_SCHEMA = (
+    "part_key long, rows_in long, rows_out long, fingerprint long, "
+    "completed_at double, run_id string"
+)
+
+
+def lineage_metrics(df: DataFrame, part_key: str, fingerprint_cols: list[str]) -> DataFrame:
+    """Per-partition-key metrics: row count + order-insensitive content
+    fingerprint (bit_xor of xxhash64 — partitioning-invariant and
+    overflow-free under ANSI mode)."""
+    return df.groupBy(F.col(part_key).alias("part_key")).agg(
+        F.count("*").alias("rows_in"),
+        F.expr(f"bit_xor(xxhash64({', '.join(fingerprint_cols)}))").alias("fingerprint"),
+    )
+
+
+def completed_keys(spark: SparkSession, ckpt_path: str) -> DataFrame:
+    if not _exists(spark, ckpt_path):
+        return spark.createDataFrame([], CKPT_SCHEMA).select("part_key", "fingerprint")
+    return spark.read.parquet(ckpt_path).select("part_key", "fingerprint").distinct()
+
+
+def pending_work(
+    spark: SparkSession, work: DataFrame, ckpt_path: str, part_key: str = "part_key"
+) -> DataFrame:
+    """work must carry (part_key, fingerprint); returns the rows whose
+    (key, fingerprint) is not yet checkpointed."""
+    done = completed_keys(spark, ckpt_path)
+    return work.join(done, on=["part_key", "fingerprint"], how="left_anti")
+
+
+def record_completion(
+    spark: SparkSession,
+    metrics: DataFrame,
+    ckpt_path: str,
+    run_id: str,
+) -> None:
+    out = metrics.withColumn("completed_at", F.lit(time.time())).withColumn(
+        "run_id", F.lit(run_id)
+    )
+    out.write.mode("append").parquet(ckpt_path)
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    if path.startswith(("s3://", "s3a://", "hdfs://")):
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(conf).exists(p)
+    return os.path.exists(path)

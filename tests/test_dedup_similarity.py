@@ -1,0 +1,120 @@
+"""Dedup + similarity operators: exactness and recall properties."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mundipy_spark.operators import dedup, multimodal, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["hello  world", "hello world", "unique doc", "Hello World"],
+            }
+        )
+    )
+    out = {r.doc_id: r.dup_count for r in dedup.exact_dedup(df).collect()}
+    # whitespace-normalized + lowercased fingerprint: all three collapse
+    assert out == {1: 3, 3: 1}
+
+
+def test_minhash_similar_docs_share_signature_minima(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    far = "completely different words in this entirely other document text"
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    )
+    sigs = {r.doc_id: [r[f"mh{i}"] for i in range(16)] for r in
+            dedup.minhash_signatures(df, n_hashes=16).collect()}
+    agree_near = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    agree_far = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert agree_near > agree_far
+    assert agree_near >= 8  # high jaccard -> most minima agree
+
+
+def test_lsh_pipeline_finds_planted_near_dup(spark):
+    filler = " ".join(f"w{j}" for j in range(30))
+    texts = [f"document number {i} starts here {filler} ends here" for i in range(20)]
+    texts.append(texts[0].replace("number 0", "number zero"))  # near-dup of doc 0
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(21), "text": texts})
+    )
+    sigs = dedup.minhash_signatures(df, n_hashes=16)
+    cand = dedup.lsh_candidate_pairs(sigs, n_hashes=16, bands=4)
+    verified = dedup.jaccard_ngram_pairs(df, cand, threshold=0.5)
+    pairs = {(r.a, r.b) for r in verified.collect()}
+    assert (0, 20) in pairs
+
+
+def test_simhash_planted_near_dup(spark):
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "alpha beta gamma delta epsilon zeta eta theta iota lambda",  # 1 word off
+        3: "totally unrelated content about spark shuffles and parquet files",
+    }
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}))
+    pairs = {(r.a, r.b): r.hamming for r in dedup.simhash_dedup(df, max_hamming=16).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    got = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=3)
+    got_pairs = {(r.qid, r.rank): r.nid for r in got.collect()}
+
+    pdf = emb.toPandas()
+    M = np.stack(pdf["embedding"].to_numpy())
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    for q in range(3):
+        qi = np.nonzero(ids == q)[0][0]
+        sims = M @ M[qi]
+        sims[qi] = -np.inf
+        # engine tie-break: round(cos,6) desc, id asc
+        order = sorted(
+            [(round(s, 6), -i) for s, i in zip(sims, ids) if i != q], reverse=True
+        )
+        expect = [-i for _, i in order[:3]]
+        assert [got_pairs[(q, r)] for r in (1, 2, 3)] == expect
+
+
+def test_lsh_ann_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    approx = similarity.lsh_bucket_topk(emb, q, k=5, dim=64, n_tables=6, n_planes=8)
+    e = {(r.qid, r.nid) for r in exact.collect()}
+    a = {(r.qid, r.nid) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # bucketed ANN: recall >> random, tunable
+
+
+def test_multimodal_plumbing(spark, docs):
+    feats = multimodal.extract_image_features(
+        multimodal.attach_fake_payloads(docs.limit(50))
+    )
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(0 <= r.mean_intensity <= 255 for r in rows)
+    assert all(r.aspect > 0 for r in rows)
+    small = multimodal.resize_images(
+        multimodal.attach_fake_payloads(docs.limit(5)), target=16
+    ).collect()
+    assert all(len(r.payload) == 16 * 16 * 3 for r in small)

