@@ -77,10 +77,19 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     query_id: str = "vec_id",
     n_tables: int = 4,
+    multiprobe: int = 2,
 ) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH: sign-bit signatures
-    bucket the corpus; queries probe their bucket in each of n_tables
-    independent tables; exact cosine re-ranks the union of candidates.
+    """Approximate top-k via multi-probe random-hyperplane LSH: sign-bit
+    signatures bucket the corpus; each query probes its own bucket plus
+    every bucket within Hamming distance `multiprobe` of its signature,
+    in each of n_tables independent tables; exact cosine re-ranks the
+    union of candidates.
+
+    Multi-probe is the scale lever: recall that would need T' tables
+    with exact-bucket probing needs only T << T' tables (one corpus
+    shuffle each) when queries fan out to C(n_planes,<=m) nearby
+    buckets — the fan-out multiplies only the (small) query side, never
+    the corpus side.
 
     The hyperplanes are a deterministic seeded matrix shipped as a
     literal array column (tiny: n_tables*n_planes*dim floats), so
@@ -88,6 +97,17 @@ def lsh_bucket_topk(
     """
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim)).astype(float)
+
+    # XOR masks for all buckets within Hamming distance `multiprobe`.
+    masks = [0]
+    if multiprobe >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if multiprobe >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
 
     def sig_expr(vec, t: int):
         bits = []
@@ -113,6 +133,16 @@ def lsh_bucket_topk(
 
     cb = with_sigs(corpus, id_col, vec_col, "n")
     qb = with_sigs(queries, query_id, vec_col, "q")
+    # Fan each query signature out to its multi-probe neighborhood.
+    qb = qb.select(
+        "qid",
+        "qvec",
+        "t",
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"),
+        F.col("sig"),
+    ).select(
+        "qid", "qvec", "t", (F.col("sig").bitwiseXOR(F.col("mask"))).alias("sig")
+    )
     cand = (
         qb.join(cb, on=["t", "sig"])
         .filter(F.col("qid") != F.col("nid"))
@@ -139,9 +169,13 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via one LSH table +
     exact-cosine refine (a >= threshold keeps the pair)."""
+    # Self-join: keep the probe fan-out at Hamming<=1 — near-dups sit at
+    # cosine>=0.98 where per-bit agreement is ~0.94, so 2 tables with
+    # single-bit probing already reach ~95% pair recall.
     pairs = lsh_bucket_topk(
         corpus, corpus, k=50, n_planes=n_planes, dim=dim, seed=seed,
         vec_col=vec_col, id_col=id_col, query_id=id_col, n_tables=2,
+        multiprobe=1,
     )
     return (
         pairs.filter((F.col("cosine") >= threshold) & (F.col("qid") < F.col("nid")))
