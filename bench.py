@@ -27,16 +27,28 @@ from pyspark.sql import functions as F
 REPLICATION = int(os.environ.get("BENCH_REPLICATION", "400"))  # 5k -> 2M pages
 
 
-def replicated_pages(spark, sf_dir: str, factor: int):
+def replicated_pages(spark, sf_dir: str, factor: int, parallelism: int | None = None):
     """documents x factor with distinct doc_ids; same derivations as
-    sources.pages.synth_pages so the join workload is identical."""
+    sources.pages.synth_pages so the join workload is identical.
+
+    Generated as a well-partitioned `spark.range` probing the (small)
+    documents table via broadcast. A plain docs.crossJoin(400-row reps)
+    degenerates: the 400-row stream side coalesces to ~1 partition and
+    the whole 2M-row probe pipeline runs single-threaded."""
     from mundipy_spark.sources import pages as pages_src
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.count()
-    reps = spark.range(factor).select(F.col("id").alias("rep"))
-    big = docs.crossJoin(reps).select(
-        (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+    if parallelism is None:
+        parallelism = 2 * int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    ids = spark.range(0, n * factor, 1, parallelism).select(
+        (F.col("id") % n).alias("_base"),
+        (F.col("id") / n).cast("long").alias("rep"),
+    )
+    big = ids.join(
+        F.broadcast(docs.withColumnRenamed("doc_id", "_base")), on="_base"
+    ).select(
+        (F.col("_base") + F.col("rep") * n).alias("doc_id"),
         "text",
         "lang",
         "source",
@@ -56,17 +68,30 @@ def replicated_pages(spark, sf_dir: str, factor: int):
     )
 
 
-def bench_geocode(spark, sf_dir: str) -> tuple[float, int]:
+def bench_geocode(spark, sf_dir: str, warmup: bool = True) -> tuple[float, int]:
+    """Steady-state throughput of the headline pipeline.
+
+    The identical DAG runs once untimed first: in a fresh JVM the first
+    execution pays JIT + whole-stage-codegen compilation + Python-worker
+    fork (measured 30-80s of one-off cost vs ~5s steady-state at 2M
+    pages) — noise that says nothing about 100 TB throughput, where
+    startup amortizes to zero. The timed run measures the compute."""
     from mundipy_spark.operators import geoparse, joins
     from mundipy_spark.sources import pages as pages_src
 
     pages = replicated_pages(spark, sf_dir, REPLICATION)
     regions = pages_src.synth_regions(spark, step_deg=10.0)
     n_pages = REPLICATION * spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    def run() -> int:
+        geo = geoparse.parse_geo_tokens(pages).filter(F.col("lat").isNotNull())
+        tagged = joins.tile_join_points(geo, regions, res=8, how="inner")
+        return tagged.groupBy("region").agg(F.count("*").alias("n")).count()
+
+    if warmup:
+        run()
     t0 = time.time()
-    geo = geoparse.parse_geo_tokens(pages).filter(F.col("lat").isNotNull())
-    tagged = joins.tile_join_points(geo, regions, res=8, how="inner")
-    n = tagged.groupBy("region").agg(F.count("*").alias("n")).count()
+    n = run()
     dt = time.time() - t0
     assert n > 0
     return dt, n_pages
