@@ -335,6 +335,31 @@ def st_cells(g: pd.Series, res: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+_CELLS_CLASSIFIED_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("cell", T.LongType()),
+            T.StructField("full", T.BooleanType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_CELLS_CLASSIFIED_SCHEMA)
+def st_cells_classified(g: pd.Series, res: pd.Series) -> pd.Series:
+    """Covering cells with the interior flag: full=true cells lie wholly
+    inside the geometry, so a point in one is a PROVEN match — the tile
+    join skips exact refinement for them (S2-style interior covering)."""
+    out = []
+    for b, r in zip(g, res):
+        if b is None:
+            out.append(None)
+            continue
+        cells, full = tiling.cover_geometry_classified(wkb.loads(b), int(r))
+        out.append(list(zip(cells.tolist(), full.tolist())))
+    return pd.Series(out)
+
+
 @F.pandas_udf(T.LongType())
 def st_cell_of_geom(g: pd.Series, res: pd.Series) -> pd.Series:
     """Cell of a geometry's representative point (points: the point)."""
@@ -355,10 +380,13 @@ def st_point_in_geom(lon: pd.Series, lat: pd.Series, g: pd.Series) -> pd.Series:
     ys = lat.to_numpy(np.float64)
     out = np.zeros(len(xs), dtype=object)
     df = pd.DataFrame({"i": np.arange(len(xs))})
-    df["key"] = [bytes(b) if b is not None else None for b in g]
+    # nulls can surface as None OR float NaN depending on the Arrow path
+    df["key"] = [
+        bytes(b) if isinstance(b, (bytes, bytearray, memoryview)) else None for b in g
+    ]
     for key, grp in df.groupby("key", sort=False, dropna=False):
         idx = grp["i"].to_numpy()
-        if key is None:
+        if not isinstance(key, bytes):  # missing group key is None or NaN
             out[idx] = None
             continue
         geom = wkb.loads(key)
@@ -419,6 +447,7 @@ _SQL_FUNCTIONS = {
     "st_disjoint": st_disjoint,
     "st_dwithin": st_dwithin,
     "st_cells": st_cells,
+    "st_cells_classified": st_cells_classified,
     "st_point_in_geom": st_point_in_geom,
     "st_intersection_area": st_intersection_area,
 }

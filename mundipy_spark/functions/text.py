@@ -130,37 +130,53 @@ def lang_id(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# Executor-local token-hash memo (Zipfian vocab: most tokens repeat, so
+# steady-state batches hash almost nothing) — the standard PySpark
+# module-scope-cache pattern the reference uses via lru_cache
+# (mundipy/cache/__init__.py:10).
+_TOKEN_HASH_MEMO: dict[str, int] = {}
+_TOKEN_HASH_MEMO_LIMIT = 2_000_000
+
+
 @F.pandas_udf(T.LongType())
 def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens (vectorized per batch: one token
-    hash pass, bincount-style bit voting)."""
-    out = np.zeros(len(text), dtype=np.int64)
-    for i, t in enumerate(text):
-        if t is None:
-            out[i] = 0
-            continue
-        toks = t.lower().split()
-        if not toks:
-            out[i] = 0
-            continue
-        # vectorized: hash every token via numpy (FNV-1a over bytes)
-        hs = np.array([_fnv1a64(w) for w in toks], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int64
-        )
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig)
+    """64-bit SimHash over word tokens, vectorized across the whole
+    Arrow batch: unique tokens are hashed in one pass (pandas siphash —
+    deterministic fixed-key, stable across workers), bit votes are 64
+    `reduceat` passes over the flat token-hash array, and signatures
+    assemble via packbits. No per-token Python in steady state."""
+    n = len(text)
+    out = np.zeros(n, dtype=np.int64)
+    tok_lists = [t.lower().split() if t else [] for t in text]
+
+    new = list({w for toks in tok_lists for w in toks if w not in _TOKEN_HASH_MEMO})
+    if new:
+        hs = pd.util.hash_array(np.asarray(new, dtype=object))
+        if len(_TOKEN_HASH_MEMO) + len(new) > _TOKEN_HASH_MEMO_LIMIT:
+            _TOKEN_HASH_MEMO.clear()
+        _TOKEN_HASH_MEMO.update(zip(new, hs))
+
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+    nz = np.nonzero(counts)[0]
+    if len(nz) == 0:
+        return pd.Series(out)
+    memo = _TOKEN_HASH_MEMO
+    flat = np.fromiter(
+        (memo[w] for i in nz for w in tok_lists[i]),
+        dtype=np.uint64,
+        count=int(counts[nz].sum()),
+    )
+    cnz = counts[nz]
+    offsets = np.zeros(len(nz), dtype=np.int64)
+    np.cumsum(cnz[:-1], out=offsets[1:])
+    # majority vote per bit: sum(bit) * 2 > count  <=>  sum(2*bit-1) > 0
+    setbits = np.empty((len(nz), 64), dtype=bool)
+    for b in range(64):
+        s_b = np.add.reduceat((flat >> np.uint64(b)) & np.uint64(1), offsets)
+        setbits[:, b] = s_b * 2 > cnz
+    sig8 = np.packbits(setbits, axis=1, bitorder="little")
+    out[nz] = sig8.view(np.int64).ravel()
     return pd.Series(out)
-
-
-def _fnv1a64(s: str) -> np.uint64:
-    h = np.uint64(0xCBF29CE484222325)
-    for byte in s.encode("utf-8"):
-        h = np.uint64(h ^ np.uint64(byte)) * np.uint64(0x100000001B3)
-    return h
 
 
 def hamming64_expr(a: Column, b: Column) -> Column:

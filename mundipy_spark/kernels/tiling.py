@@ -160,13 +160,45 @@ def cover_geometry(geom, res: int) -> np.ndarray:
     intersects the geometry (exact rect-vs-geom test, so interior cells
     of big polygons ARE included and pure bbox-corner cells of thin
     diagonal polygons are excluded)."""
+    cells, _ = cover_geometry_classified(geom, res)
+    return cells
+
+
+def cover_geometry_classified(geom, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Covering cells plus an interior flag per cell.
+
+    full[i] is True when the cell's whole rectangle lies inside the
+    geometry — every point in such a cell intersects the polygon, so the
+    tile join can accept those candidates from the cell id ALONE and the
+    exact-PIP Arrow kernel only ever sees boundary-cell rows. This is
+    the classic interior/boundary covering split (S2's "interior
+    covering"); at web scale it keeps ~O(perimeter/area) of the probe
+    stream out of Python entirely.
+
+    Exactness: if no boundary segment of the geometry intersects the
+    rectangle, the rectangle is uniformly inside or outside; the center
+    point decides which.
+    """
     from mundipy_spark.kernels import predicates, wkb
 
     minx, miny, maxx, maxy = wkb.bounds(geom)
     cand = cover_bbox(minx, miny, maxx, maxy, res)
     if geom[0] in ("Point", "MultiPoint"):
         pts = np.asarray(geom[1], dtype=np.float64).reshape(-1, 2)
-        return np.unique(point_cell(pts[:, 0], pts[:, 1], res))
+        cells = np.unique(point_cell(pts[:, 0], pts[:, 1], res))
+        return cells, np.zeros(len(cells), dtype=bool)
     cminx, cminy, cmaxx, cmaxy = cell_bounds(cand)
     keep = predicates.rects_intersect_geom(cminx, cminy, cmaxx, cmaxy, geom)
-    return cand[keep]
+    cells = cand[keep]
+    if not predicates.has_area(geom):
+        return cells, np.zeros(len(cells), dtype=bool)
+    segs = predicates.geom_segments(geom)
+    kminx, kminy, kmaxx, kmaxy = cminx[keep], cminy[keep], cmaxx[keep], cmaxy[keep]
+    crossed = predicates._segs_cross_rects(segs, kminx, kminy, kmaxx, kmaxy)
+    full = ~crossed
+    if full.any():
+        cx = (kminx[full] + kmaxx[full]) / 2.0
+        cy = (kminy[full] + kmaxy[full]) / 2.0
+        inside = predicates.points_in_geom(cx, cy, geom)
+        full[np.nonzero(full)[0][~inside]] = False
+    return cells, full

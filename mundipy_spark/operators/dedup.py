@@ -179,18 +179,26 @@ def jaccard_ngram_pairs(
 def simhash_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature, 4x16-bit block banding
-    (any pair within hamming distance 3 shares at least one of 4 blocks
-    — pigeonhole), exact hamming refine via bit_count."""
+    """SimHash near-dup pairs: 64-bit signature, block banding with
+    n_blocks = max_hamming + 1 (pigeonhole: a pair within the hamming
+    budget must agree on at least one whole block), exact hamming refine
+    via bit_count. Wider hamming budgets mean narrower blocks and bigger
+    buckets — the standard recall/cost dial; >= 8 bits per block keeps
+    bucket sizes sane, so max_hamming <= 7 retains the exact guarantee
+    and larger budgets degrade to approximate recall."""
+    n_blocks = min(max(max_hamming + 1, 2), 8)
+    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
     sig = df.select(F.col(id_col), tx.simhash64(F.col(text_col)).alias("sig"))
     blocks = []
-    for i in range(4):
+    off = 0
+    for i, w in enumerate(widths):
         blocks.append(
             F.struct(
                 F.lit(i).alias("blk"),
-                F.shiftright(F.col("sig"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bval"),
+                F.shiftright(F.col("sig"), off).bitwiseAND(F.lit((1 << w) - 1)).alias("bval"),
             )
         )
+        off += w
     banded = sig.select(id_col, "sig", F.explode(F.array(*blocks)).alias("b")).select(
         id_col, "sig", "b.blk", "b.bval"
     )

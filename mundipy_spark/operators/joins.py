@@ -138,8 +138,11 @@ def tile_index(
             F.col("_b.miny").alias("miny"),
             F.col("_b.maxx").alias("maxx"),
             F.col("_b.maxy").alias("maxy"),
-            F.explode(st.st_cells(F.col(geom_col), F.lit(res))).alias("cell"),
+            F.explode(st.st_cells_classified(F.col(geom_col), F.lit(res))).alias("_c"),
         )
+        .withColumn("cell", F.col("_c.cell"))
+        .withColumn("cell_full", F.col("_c.full"))
+        .drop("_c")
     )
 
 
@@ -193,16 +196,24 @@ def tile_join_points(
 
     rhs = F.broadcast(index) if broadcast_index else index
     cand = pts.join(rhs, on=join_keys, how="inner")
-    # JVM-side bbox prefilter before the Arrow refinement kernel
-    cand = cand.filter(
+    # Interior-cell candidates are PROVEN matches (the whole cell lies
+    # inside the polygon) — only boundary-cell rows need the bbox
+    # prefilter + exact PIP. The Arrow kernel receives NULL geometry for
+    # interior rows, so the Python stage's decode+PIP work (and its
+    # geometry bytes on the Arrow wire) scale with the polygon
+    # PERIMETER cells, not the probe stream.
+    bbox_ok = (
         (F.col(lon) >= F.col("minx"))
         & (F.col(lon) <= F.col("maxx"))
         & (F.col(lat) >= F.col("miny"))
         & (F.col(lat) <= F.col("maxy"))
     )
+    refine = st.st_point_in_geom(
+        F.col(lon), F.col(lat), F.when(~F.col("cell_full"), F.col(geom_col))
+    )
     matched = cand.filter(
-        st.st_point_in_geom(F.col(lon), F.col(lat), F.col(geom_col))
-    ).drop("minx", "miny", "maxx", "maxy", "cell", geom_col, "_salt")
+        F.col("cell_full") | (bbox_ok & F.coalesce(refine, F.lit(False)))
+    ).drop("minx", "miny", "maxx", "maxy", "cell", "cell_full", geom_col, "_salt")
 
     if how == "inner":
         return matched

@@ -59,13 +59,16 @@ def test_lsh_pipeline_finds_planted_near_dup(spark):
 
 
 def test_simhash_planted_near_dup(spark):
+    # realistic near-dup regime: long doc, one token edited -> small
+    # hamming distance; unrelated text -> ~32 bits apart
+    base = " ".join(f"w{i}" for i in range(100))
     texts = {
-        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
-        2: "alpha beta gamma delta epsilon zeta eta theta iota lambda",  # 1 word off
-        3: "totally unrelated content about spark shuffles and parquet files",
+        1: base,
+        2: base.replace("w99", "zz"),  # 1 of 100 tokens changed
+        3: " ".join(f"v{i}" for i in range(100)),  # unrelated, same length
     }
     df = spark.createDataFrame(pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}))
-    pairs = {(r.a, r.b): r.hamming for r in dedup.simhash_dedup(df, max_hamming=16).collect()}
+    pairs = {(r.a, r.b): r.hamming for r in dedup.simhash_dedup(df, max_hamming=6).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs
 
