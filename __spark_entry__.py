@@ -260,6 +260,51 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geocode_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic (non-rectangular) PIP through the SAME tile-join
+    machinery: regions split into SW/NE triangles whose membership the
+    oracle re-derives as a half-plane sign test. Points on the shared
+    diagonal belong to BOTH triangles (boundary-inclusive PIP)."""
+    geo = _geo_pages(spark, sf_dir)
+    tris = pages_src.synth_regions(spark, step_deg=10.0, triangles=True)
+    out = joins.tile_join_points(geo, tris, res=8, how="inner")
+    return out.groupBy("region").agg(F.count("*").alias("n"))
+
+
+def q_overlap_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 catchment-style overlap-weighted aggregation: offset zones x
+    region grid, weight = |zone∩region| / |region| (planar)."""
+    zones = pages_src.synth_zones(spark)
+    regions = pages_src.synth_regions(spark, step_deg=10.0)
+    out = joins.overlap_weighted_join(zones, regions, "pop", zone_id="zone", res=6)
+    return out.select(
+        "zone",
+        F.round(F.col("weighted_pop").cast("decimal(18,6)"), 4).cast("double").alias("wpop"),
+    )
+
+
+def q_dissolve_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissolve (grouped geometric union): 10-degree regions unioned into
+    30-degree blocks; oracle checks block keys + planar areas (each block
+    = 9 disjoint-interior rectangles -> area 900)."""
+    from mundipy_spark.operators.dissolve import dissolve
+
+    regions = pages_src.synth_regions(spark, step_deg=10.0)
+    gx = F.split(F.col("region"), "_").getItem(1).cast("long")
+    gy = F.split(F.col("region"), "_").getItem(2).cast("long")
+    blocks = regions.withColumn(
+        "block",
+        F.concat(F.lit("B_"), (gx / 3).cast("long").cast("string"), F.lit("_"),
+                 (gy / 3).cast("long").cast("string")),
+    )
+    out = dissolve(blocks.select("block", "geometry"), "block")
+    return out.select(
+        "block",
+        F.round(st.st_area_planar(F.col("geometry")).cast("decimal(18,6)"), 2)
+        .cast("double").alias("area"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_geocode_regions(spark, "/root/testdata/sf0.001")
@@ -283,6 +328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,
+        "geocode_triangles": q_geocode_triangles,
+        "overlap_weighted": q_overlap_weighted,
+        "dissolve_blocks": q_dissolve_blocks,
         "simhash_pairs": q_simhash_pairs,
         "lang_profile": q_lang_profile,
         "multimodal_features": q_multimodal_features,
@@ -355,6 +403,51 @@ pop AS (
 )
 SELECT lang, count(*) AS n, CAST(round(sum(CAST(pop AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_pop
 FROM pop GROUP BY lang
+""",
+        "geocode_triangles": f"""
+{GEO_SQL_CTE},
+aug AS (
+  SELECT least(greatest(CAST(floor((lon + 180.0) / 10.0) AS BIGINT), 0), 35) AS gx,
+         least(greatest(CAST(floor((lat + 90.0) / 10.0) AS BIGINT), 0), 17) AS gy,
+         lon, lat
+  FROM geo
+),
+frac AS (
+  SELECT gx, gy,
+         (lon + 180.0) / 10.0 - gx AS fx,
+         (lat + 90.0) / 10.0 - gy AS fy
+  FROM aug
+),
+tri AS (
+  SELECT 'T_' || gx || '_' || gy || '_sw' AS region FROM frac WHERE fx + fy <= 1.0 + 1e-6
+  UNION ALL
+  SELECT 'T_' || gx || '_' || gy || '_ne' AS region FROM frac WHERE fx + fy >= 1.0 - 1e-6
+)
+SELECT region, count(*) AS n FROM tri GROUP BY region
+""",
+        "overlap_weighted": """
+WITH zones AS (
+  SELECT 'Z_' || zx || '_' || zy AS zone,
+         -175.0 + zx * 20.0 AS zx0, -85.0 + zy * 20.0 AS zy0
+  FROM range(0, 17) t1(zx), range(0, 8) t2(zy)
+),
+regions AS (
+  SELECT -180.0 + rx * 10.0 AS rx0, -90.0 + ry * 10.0 AS ry0,
+         CAST((rx * 31 + ry * 17) % 1000 + 1 AS DOUBLE) AS pop
+  FROM range(0, 36) t3(rx), range(0, 18) t4(ry)
+),
+pairs AS (
+  SELECT z.zone, r.pop,
+         greatest(0.0, least(z.zx0 + 20.0, r.rx0 + 10.0) - greatest(z.zx0, r.rx0)) *
+         greatest(0.0, least(z.zy0 + 20.0, r.ry0 + 10.0) - greatest(z.zy0, r.ry0)) AS ia
+  FROM zones z, regions r
+)
+SELECT zone, CAST(round(CAST(sum(pop * ia / 100.0) AS DECIMAL(18,6)), 4) AS DOUBLE) AS wpop
+FROM pairs WHERE ia > 0 GROUP BY zone
+""",
+        "dissolve_blocks": """
+SELECT 'B_' || bx || '_' || by AS block, CAST(900.00 AS DOUBLE) AS area
+FROM range(0, 12) t1(bx), range(0, 6) t2(by)
 """,
         "doc_stats": textstats.doc_stats_sql(),
         "token_freq": textstats.token_frequencies_sql(),

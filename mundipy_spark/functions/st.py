@@ -191,6 +191,17 @@ def st_area(g: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.DoubleType())
+def st_area_planar(g: pd.Series) -> pd.Series:
+    """Planar (coordinate-unit²) area — the no-transform twin of st_area
+    for oracle parity and tile-space math."""
+    return g.map(
+        lambda b: measure.geom_area_planar(wkb.loads(bytes(b)))
+        if isinstance(b, (bytes, bytearray, memoryview))
+        else None
+    )
+
+
+@F.pandas_udf(T.DoubleType())
 def st_length(g: pd.Series) -> pd.Series:
     return g.map(lambda b: measure.geom_length_m(wkb.loads(b)) if b is not None else None)
 
@@ -369,31 +380,207 @@ def st_cell_of_geom(g: pd.Series, res: pd.Series) -> pd.Series:
 
 
 _POINT_INTERSECTS_CACHE_LIMIT = 4096
+# decoded-polygon memo shared across Arrow batches (polygon layers are
+# broadcast, so the same few thousand WKB blobs recur in every batch)
+_PIP_DECODE_CACHE: dict[bytes, tuple] = {}
+
+
+def _decode_for_pip(key: bytes):
+    ent = _PIP_DECODE_CACHE.get(key)
+    if ent is None:
+        geom = wkb.loads(key)
+        segs = predicates.geom_segments(geom)
+        ent = (segs, predicates.has_area(geom), geom)
+        if len(_PIP_DECODE_CACHE) >= _POINT_INTERSECTS_CACHE_LIMIT:
+            _PIP_DECODE_CACHE.clear()
+        _PIP_DECODE_CACHE[key] = ent
+    return ent
 
 
 @F.pandas_udf(T.BooleanType())
 def st_point_in_geom(lon: pd.Series, lat: pd.Series, g: pd.Series) -> pd.Series:
-    """Batch PIP: groups the batch by polygon buffer so each distinct
-    polygon is decoded once and tested against all its points in one
-    vectorized pass — the refinement kernel of the tile join."""
+    """Batch PIP refinement kernel of the tile join.
+
+    Distinct polygons decode once (cross-batch memo); all (point, edge)
+    pairs across ALL groups evaluate in one flat vectorized pass
+    (predicates.points_in_polys_flat) — per-batch cost has no per-polygon
+    term, which matters because shuffled probe batches touch most of a
+    broadcast admin layer at once."""
     xs = lon.to_numpy(np.float64)
     ys = lat.to_numpy(np.float64)
-    out = np.zeros(len(xs), dtype=object)
-    df = pd.DataFrame({"i": np.arange(len(xs))})
-    # nulls can surface as None OR float NaN depending on the Arrow path
-    df["key"] = [
-        bytes(b) if isinstance(b, (bytes, bytearray, memoryview)) else None for b in g
-    ]
-    for key, grp in df.groupby("key", sort=False, dropna=False):
-        idx = grp["i"].to_numpy()
-        if not isinstance(key, bytes):  # missing group key is None or NaN
-            out[idx] = None
+    n = len(xs)
+    hit_all = np.zeros(n, dtype=bool)
+    missing = np.zeros(n, dtype=bool)
+    groups: dict[bytes, list[int]] = {}
+    for i, b in enumerate(g):
+        # nulls can surface as None OR float NaN depending on the Arrow path
+        if isinstance(b, (bytes, bytearray, memoryview)):
+            groups.setdefault(bytes(b), []).append(i)
+        else:
+            missing[i] = True
+    flat_groups = []
+    for key, idx in groups.items():
+        segs, area, geom = _decode_for_pip(key)
+        ii = np.asarray(idx, dtype=np.int64)
+        if area and len(segs):
+            flat_groups.append((ii, segs))
+        else:  # degenerate/non-area geometry: generic slow path
+            hit_all[ii] = predicates.points_in_geom(xs[ii], ys[ii], geom)
+    if flat_groups:
+        hit_all |= predicates.points_in_polys_flat(xs, ys, flat_groups)
+    return pd.Series(pd.arrays.BooleanArray(hit_all, missing))
+
+
+def _unary_geom(kernel, name: str):
+    @F.pandas_udf(T.BinaryType())
+    def _udf(g: pd.Series) -> pd.Series:
+        out = []
+        for b in g:
+            if not isinstance(b, (bytes, bytearray, memoryview)):
+                out.append(None)
+                continue
+            r = kernel(wkb.loads(bytes(b)))
+            out.append(wkb.dumps(r) if r is not None else None)
+        return pd.Series(out)
+
+    _udf.__name__ = name
+    return _udf
+
+
+def _binary_geom(kernel, name: str):
+    @F.pandas_udf(T.BinaryType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(a, b):
+            if not isinstance(ba, (bytes, bytearray, memoryview)) or not isinstance(
+                bb, (bytes, bytearray, memoryview)
+            ):
+                out.append(None)
+                continue
+            r = kernel(wkb.loads(bytes(ba)), wkb.loads(bytes(bb)))
+            out.append(wkb.dumps(r) if r is not None else None)
+        return pd.Series(out)
+
+    _udf.__name__ = name
+    return _udf
+
+
+# overlay ops returning geometry (reference geometry.py:103,123,150,154;
+# Greiner–Hormann clipping, kernels/overlay.py)
+st_intersection = _binary_geom(overlay.intersection, "st_intersection")
+st_union = _binary_geom(overlay.union, "st_union")
+st_difference = _binary_geom(overlay.difference, "st_difference")
+st_symmetric_difference = _binary_geom(
+    overlay.symmetric_difference, "st_symmetric_difference"
+)
+
+# remaining constructive/accessor surface of the dispatch table
+st_boundary = _unary_geom(constructive.boundary, "st_boundary")
+st_representative_point = _unary_geom(
+    constructive.representative_point, "st_representative_point"
+)
+st_normalize = _unary_geom(constructive.normalize, "st_normalize")
+st_minimum_rotated_rectangle = _unary_geom(
+    constructive.minimum_rotated_rectangle, "st_minimum_rotated_rectangle"
+)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_interpolate(g: pd.Series, dist: pd.Series) -> pd.Series:
+    out = []
+    for b, d in zip(g, dist):
+        if not isinstance(b, (bytes, bytearray, memoryview)):
+            out.append(None)
             continue
-        geom = wkb.loads(key)
-        hit = predicates.points_in_geom(xs[idx], ys[idx], geom)
-        for i, h in zip(idx, hit):
-            out[i] = bool(h)
+        out.append(wkb.dumps(constructive.interpolate(wkb.loads(bytes(b)), float(d))))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.DoubleType())
+def st_line_locate_point(g: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
+    """shapely `project` (reference geometry.py:139): distance along the
+    line of the closest point."""
+    out = []
+    for b, x, y in zip(g, px, py):
+        if not isinstance(b, (bytes, bytearray, memoryview)):
+            out.append(None)
+            continue
+        out.append(constructive.line_project(wkb.loads(bytes(b)), (float(x), float(y))))
+    return pd.Series(out, dtype="float64")
+
+
+@F.pandas_udf(T.DoubleType())
+def st_minimum_clearance(g: pd.Series) -> pd.Series:
+    return g.map(
+        lambda b: constructive.minimum_clearance(wkb.loads(bytes(b)))
+        if isinstance(b, (bytes, bytearray, memoryview))
+        else None
+    )
+
+
+def _unary_bool(kernel, name: str):
+    @F.pandas_udf(T.BooleanType())
+    def _udf(g: pd.Series) -> pd.Series:
+        return g.map(
+            lambda b: bool(kernel(wkb.loads(bytes(b))))
+            if isinstance(b, (bytes, bytearray, memoryview))
+            else None
+        )
+
+    _udf.__name__ = name
+    return _udf
+
+
+st_isempty = _unary_bool(predicates.is_empty, "st_isempty")
+st_isclosed = _unary_bool(predicates.is_closed, "st_isclosed")
+st_issimple = _unary_bool(predicates.is_simple, "st_issimple")
+st_isring = _unary_bool(predicates.is_ring, "st_isring")
+
+
+@F.pandas_udf(T.BooleanType())
+def st_equals(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for ba, bb in zip(a, b):
+        if not isinstance(ba, (bytes, bytearray, memoryview)) or not isinstance(
+            bb, (bytes, bytearray, memoryview)
+        ):
+            out.append(None)
+            continue
+        out.append(predicates.equals(wkb.loads(bytes(ba)), wkb.loads(bytes(bb))))
     return pd.Series(out, dtype="boolean")
+
+
+@F.pandas_udf(T.BooleanType())
+def st_equals_exact(a: pd.Series, b: pd.Series, tol: pd.Series) -> pd.Series:
+    out = []
+    for ba, bb, t in zip(a, b, tol):
+        if not isinstance(ba, (bytes, bytearray, memoryview)) or not isinstance(
+            bb, (bytes, bytearray, memoryview)
+        ):
+            out.append(None)
+            continue
+        out.append(
+            predicates.equals_exact(wkb.loads(bytes(ba)), wkb.loads(bytes(bb)), float(t))
+        )
+    return pd.Series(out, dtype="boolean")
+
+
+@F.pandas_udf(T.DoubleType())
+def st_intersection_area_planar(a: pd.Series, b: pd.Series) -> pd.Series:
+    """|A∩B| in coordinate units² (no projection) — overlap RATIOS are
+    what the weighted join needs, and a ratio must put numerator and
+    denominator in the same space."""
+    out = []
+    for ba, bb in zip(a, b):
+        if not isinstance(ba, (bytes, bytearray, memoryview)) or not isinstance(
+            bb, (bytes, bytearray, memoryview)
+        ):
+            out.append(None)
+            continue
+        out.append(
+            overlay.intersection_area_planar(wkb.loads(bytes(ba)), wkb.loads(bytes(bb)))
+        )
+    return pd.Series(out, dtype="float64")
 
 
 @F.pandas_udf(T.DoubleType())
@@ -426,6 +613,7 @@ _SQL_FUNCTIONS = {
     "st_asgeojson": st_asgeojson,
     "st_geometrytype": st_geometrytype,
     "st_area": st_area,
+    "st_area_planar": st_area_planar,
     "st_length": st_length,
     "st_distance": st_distance,
     "st_hausdorff_distance": st_hausdorff_distance,
@@ -448,8 +636,26 @@ _SQL_FUNCTIONS = {
     "st_dwithin": st_dwithin,
     "st_cells": st_cells,
     "st_cells_classified": st_cells_classified,
+    "st_intersection": st_intersection,
+    "st_union": st_union,
+    "st_difference": st_difference,
+    "st_symmetric_difference": st_symmetric_difference,
+    "st_boundary": st_boundary,
+    "st_representative_point": st_representative_point,
+    "st_normalize": st_normalize,
+    "st_minimum_rotated_rectangle": st_minimum_rotated_rectangle,
+    "st_interpolate": st_interpolate,
+    "st_line_locate_point": st_line_locate_point,
+    "st_minimum_clearance": st_minimum_clearance,
+    "st_isempty": st_isempty,
+    "st_isclosed": st_isclosed,
+    "st_issimple": st_issimple,
+    "st_isring": st_isring,
+    "st_equals": st_equals,
+    "st_equals_exact": st_equals_exact,
     "st_point_in_geom": st_point_in_geom,
     "st_intersection_area": st_intersection_area,
+    "st_intersection_area_planar": st_intersection_area_planar,
 }
 
 

@@ -332,3 +332,196 @@ def _fix_rings(rings):
             r = r[::-1]
         out.append(r)
     return out
+
+
+# --- remaining dispatch-table surface ------------------------------------------
+# Reference: boundary (geometry.py:89), representative_point (137),
+# normalize (144), interpolate (135), minimum_rotated_rectangle (121)
+
+
+def boundary(geom):
+    """Polygon -> MultiLineString of rings; LineString -> MultiPoint of
+    endpoints; Point -> empty collection (OGC boundary)."""
+    t, data = geom
+    if t == "Polygon":
+        lines = [np.asarray(r, dtype=np.float64) for r in data]
+        return ("MultiLineString", lines) if len(lines) != 1 else ("LineString", lines[0])
+    if t == "MultiPolygon":
+        lines = [np.asarray(r, dtype=np.float64) for poly in data for r in poly]
+        return ("MultiLineString", lines)
+    if t == "LineString":
+        l = np.asarray(data, dtype=np.float64)
+        if len(l) and np.allclose(l[0], l[-1]):
+            return ("MultiPoint", np.empty((0, 2)))
+        return ("MultiPoint", np.asarray([l[0], l[-1]]))
+    if t == "MultiLineString":
+        pts = []
+        for l in data:
+            l = np.asarray(l, dtype=np.float64)
+            if len(l) and not np.allclose(l[0], l[-1]):
+                pts += [l[0], l[-1]]
+        return ("MultiPoint", np.asarray(pts) if pts else np.empty((0, 2)))
+    return ("GeometryCollection", [])
+
+
+def representative_point(geom):
+    """A point guaranteed inside the geometry: centroid when it lands
+    inside, else the midpoint of the widest interior interval of a
+    horizontal scanline through the bbox middle (polygons), else the
+    middle vertex."""
+    t, _ = geom
+    c = centroid_planar(geom)
+    if t in ("Polygon", "MultiPolygon"):
+        if predicates.points_in_geom(np.array([c[0]]), np.array([c[1]]), geom)[0]:
+            return ("Point", c)
+        minx, miny, maxx, maxy = wkb.bounds(geom)
+        y = (miny + maxy) / 2.0
+        # ray-scan: x-intersections of the scanline with all edges
+        segs = predicates.geom_segments(geom)
+        y1, y2 = segs[:, 1], segs[:, 3]
+        hitmask = (y1 > y) != (y2 > y)
+        if hitmask.any():
+            s = segs[hitmask]
+            xint = np.sort(
+                (s[:, 2] - s[:, 0]) * (y - s[:, 1]) / (s[:, 3] - s[:, 1]) + s[:, 0]
+            )
+            if len(xint) >= 2:
+                mids = (xint[:-1] + xint[1:]) / 2.0
+                inside = predicates.points_in_geom(
+                    mids, np.full(len(mids), y), geom
+                )
+                if inside.any():
+                    widths = np.where(inside, xint[1:] - xint[:-1], -1.0)
+                    i = int(np.argmax(widths))
+                    return ("Point", np.array([mids[i], y]))
+    v = predicates.geom_vertices(geom)
+    if len(v):
+        return ("Point", v[len(v) // 2])
+    return ("Point", c)
+
+
+def normalize(geom):
+    """Canonical form: make_valid ring orientation + each ring rotated to
+    start at its lexicographically smallest vertex; multi-part members
+    sorted by their first vertex."""
+    def rot(ring):
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) < 2:
+            return r
+        body = r[:-1] if np.allclose(r[0], r[-1]) else r
+        i = int(np.lexsort((body[:, 1], body[:, 0]))[0])
+        body = np.roll(body, -i, axis=0)
+        return np.vstack([body, body[:1]])
+
+    g = make_valid(geom)
+    t, data = g
+    if t == "Polygon":
+        return (t, [rot(r) for r in data])
+    if t == "MultiPolygon":
+        polys = [[rot(r) for r in poly] for poly in data]
+        polys.sort(key=lambda p: tuple(p[0][0]) if len(p) else ())
+        return (t, polys)
+    return g
+
+
+def interpolate(geom, dist: float):
+    """Point at distance `dist` along a LineString (planar units;
+    callers wanting meters project first). Clamps to the ends; negative
+    measures from the end (shapely semantics)."""
+    t, data = geom
+    if t != "LineString":
+        raise ValueError("interpolate expects a LineString")
+    l = np.asarray(data, dtype=np.float64)
+    seg = np.sqrt(((l[1:] - l[:-1]) ** 2).sum(axis=1))
+    total = seg.sum()
+    d = dist if dist >= 0 else max(total + dist, 0.0)
+    d = min(max(d, 0.0), total)
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    i = int(np.searchsorted(cum, d, side="right") - 1)
+    i = min(i, len(seg) - 1)
+    f = 0.0 if seg[i] == 0 else (d - cum[i]) / seg[i]
+    return ("Point", l[i] + f * (l[i + 1] - l[i]))
+
+
+def line_project(geom, pt) -> float:
+    """Inverse of interpolate: distance along the line of the closest
+    point to pt (shapely `project`, reference geometry.py:139)."""
+    t, data = geom
+    if t != "LineString":
+        raise ValueError("project expects a LineString")
+    l = np.asarray(data, dtype=np.float64)
+    px, py = float(pt[0]), float(pt[1])
+    a, b = l[:-1], l[1:]
+    d = b - a
+    ln2 = (d ** 2).sum(axis=1)
+    ln2s = np.where(ln2 == 0, 1.0, ln2)
+    tt = np.clip(((px - a[:, 0]) * d[:, 0] + (py - a[:, 1]) * d[:, 1]) / ln2s, 0, 1)
+    qx = a[:, 0] + tt * d[:, 0]
+    qy = a[:, 1] + tt * d[:, 1]
+    dist2 = (qx - px) ** 2 + (qy - py) ** 2
+    i = int(np.argmin(dist2))
+    seg = np.sqrt(ln2)
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    return float(cum[i] + tt[i] * seg[i])
+
+
+def minimum_rotated_rectangle(geom):
+    """Smallest-area oriented bounding rectangle via rotating calipers
+    over the convex hull (reference geometry.py:121)."""
+    hull = convex_hull(geom)
+    if hull[0] != "Polygon":
+        return envelope(geom)
+    ring = np.asarray(hull[1][0], dtype=np.float64)[:-1]
+    best = None
+    for i in range(len(ring)):
+        e = ring[(i + 1) % len(ring)] - ring[i]
+        ln = np.hypot(e[0], e[1])
+        if ln == 0:
+            continue
+        ux, uy = e / ln
+        R = np.array([[ux, uy], [-uy, ux]])
+        rot = ring @ R.T
+        minx, miny = rot.min(axis=0)
+        maxx, maxy = rot.max(axis=0)
+        area = (maxx - minx) * (maxy - miny)
+        if best is None or area < best[0]:
+            best = (area, R, minx, miny, maxx, maxy)
+    _, R, minx, miny, maxx, maxy = best
+    corners = np.array(
+        [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy], [minx, miny]]
+    ) @ R
+    return ("Polygon", [corners])
+
+
+def minimum_clearance(geom) -> float:
+    """Smallest distance a vertex can move to create invalidity: min over
+    vertices of distance to any non-incident edge (and min vertex-vertex
+    distance) — the practical GEOS definition for simple inputs
+    (reference geometry.py:133)."""
+    v = predicates.geom_vertices(geom)
+    # drop duplicate closing vertices
+    v = np.unique(v, axis=0)
+    segs = predicates.geom_segments(geom)
+    if len(v) < 2:
+        return float("inf")
+    best = np.inf
+    # vertex-vertex
+    for i in range(len(v)):
+        d2 = ((v[i + 1 :] - v[i]) ** 2).sum(axis=1)
+        if len(d2):
+            best = min(best, float(np.sqrt(d2.min())))
+    # vertex-to-nonincident-edge
+    if len(segs):
+        for i in range(len(v)):
+            px, py = v[i]
+            incident = (
+                (np.isclose(segs[:, 0], px) & np.isclose(segs[:, 1], py))
+                | (np.isclose(segs[:, 2], px) & np.isclose(segs[:, 3], py))
+            )
+            s = segs[~incident]
+            if len(s):
+                d = predicates.point_segs_min_dist(
+                    np.array([px]), np.array([py]), s
+                )[0]
+                best = min(best, float(d))
+    return best

@@ -122,14 +122,25 @@ def tile_index(
     geom_col: str = "geometry",
     res: int = DEFAULT_RES,
     keep: list[str] | None = None,
+    null_interior_geom: bool = True,
 ) -> DataFrame:
     """Explode a polygon layer into its covering cells, carrying bbox
     columns for the JVM-side prefilter. One output row per (polygon,
     cell). This is the broadcast side of every tile join; persist it
     when reused across queries (the Spark analogue of the reference's
-    layer lru_cache, mundipy/dataset.py:113-115)."""
+    layer lru_cache, mundipy/dataset.py:113-115).
+
+    null_interior_geom drops the WKB payload on interior (cell_full)
+    rows — those candidates are accepted from the cell id alone, so the
+    bytes would only bloat the broadcast (most covering cells of a big
+    polygon are interior). Pass False when downstream needs the
+    geometry on every row (e.g. overlap-area computation)."""
     cols = keep if keep is not None else [c for c in polys.columns if c != geom_col]
-    b = polys.withColumn("_b", st.st_bounds(F.col(geom_col)))
+    # spread the (Python-UDF) cover computation across cores: polygon
+    # layers often arrive in one or two partitions and the index build
+    # would otherwise serialize
+    npart = polys.sparkSession.sparkContext.defaultParallelism
+    b = polys.repartition(npart).withColumn("_b", st.st_bounds(F.col(geom_col)))
     return (
         b.select(
             *cols,
@@ -143,6 +154,12 @@ def tile_index(
         .withColumn("cell", F.col("_c.cell"))
         .withColumn("cell_full", F.col("_c.full"))
         .drop("_c")
+        .withColumn(
+            geom_col,
+            F.when(~F.col("cell_full"), F.col(geom_col))
+            if null_interior_geom
+            else F.col(geom_col),
+        )
     )
 
 
@@ -169,6 +186,7 @@ def tile_join_points(
     broadcast_index: bool = True,
     salt: int = 0,
     poly_cols: list[str] | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Points-vs-polygons intersects join (the reference's canonical
     point-in-polygon tagging workload, tests/test_example.py:10-27).
@@ -180,8 +198,15 @@ def tile_join_points(
     salt>0 replicates the index rows salt ways and scatters probes by a
     hash — only meaningful when broadcast_index=False (a broadcast join
     has no shuffle to skew).
+
+    index: a prebuilt (and ideally .persist()ed) tile_index(polys, res)
+    — at scale the index is built ONCE and amortized over the whole
+    probe scan (the Spark analogue of the reference's layer lru_cache,
+    mundipy/dataset.py:113-115); pass it here to keep repeated joins
+    from re-running the cover UDFs.
     """
-    index = tile_index(polys, geom_col=geom_col, res=res, keep=poly_cols)
+    if index is None:
+        index = tile_index(polys, geom_col=geom_col, res=res, keep=poly_cols)
     pts = add_point_cell(points, lon, lat, res)
 
     join_keys = ["cell"]
@@ -295,6 +320,50 @@ def within_radius_join(
 # ---------------------------------------------------------------------------
 
 
+def _knn_join_dense(
+    probes: DataFrame,
+    t: DataFrame,
+    k: int,
+    probe_lon: str,
+    probe_lat: str,
+    tie_break: list[str] | None,
+) -> DataFrame:
+    """kNN against a SMALL target set as a map-only plan: the targets
+    become a literal array column; each probe row scores all of them
+    with JVM haversine, array_sorts, and keeps the first k. Zero
+    shuffles, zero Python — at 10^12 probes this is the plan you want
+    (nearest-city tagging is embarrassingly parallel), vs the general
+    cell-ring path which pays a window shuffle per resolution level."""
+    fields = t.columns
+    rows = t.collect()
+    tie = [c for c in (tie_break or []) if c in fields]
+    rest = [c for c in fields if c not in tie]
+
+    def lit_struct(row):
+        return F.struct(*[F.lit(row[f]).alias(f) for f in fields])
+
+    arr = F.array(*[lit_struct(r) for r in rows])
+
+    def scored(tcol):
+        dist = st.haversine_expr(
+            F.col(probe_lon), F.col(probe_lat), tcol["t_lon"], tcol["t_lat"]
+        )
+        # field order IS the sort order: dist, then tie-break columns
+        return F.struct(
+            dist.alias("dist_m"),
+            *[tcol[c].alias(c) for c in tie],
+            *[tcol[c].alias(c) for c in rest],
+        )
+
+    top = F.slice(F.array_sort(F.transform(arr, scored)), 1, k)
+    out = probes.withColumn("_nn", F.explode(top))
+    return out.select(
+        *probes.columns,
+        *[F.col(f"_nn.{c}").alias(c) for c in fields],
+        F.col("_nn.dist_m").alias("dist_m"),
+    )
+
+
 def knn_join(
     probes: DataFrame,
     targets: DataFrame,
@@ -308,6 +377,7 @@ def knn_join(
     min_res: int = 1,
     broadcast_targets: bool = True,
     tie_break: list[str] | None = None,
+    dense_threshold: int = 2048,
 ) -> DataFrame:
     """k-nearest-neighbor join by expanding cells, mirroring the
     reference's expanding-bbox nearest (mundipy/dataset.py:179-206:
@@ -336,6 +406,8 @@ def knn_join(
         F.col(target_lon).alias("t_lon"), F.col(target_lat).alias("t_lat"),
         *[F.col(c).alias(f"t_{c}") for c in targets.columns if c not in (target_lon, target_lat)],
     )
+    if dense_threshold > 0 and t.limit(dense_threshold + 1).count() <= dense_threshold:
+        return _knn_join_dense(probes, t, k, probe_lon, probe_lat, tie_break)
     unmatched = probes
     results = None
     res = start_res
@@ -410,24 +482,34 @@ def overlap_weighted_join(
     region_geom: str = "geometry",
     zone_id: str = "zone_id",
     res: int = DEFAULT_RES,
+    planar: bool = True,
 ) -> DataFrame:
     """For each zone, sum region weights scaled by the overlapped
     fraction of each region: sum(w * |zone∩region| / |region|)
-    (reference docs/tutorials/catchment-area.mdx:152-160)."""
-    zidx = tile_index(zones, geom_col=zone_geom, res=res).withColumnRenamed(
-        zone_geom, "_zgeom"
-    )
-    ridx = tile_index(regions, geom_col=region_geom, res=res).select(
+    (reference docs/tutorials/catchment-area.mdx:152-160).
+
+    planar=True computes both areas in coordinate space — a RATIO needs
+    numerator and denominator in one space, and mixing the pairwise
+    local-PCS of the intersection with the region's own PCS would skew
+    it; planar=False keeps the old meters-based behavior."""
+    zidx = tile_index(
+        zones, geom_col=zone_geom, res=res, null_interior_geom=False
+    ).withColumnRenamed(zone_geom, "_zgeom")
+    ridx = tile_index(
+        regions, geom_col=region_geom, res=res, null_interior_geom=False
+    ).select(
         F.col("cell"),
         F.col(region_geom).alias("_rgeom"),
         F.col(weight_col).alias("_w"),
     )
+    ia_fn = st.st_intersection_area_planar if planar else st.st_intersection_area
+    ra_fn = st.st_area_planar if planar else st.st_area
     cand = (
         zidx.join(ridx, "cell")
         .dropDuplicates([zone_id, "_rgeom"])
-        .withColumn("_ia", st.st_intersection_area(F.col("_zgeom"), F.col("_rgeom")))
+        .withColumn("_ia", ia_fn(F.col("_zgeom"), F.col("_rgeom")))
         .filter(F.col("_ia") > 0)
-        .withColumn("_ra", st.st_area(F.col("_rgeom")))
+        .withColumn("_ra", ra_fn(F.col("_rgeom")))
     )
     return cand.groupBy(zone_id).agg(
         F.sum(F.col("_w") * F.col("_ia") / F.col("_ra")).alias("weighted_" + weight_col)

@@ -48,6 +48,7 @@ def geocode_pages(
     res: int = CELL_RES_FINE,
     broadcast_index: bool = True,
     salt: int = 0,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """pages(url, text, ...) -> geocoded + region-tagged pages.
 
@@ -66,6 +67,7 @@ def geocode_pages(
         broadcast_index=broadcast_index,
         salt=salt,
         how="inner",
+        index=index,
     )
     # left semantics for geo pages that hit no region + no-geo passthrough
     missing = geo.join(tagged.select("url"), "url", "left_anti")

@@ -117,6 +117,26 @@ def synth_regions(
     return spark.createDataFrame(pdf)
 
 
+def synth_zones(spark: SparkSession, step_deg: float = 20.0, offset_deg: float = 5.0) -> DataFrame:
+    """A second polygon layer OFFSET from the region grid so zone/region
+    overlaps are PARTIAL — the catchment-style weighted-join workload
+    (reference docs/tutorials/catchment-area.mdx). Closed-form in SQL:
+    rectangle intersections are least/greatest arithmetic."""
+    rows = []
+    nx = int((360.0 - 2 * offset_deg) // step_deg)
+    ny = int((180.0 - 2 * offset_deg) // step_deg)
+    for gx in range(nx):
+        for gy in range(ny):
+            x0 = -180.0 + offset_deg + gx * step_deg
+            y0 = -90.0 + offset_deg + gy * step_deg
+            ring = np.array(
+                [[x0, y0], [x0 + step_deg, y0], [x0 + step_deg, y0 + step_deg],
+                 [x0, y0 + step_deg], [x0, y0]]
+            )
+            rows.append({"zone": f"Z_{gx}_{gy}", "geometry": wkb.dumps(("Polygon", [ring]))})
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["zone", "geometry"]))
+
+
 def region_name_sql(lon_expr: str, lat_expr: str, step_deg: float = 10.0) -> str:
     """Closed-form region name of a point — the oracle twin of the
     generic tile join against synth_regions(triangles=False).

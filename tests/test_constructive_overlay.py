@@ -163,3 +163,120 @@ def test_clip_to_rect_matches_tile_use():
     assert measure.geom_area_planar(c) == pytest.approx(25.0 - 0.0, abs=1e-9) or True
     # exact: the rect [0,5]^2 cut by x+y<=10 keeps the whole 25 sq area
     assert measure.geom_area_planar(c) == pytest.approx(25.0)
+
+
+# ---------------------------------------------------------------------------
+# Greiner–Hormann overlay geometry ops + remaining dispatch-table surface
+# ---------------------------------------------------------------------------
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mundipy_spark.kernels import constructive, measure, overlay, predicates, wkb
+
+
+SQ4 = ("Polygon", [np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)])
+TRI4 = ("Polygon", [np.array([[2, 2], [6, 2], [6, 6], [2, 2]], float)])
+LSH = ("Polygon", [np.array([[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3], [0, 0]], float)])
+S24 = ("Polygon", [np.array([[0.5, 0.5], [2.5, 0.5], [2.5, 2.5], [0.5, 2.5], [0.5, 0.5]], float)])
+
+
+def test_overlay_ops_golden_areas():
+    cases = [
+        (SQ4, TRI4, {"intersection": 2.0, "union": 22.0,
+                     "difference": 14.0, "symmetric_difference": 20.0}),
+        (LSH, S24, {"intersection": 1.75, "union": 7.25,
+                    "difference": 3.25, "symmetric_difference": 5.5}),
+    ]
+    for a, b, wants in cases:
+        for op, want in wants.items():
+            g = overlay.overlay_op(a, b, op)
+            assert abs(measure.geom_area_planar(g) - want) < 1e-6, (op, want)
+
+
+def test_overlay_difference_makes_hole():
+    big = ("Polygon", [np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)])
+    small = ("Polygon", [np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], float)])
+    d = overlay.difference(big, small)
+    assert d[0] == "Polygon" and len(d[1]) == 2  # outer + hole
+    assert abs(measure.geom_area_planar(d) - 96.0) < 1e-9
+    assert not predicates.points_in_geom(np.array([5.0]), np.array([5.0]), d)[0]
+    assert predicates.points_in_geom(np.array([1.0]), np.array([1.0]), d)[0]
+
+
+def test_overlay_random_crosscheck_area_kernel():
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        def star():
+            n = int(rng.integers(4, 10))
+            ang = 2 * np.pi * (np.arange(n) + rng.uniform(0.1, 0.9, n)) / n
+            rad = rng.uniform(0.5, 2.5, n)
+            c = rng.uniform(-2, 2, 2)
+            pts = np.c_[c[0] + rad * np.cos(ang), c[1] + rad * np.sin(ang)]
+            return ("Polygon", [np.vstack([pts, pts[:1]])])
+
+        a, b = star(), star()
+        ia = overlay.intersection_area_planar(a, b)
+        g = overlay.overlay_op(a, b, "intersection")
+        ga = measure.geom_area_planar(g) if g else 0.0
+        assert abs(ia - ga) < 1e-6 * max(1.0, ia), (ia, ga)
+
+
+def test_new_constructive_kernels():
+    line = ("LineString", np.array([[0, 0], [10, 0]], float))
+    assert np.allclose(constructive.interpolate(line, 3.0)[1], [3, 0])
+    assert np.allclose(constructive.interpolate(line, -2.0)[1], [8, 0])
+    assert constructive.line_project(line, (3, 5)) == 3.0
+    b = constructive.boundary(SQ4)
+    assert b[0] == "LineString"
+    rp = constructive.representative_point(SQ4)
+    assert predicates.points_in_geom(np.array([rp[1][0]]), np.array([rp[1][1]]), SQ4)[0]
+    # concave: centroid of a C-shape can fall outside; rp must not
+    cshape = ("Polygon", [np.array(
+        [[0, 0], [5, 0], [5, 1], [1, 1], [1, 4], [5, 4], [5, 5], [0, 5], [0, 0]], float)])
+    rp2 = constructive.representative_point(cshape)
+    assert predicates.points_in_geom(np.array([rp2[1][0]]), np.array([rp2[1][1]]), cshape)[0]
+    mrr = constructive.minimum_rotated_rectangle(
+        ("Polygon", [np.array([[0, 0], [2, 2], [1, 3], [-1, 1], [0, 0]], float)])
+    )
+    assert abs(measure.geom_area_planar(mrr) - 4.0) < 1e-9  # tilted unit-ish rect
+    assert constructive.minimum_clearance(SQ4) == 4.0
+
+
+def test_unary_and_equality_predicates():
+    bow = ("LineString", np.array([[0, 0], [2, 2], [2, 0], [0, 2]], float))
+    assert predicates.is_simple(SQ4)
+    assert not predicates.is_simple(bow)
+    rotated = ("Polygon", [np.array([[4, 4], [0, 4], [0, 0], [4, 0], [4, 4]], float)])
+    assert predicates.equals(SQ4, rotated)
+    assert not predicates.equals_exact(SQ4, rotated)
+    assert predicates.equals_exact(SQ4, SQ4)
+    ring = ("LineString", np.array([[0, 0], [1, 0], [1, 1], [0, 0]], float))
+    assert predicates.is_closed(ring) and predicates.is_ring(ring)
+
+
+def test_st_overlay_and_dissolve(spark):
+    from mundipy_spark.functions import st
+    from mundipy_spark.operators.dissolve import dissolve
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "grp": ["a", "a", "b"],
+            "geometry": [
+                wkb.dumps(("Polygon", [np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float)])),
+                wkb.dumps(("Polygon", [np.array([[1, 0], [3, 0], [3, 2], [1, 2], [1, 0]], float)])),
+                wkb.dumps(("Polygon", [np.array([[9, 9], [10, 9], [10, 10], [9, 10], [9, 9]], float)])),
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    out = {r.grp: wkb.loads(bytes(r.geometry)) for r in dissolve(df, "grp").collect()}
+    assert abs(measure.geom_area_planar(out["a"]) - 6.0) < 1e-6  # 4+4-2 overlap
+    assert abs(measure.geom_area_planar(out["b"]) - 1.0) < 1e-6
+
+    two = df.limit(2).agg(
+        F.min("geometry").alias("a"), F.max("geometry").alias("b")
+    )
+    inter = two.select(st.st_intersection(F.col("a"), F.col("b")).alias("g")).collect()[0].g
+    assert abs(measure.geom_area_planar(wkb.loads(bytes(inter))) - 2.0) < 1e-6
