@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from mundipy_spark.functions import st
 from mundipy_spark.functions import text as tx
-from mundipy_spark.operators import dedup, geoparse, joins, similarity, textstats
+from mundipy_spark.operators import dedup, geoparse, joins, sessions, similarity, textstats
 from mundipy_spark.plans import pipeline
 from mundipy_spark.sources import pages as pages_src
 
@@ -208,6 +208,16 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event log (window lag/cumsum —
+    one shuffle, fully JVM; the streaming stateful twin is tested
+    equivalent in tests/test_streaming.py)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.sessionize(ev, gap_s=1800).withColumn(
+        "session_start", F.unix_timestamp("session_start")
+    ).withColumn("session_end", F.unix_timestamp("session_end"))
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -327,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
+        "sessions": q_sessions,
         "tpch_q1": q_tpch_q1,
         "geocode_triangles": q_geocode_triangles,
         "overlap_weighted": q_overlap_weighted,
@@ -492,6 +503,14 @@ WITH emb AS (
   FROM q, emb c WHERE c.vec_id <> q.qid
 )
 SELECT qid, nid, rank FROM scored WHERE rank <= 5
+""",
+        "sessions": f"""
+WITH base AS ({sessions.sessionize_sql(1800)})
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       CAST(floor(epoch(session_start)) AS BIGINT) AS session_start,
+       CAST(floor(epoch(session_end)) AS BIGINT) AS session_end,
+       n_events, sum_value
+FROM base
 """,
         "events_hourly": """
 SELECT event_type,

@@ -73,3 +73,4 @@ WHERE length(token) > 0
 GROUP BY token
 HAVING count(*) >= {min_count}
 """
+

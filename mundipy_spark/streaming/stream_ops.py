@@ -68,3 +68,60 @@ def geocode_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sessionize_stream(events_stream: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Stateful gap-based sessionization — the custom stateful operator
+    path (applyInPandasWithState). State per user: the open session.
+    A session EMITS when a later event arrives more than gap_s after it
+    (closed-by-successor); the open tail session stays in state, so the
+    emitted set equals batch `operators.textstats.sessionize` minus each
+    user's final session — asserted in tests."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    state_schema = "start_s double, end_s double, n long, s double"
+
+    def fn(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows["_ts"] = rows["ts"].astype("int64") / 1e9  # epoch seconds
+        rows = rows.sort_values(["_ts", "event_id"])
+        if state.exists:
+            start_s, end_s, n, s = state.get
+        else:
+            start_s = end_s = None
+            n, s = 0, 0.0
+        closed = []
+        for _, r in rows.iterrows():
+            # floor to whole seconds: the batch twin compares
+            # unix_timestamp (truncated) values, match it exactly
+            t, v = float(int(r["_ts"])), float(r["value"])
+            if start_s is None:
+                start_s, end_s, n, s = t, t, 1, v
+            elif t - end_s > gap_s:
+                closed.append((start_s, end_s, n, round(s, 2)))
+                start_s, end_s, n, s = t, t, 1, v
+            else:
+                end_s, n, s = t, n + 1, s + v
+        state.update((start_s, end_s, n, s))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])] * len(closed),
+                    "session_start": [pd.Timestamp(a, unit="s") for a, _, _, _ in closed],
+                    "session_end": [pd.Timestamp(b, unit="s") for _, b, _, _ in closed],
+                    "n_events": [n_ for _, _, n_, _ in closed],
+                    "sum_value": [s_ for _, _, _, s_ in closed],
+                }
+            )
+
+    return (
+        events_stream.groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -177,3 +177,23 @@ def test_overlap_weighted_join(spark):
     out = joins.overlap_weighted_join(zones, regions, "pop", res=8).collect()
     assert len(out) == 1
     assert out[0].weighted_pop == pytest.approx(150.0, rel=1e-3)
+
+
+def test_salted_shuffle_join_matches_broadcast(spark):
+    """The skew path (broadcast_index=False, salt>0) must produce the
+    identical match set as the broadcast path — salting only spreads the
+    shuffle keys."""
+    from mundipy_spark.operators import geoparse
+    from mundipy_spark.sources import pages as pages_src
+
+    geo = geoparse.parse_geo_tokens(
+        pages_src.synth_pages(spark, "/root/testdata/sf0.001")
+    ).filter(F.col("lat").isNotNull())
+    regions = pages_src.synth_regions(spark, step_deg=10.0)
+    a = joins.tile_join_points(geo, regions, res=8, how="inner")
+    b = joins.tile_join_points(
+        geo, regions, res=8, how="inner", broadcast_index=False, salt=4
+    )
+    sa = {(r.url, r.region) for r in a.select("url", "region").collect()}
+    sb = {(r.url, r.region) for r in b.select("url", "region").collect()}
+    assert sa == sb and len(sa) > 0

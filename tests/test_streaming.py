@@ -73,3 +73,50 @@ def test_geocode_stream_matches_batch(spark):
         assert g == b
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sessionize_stream_matches_batch(spark):
+    """Stateful applyInPandasWithState sessions == batch window sessions
+    minus each user's open (final) session."""
+    from mundipy_spark.operators import sessions
+    from mundipy_spark.streaming.stream_ops import sessionize_stream
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    batch = sessions.sessionize(ev, gap_s=1800)
+    # closed sessions = all minus the last session per user
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id")
+    closed_expect = {
+        (r.user_id, r.ss, r.se, r.n_events, round(r.sum_value, 2))
+        for r in batch.withColumn("_max", F.max("session_no").over(w))
+        .filter(F.col("session_no") < F.col("_max"))
+        .withColumn("ss", F.unix_timestamp("session_start"))
+        .withColumn("se", F.unix_timestamp("session_end"))
+        .collect()
+    }
+
+    tmp = tempfile.mkdtemp(prefix="sess_stream_")
+    try:
+        ev.write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/in")
+        out = sessionize_stream(stream, gap_s=1800)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sess_out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r.user_id, r.ss, r.se, r.n_events, round(r.sum_value, 2))
+            for r in spark.sql(
+                "SELECT user_id, unix_timestamp(session_start) AS ss, "
+                "unix_timestamp(session_end) AS se, n_events, sum_value FROM sess_out"
+            ).collect()
+        }
+        assert got == closed_expect
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
