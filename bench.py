@@ -138,8 +138,12 @@ def main() -> None:
         "knn_cities": entry_mod.q_knn_cities,
         "within_radius": entry_mod.q_within_radius,
         "events_hourly": entry_mod.q_events_hourly,
+        "sessions": entry_mod.q_sessions,
         "tpch_q1": entry_mod.q_tpch_q1,
         "simhash_pairs": entry_mod.q_simhash_pairs,
+        "geocode_triangles": entry_mod.q_geocode_triangles,
+        "overlap_weighted": entry_mod.q_overlap_weighted,
+        "dissolve_blocks": entry_mod.q_dissolve_blocks,
     }
     for name, fn in suite.items():
         best = float("inf")

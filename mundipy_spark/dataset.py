@@ -85,6 +85,18 @@ class Dataset:
         ).collect()[0]
         return tuple(r)
 
+    # --- notebook repr (S8, reference dataset.py:208-248) ---
+    def _repr_svg_(self, limit: int = 1000) -> str:
+        from mundipy_spark.kernels import wkb as wkb_mod
+        from mundipy_spark.svg import render_svg
+
+        geoms = [
+            wkb_mod.loads(bytes(r[0]))
+            for r in self.df.select(self.geom_col).limit(limit).collect()
+            if r[0] is not None
+        ]
+        return render_svg(geoms)
+
     # --- single-probe joins (J1-J3), driver-side parity API ---
     def intersects(self, probe) -> list[Feature]:
         return self.local_index().intersects(probe)

@@ -175,3 +175,29 @@ def test_dataset_iteration_and_bounds(spark):
     assert all(f.geom_type == "Point" for f in feats)
     b = ds.bounds
     assert b[0] <= b[2] and b[1] <= b[3]
+
+
+def test_sql_registration_and_svg(spark):
+    """st_* functions callable from spark.sql; Dataset._repr_svg_ renders."""
+    import numpy as np
+
+    from mundipy_spark.dataset import Dataset
+    from mundipy_spark.functions import st
+    from mundipy_spark.kernels import wkb as wkb_mod
+
+    st.register_sql(spark)
+    sq = wkb_mod.dumps(
+        ("Polygon", [np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float)])
+    )
+    df = spark.createDataFrame([(sq,)], "geometry binary")
+    df.createOrReplaceTempView("one_poly")
+    row = spark.sql(
+        "SELECT st_area_planar(geometry) AS a, st_geometrytype(geometry) AS t, "
+        "st_isvalid(geometry) AS v, st_astext(st_centroid(geometry)) AS c "
+        "FROM one_poly"
+    ).collect()[0]
+    assert row.a == 4.0 and row.t == "Polygon" and row.v
+    assert row.c.startswith("POINT")
+
+    svg = Dataset(df)._repr_svg_()
+    assert svg.startswith("<svg") and "path" in svg
