@@ -208,6 +208,23 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GAZETTEER = [
+    ("spark", -122.33, 47.61),
+    ("window", -0.13, 51.51),
+    ("vector", 2.35, 48.86),
+    ("shuffle", 139.69, 35.69),
+]
+
+
+def q_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer geoparse: tag each page with the first (min-name) place
+    it mentions; broadcast join on extracted tokens, no page shuffle."""
+    pages = _pages(spark, sf_dir)
+    gaz = spark.createDataFrame(GAZETTEER, "place string, glon double, glat double")
+    out = geoparse.parse_gazetteer(pages, gaz)
+    return out.select("url", "place")
+
+
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the event log (window lag/cumsum —
     one shuffle, fully JVM; the streaming stateful twin is tested
@@ -338,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
+        "gazetteer": q_gazetteer,
         "tpch_q1": q_tpch_q1,
         "geocode_triangles": q_geocode_triangles,
         "overlap_weighted": q_overlap_weighted,
@@ -503,6 +521,16 @@ WITH emb AS (
   FROM q, emb c WHERE c.vec_id <> q.qid
 )
 SELECT qid, nid, rank FROM scored WHERE rank <= 5
+""",
+        "gazetteer": f"""
+{GEO_SQL_CTE.rstrip()},
+gaz(place) AS (VALUES {", ".join(f"('{p}')" for p, _, _ in GAZETTEER)}),
+hits AS (
+  SELECT p.url, g.place
+  FROM pages p, gaz g
+  WHERE list_contains(regexp_split_to_array(lower(p.text), '[^a-z0-9]+'), g.place)
+)
+SELECT url, min(place) AS place FROM hits GROUP BY url
 """,
         "sessions": f"""
 WITH base AS ({sessions.sessionize_sql(1800)})

@@ -197,3 +197,38 @@ def test_salted_shuffle_join_matches_broadcast(spark):
     sa = {(r.url, r.region) for r in a.select("url", "region").collect()}
     sb = {(r.url, r.region) for r in b.select("url", "region").collect()}
     assert sa == sb and len(sa) > 0
+
+
+def test_knn_iterative_matches_dense_k3(spark):
+    """The cell-ring iterative path (dense_threshold=0) must agree with
+    the map-only dense path for k=3 — same neighbors, same order."""
+    import pandas as pd
+
+    rng = __import__("numpy").random.default_rng(3)
+    probes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": range(40),
+                "lon": rng.uniform(-170, 170, 40),
+                "lat": rng.uniform(-80, 80, 40),
+            }
+        )
+    )
+    targets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "tid": range(25),
+                "lon": rng.uniform(-170, 170, 25),
+                "lat": rng.uniform(-80, 80, 25),
+            }
+        )
+    )
+    dense = joins.knn_join(probes, targets, k=3, probe_id="pid", tie_break=["t_tid"])
+    iterative = joins.knn_join(
+        probes, targets, k=3, probe_id="pid", tie_break=["t_tid"], dense_threshold=0,
+        start_res=5,
+    )
+    d = {(r.pid, r.t_tid) for r in dense.collect()}
+    i = {(r.pid, r.t_tid) for r in iterative.collect()}
+    assert d == i
+    assert len(d) == 40 * 3
