@@ -388,6 +388,18 @@ def q_dissolve_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN (partition-prunable scale path; recall vs
+    brute force asserted in tests — rows-only oracle)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_clusters=8, n_probe=3, dim=64
+    ).select("qid", "nid", "rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_geocode_regions(spark, "/root/testdata/sf0.001")
@@ -422,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_profile": q_lang_profile,
         "multimodal_features": q_multimodal_features,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
     }
 
 

@@ -158,6 +158,111 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    seed: int = 11,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic distributed k-means for the IVF coarse quantizer:
+    seeded random-unit init, then `iters` rounds of assign (JVM dot
+    products against a literal centroid array) + per-cluster mean
+    (posexplode + groupBy — one shuffle per round, map-side combined).
+    Returns driver-side centroid list (tiny: n_clusters * dim floats)."""
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((n_clusters, dim))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    for _ in range(iters):
+        assign = _assign_expr(C)
+        agg = (
+            corpus.select(assign.alias("c"), F.col(vec_col).alias("v"))
+            .select("c", F.posexplode("v").alias("i", "x"))
+            .groupBy("c", "i")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        newC = C.copy()
+        for r in agg:
+            newC[r.c][r.i] = r.m
+        norms = np.linalg.norm(newC, axis=1, keepdims=True)
+        C = newC / np.where(norms == 0, 1.0, norms)
+    return [[float(x) for x in row] for row in C]
+
+
+def _assign_expr(C: np.ndarray, vec_col: str = "embedding"):
+    """argmax-dot-product cluster id as a pure JVM expression."""
+    best_id = F.lit(0)
+    best_dot = _dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in C[0]]))
+    for cid in range(1, len(C)):
+        d = _dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in C[cid]]))
+        cond = d > best_dot
+        best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
+        best_dot = F.when(cond, d).otherwise(best_dot)
+    return best_id
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    dim: int = 64,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows bucket by nearest centroid
+    (ONE equi-join key per row — the index is a partitioned/bucketed
+    layout at scale); queries probe their n_probe nearest centroids and
+    exact cosine re-ranks the candidate union.
+
+    Scale path: train once (ivf_train_centroids), store `cluster` as a
+    partition column of the corpus table — a query then touches
+    n_probe/n_clusters of the data via partition pruning."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            corpus, n_clusters=n_clusters, iters=iters, dim=dim, seed=seed, vec_col=vec_col
+        )
+    C = np.asarray(centroids)
+    c = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"),
+        _assign_expr(C, vec_col).alias("cl"),
+    )
+    # query side: n_probe nearest centroids via sorted literal-struct array
+    scored = F.array(
+        *[
+            F.struct(
+                (-_dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in C[cid]]))).alias("negdot"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid in range(len(C))
+        ]
+    )
+    q = queries.select(
+        F.col(query_id).alias("qid"), F.col(vec_col).alias("qvec"),
+        F.explode(
+            F.slice(F.array_sort(scored), 1, n_probe)
+        ).alias("p"),
+    ).select("qid", "qvec", F.col("p.cid").alias("cl"))
+    cand = (
+        q.join(c, on="cl")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("cosine", _dot("qvec", "nvec") / (_norm("qvec") * _norm("nvec")))
+    )
+    w = W.partitionBy("qid").orderBy(F.round(F.col("cosine"), 6).desc(), F.col("nid").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cosine")
+    )
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     threshold: float = 0.98,

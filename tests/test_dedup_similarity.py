@@ -121,3 +121,17 @@ def test_multimodal_plumbing(spark, docs):
         multimodal.attach_fake_payloads(docs.limit(5)), target=16
     ).collect()
     assert all(len(r.payload) == 16 * 16 * 3 for r in small)
+
+
+def test_ivf_ann_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    approx = similarity.ivf_topk(emb, q, k=5, n_clusters=8, n_probe=3, dim=64)
+    e = {(r.qid, r.nid) for r in exact.collect()}
+    a = {(r.qid, r.nid) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probing 3/8 clusters must beat the random-subset baseline by far
+    assert recall >= 0.6, recall
