@@ -93,6 +93,20 @@ def q_tile_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup: per-cell counts at res 8 re-aggregated to
+    res 4 via quadtree PARENT arithmetic (never re-reading raw points);
+    the oracle computes res-4 cells directly from lon/lat — floor
+    composition guarantees exact agreement."""
+    geo = _geo_pages(spark, sf_dir)
+    fine = (
+        geo.withColumn("cell", st.cell_expr(F.col("lon"), F.col("lat"), CELL_RES))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+    return joins.rollup_cells(fine, steps=4)
+
+
 def q_bbox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 range scan: geo pages inside a query bbox (Europe-ish)."""
     geo = _geo_pages(spark, sf_dir)
@@ -410,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geocode_regions": q_geocode_regions,
         "geoparse_points": q_geoparse_points,
         "tile_cells": q_tile_cells,
+        "cell_rollup": q_cell_rollup,
         "bbox_scan": q_bbox_scan,
         "bounds_agg": q_bounds_agg,
         "knn_cities": q_knn_cities,
@@ -458,6 +473,10 @@ SELECT url, lat, lon FROM geo
         "tile_cells": f"""
 {GEO_SQL_CTE}
 SELECT {cell} AS cell, count(*) AS n FROM geo GROUP BY 1
+""",
+        "cell_rollup": f"""
+{GEO_SQL_CTE}
+SELECT {st.cell_sql("lon", "lat", 4)} AS cell, count(*) AS n FROM geo GROUP BY 1
 """,
         "bbox_scan": f"""
 {GEO_SQL_CTE}

@@ -48,6 +48,32 @@ def cell_xy_expr(cell: Column) -> tuple[Column, Column, Column]:
     return res, x, y
 
 
+def parent_cell_expr(cell: Column, steps: int = 1) -> Column:
+    """Quadtree parent cell id, pure JVM bit arithmetic (floor
+    composition makes parent(cell_r(p)) == cell_{r-steps}(p) exactly)."""
+    res, x, y = cell_xy_expr(cell)
+    return (
+        F.shiftleft(res - steps, tiling._RES_SHIFT)
+        .bitwiseOR(F.shiftleft(F.shiftright(x, steps), tiling._X_SHIFT))
+        .bitwiseOR(F.shiftright(y, steps))
+    )
+
+
+def rollup_cells(
+    df: DataFrame, cell_col: str = "cell", steps: int = 1, aggs: list | None = None
+) -> DataFrame:
+    """Hypertable-style rollup: re-aggregate a per-cell table to the
+    parent resolution. Partial aggregation makes the shuffle carry one
+    row per FINE cell, and successive rollups chain (r8 -> r6 -> r4)
+    without touching the raw data again."""
+    aggs = aggs or [F.sum("n").alias("n")]
+    return (
+        df.withColumn(cell_col, parent_cell_expr(F.col(cell_col), steps))
+        .groupBy(cell_col)
+        .agg(*aggs)
+    )
+
+
 def neighbors_expr(cell: Column, res: int, k: int = 1) -> Column:
     """array<long> of the (2k+1)^2 neighborhood of a cell, pure JVM
     arithmetic: longitude wraps, latitude clamps (drops out-of-range)."""
