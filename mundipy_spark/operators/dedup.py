@@ -78,14 +78,20 @@ def minhash_signatures(
     carries only (doc_id, n running minima), not the shingles.
     """
     assert n_hashes <= len(_HASH_AB)
+    # materialize the md5 base hash ONCE per shingle in a projection:
+    # referencing it inside the n aggregate expressions would re-evaluate
+    # the md5 n times per row (no CSE across agg expressions)
     sh = df.select(
         F.col(id_col),
         F.explode(tx.shingles_expr(F.col(text_col), shingle_k)).alias("shingle"),
+    ).select(
+        id_col, (tx.md5_int_expr(F.col("shingle")) % F.lit(HASH_P)).alias("_h")
     )
-    h = tx.md5_int_expr(F.col("shingle")) % F.lit(HASH_P)
     aggs = []
     for i, (a, b) in enumerate(_HASH_AB[:n_hashes]):
-        aggs.append(F.min((h * F.lit(a) + F.lit(b)) % F.lit(HASH_P)).alias(f"mh{i}"))
+        aggs.append(
+            F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(HASH_P)).alias(f"mh{i}")
+        )
     return sh.groupBy(id_col).agg(*aggs)
 
 
