@@ -320,3 +320,34 @@ def test_hausdorff():
     b = ("LineString", np.array([[0, 0.001], [1, 0.001]], dtype=float))
     d = measure.hausdorff_distance_m(a, b)
     assert d == pytest.approx(110.6, rel=0.02)
+
+
+def test_area_m2_midlat_circle_matches_ellipse():
+    """Role of the reference's Paris golden (tests/test_geometry.py:72-81):
+    meters-true area at mid-latitude. A 0.1-deg circle at 48.85N is an
+    ellipse in meters with semi-axes (deg-lon * cos(lat), deg-lat); our
+    UTM-projected area must match within 1%."""
+    import numpy as np
+
+    latc, lonc, r = 48.85, 2.35, 0.1
+    th = np.linspace(0, 2 * np.pi, 65)
+    ring = np.c_[lonc + r * np.cos(th), latc + r * np.sin(th)]
+    g = ("Polygon", [ring])
+    a = measure.geom_area_m2(g)
+    # WGS84 meridian/parallel metric at 48.85N
+    phi = np.radians(latc)
+    e2 = 0.00669437999014
+    m_per_deg_lat = 111132.954 - 559.822 * np.cos(2 * phi) + 1.175 * np.cos(4 * phi)
+    m_per_deg_lon = (np.pi / 180) * 6378137.0 * np.cos(phi) / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    expect = np.pi * (r * m_per_deg_lon) * (r * m_per_deg_lat)
+    assert abs(a - expect) / expect < 0.01, (a, expect)
+
+
+def test_length_m_meridian_degree():
+    import numpy as np
+
+    g = ("LineString", np.array([[2.35, 48.35], [2.35, 49.35]], float))
+    l = measure.geom_length_m(g)
+    phi = np.radians(48.85)
+    expect = 111132.954 - 559.822 * np.cos(2 * phi) + 1.175 * np.cos(4 * phi)
+    assert abs(l - expect) / expect < 0.005, (l, expect)
