@@ -28,11 +28,16 @@ def _as_geom(other):
 
 
 class Feature:
-    __slots__ = ("geom", "features")
+    __slots__ = ("geom", "features", "uscale")
 
-    def __init__(self, geom, features: dict | None = None):
+    def __init__(self, geom, features: dict | None = None, uscale: float = 1.0):
+        """uscale: meters -> session measurement units (1.0 = meters,
+        ~3.2808 = feet). The reference gets this by choosing a PCS whose
+        axis unit matches Mundi(units=...) (mundipy/pcs/__init__.py:26-62);
+        here measures compute in meters and scale on the way out."""
         self.geom = geom if isinstance(geom, tuple) else wkb.loads(geom)
         self.features = dict(features or {})
+        self.uscale = uscale
 
     # --- property dict surface (geometry.py:203-207) ---
     def __getitem__(self, key):
@@ -69,17 +74,17 @@ class Feature:
             "properties": dict(self.features),
         }
 
-    # --- measures (meters; TRANSFORM_INPUT sandwich) ---
+    # --- measures (session units; TRANSFORM_INPUT sandwich) ---
     @property
     def area(self) -> float:
-        return measure.geom_area_m2(self.geom)
+        return measure.geom_area_m2(self.geom) * self.uscale**2
 
     @property
     def length(self) -> float:
-        return measure.geom_length_m(self.geom)
+        return measure.geom_length_m(self.geom) * self.uscale
 
     def distance(self, other) -> float:
-        return measure.geom_distance_m(self.geom, _as_geom(other))
+        return measure.geom_distance_m(self.geom, _as_geom(other)) * self.uscale
 
     # --- predicates ---
     def intersects(self, other) -> bool:
@@ -98,23 +103,28 @@ class Feature:
         return predicates.disjoint(self.geom, _as_geom(other))
 
     # --- constructive (RETURN_GEO: properties propagate) ---
-    def buffer(self, dist_m: float) -> "Feature":
-        return Feature(constructive.buffer_m(self.geom, dist_m), self.features)
+    def buffer(self, dist: float) -> "Feature":
+        """dist in session units (feet when Mundi(units='feet'))."""
+        return Feature(
+            constructive.buffer_m(self.geom, dist / self.uscale),
+            self.features,
+            self.uscale,
+        )
 
     @property
     def centroid(self) -> "Feature":
-        return Feature(constructive.centroid(self.geom), self.features)
+        return Feature(constructive.centroid(self.geom), self.features, self.uscale)
 
     @property
     def envelope(self) -> "Feature":
-        return Feature(constructive.envelope(self.geom), self.features)
+        return Feature(constructive.envelope(self.geom), self.features, self.uscale)
 
     @property
     def convex_hull(self) -> "Feature":
-        return Feature(constructive.convex_hull(self.geom), self.features)
+        return Feature(constructive.convex_hull(self.geom), self.features, self.uscale)
 
     def simplify(self, tol: float) -> "Feature":
-        return Feature(constructive.simplify(self.geom, tol), self.features)
+        return Feature(constructive.simplify(self.geom, tol), self.features, self.uscale)
 
     def __repr__(self) -> str:
         return f"<Feature {self.geom_type} props={list(self.features)[:4]}>"
@@ -131,9 +141,10 @@ class LocalIndex:
     nearest returns None on empty (dataset.py:201-206).
     """
 
-    def __init__(self, rows: list[tuple[bytes, dict]]):
+    def __init__(self, rows: list[tuple[bytes, dict]], uscale: float = 1.0):
         self.geoms = [wkb.loads(g) for g, _ in rows]
         self.props = [p for _, p in rows]
+        self.uscale = uscale
         if self.geoms:
             b = np.asarray([wkb.bounds(g) for g in self.geoms], dtype=np.float64)
         else:
@@ -152,12 +163,21 @@ class LocalIndex:
                 rows.append((bytes(g), d))
         return cls(rows)
 
+    def with_scale(self, uscale: float) -> "LocalIndex":
+        """Shallow view with a different session unit scale (arrays
+        shared) — Mundi(units=...) wraps side layers through this."""
+        import copy
+
+        ix = copy.copy(self)
+        ix.uscale = uscale
+        return ix
+
     def __len__(self) -> int:
         return len(self.geoms)
 
     def __iter__(self):
         for g, p in zip(self.geoms, self.props):
-            yield Feature(g, p)
+            yield Feature(g, p, self.uscale)
 
     @property
     def bounds(self):
@@ -180,7 +200,7 @@ class LocalIndex:
 
     def inside_bbox(self, bbox) -> list[Feature]:
         idx = self._bbox_candidates(*bbox)
-        return [Feature(self.geoms[i], self.props[i]) for i in idx]
+        return [Feature(self.geoms[i], self.props[i], self.uscale) for i in idx]
 
     def intersects(self, probe) -> list[Feature]:
         g = _as_geom(probe)
@@ -191,7 +211,7 @@ class LocalIndex:
         out = []
         for i in idx:
             if predicates.intersects(self.geoms[i], g):
-                out.append(Feature(self.geoms[i], self.props[i]))
+                out.append(Feature(self.geoms[i], self.props[i], self.uscale))
         return out
 
     def within(self, radius_m: float, probe) -> list[Feature]:
@@ -203,7 +223,7 @@ class LocalIndex:
         out = []
         for i in idx:
             if measure.geom_distance_m(self.geoms[i], g) <= radius_m:
-                out.append(Feature(self.geoms[i], self.props[i]))
+                out.append(Feature(self.geoms[i], self.props[i], self.uscale))
         return out
 
     def nearest(self, probe) -> Feature | None:
@@ -225,4 +245,4 @@ class LocalIndex:
             d = measure.geom_distance_m(self.geoms[int(i)], g)
             if d < best_d:
                 best, best_d = int(i), d
-        return Feature(self.geoms[best], self.props[best]) if best is not None else None
+        return Feature(self.geoms[best], self.props[best], self.uscale) if best is not None else None

@@ -103,10 +103,10 @@ class Mundi:
         if n_end is not None:
             main_df = main_df.filter(F.col("_id") < n_end)
 
-        # side layers -> broadcast local indexes
+        # side layers -> broadcast local indexes (carrying session units)
         sc = main_ds.df.sparkSession.sparkContext
         bc_layers = {
-            name: sc.broadcast(self.mapdata[name].local_index())
+            name: sc.broadcast(self.mapdata[name].local_index().with_scale(self.scale))
             for name in layer_names
         }
 
@@ -115,7 +115,7 @@ class Mundi:
         first = main_df.orderBy("_id").limit(1).collect()
         if not first:
             raise ValueError("main layer is empty")
-        proto_out = _call_one(fn, first[0], main_ds.geom_col, bc_layers)
+        proto_out = _call_one(fn, first[0], main_ds.geom_col, bc_layers, self.scale)
         key_fields = [] if proto_out is None else list(proto_out.features.keys())
         schema_fields = ["geometry binary"]
         for k in key_fields:
@@ -133,13 +133,14 @@ class Mundi:
         schema = ", ".join(schema_fields)
         geom_col = main_ds.geom_col
         main_name = self.main
+        uscale = self.scale
 
         def run(batches):
             keyset: list[str] | None = None
             for pdf in batches:
                 out_rows = []
                 for _, row in pdf.iterrows():
-                    feat = _row_to_feature(row, geom_col)
+                    feat = _row_to_feature(row, geom_col, uscale)
                     buf = io.StringIO()
                     with contextlib.redirect_stdout(buf):
                         args = [bc_layers[n].value for n in layer_names]
@@ -189,8 +190,8 @@ class Mundi:
             for k in ("minx", "miny", "maxx", "maxy"):
                 d.pop(k, None)
             g = d.pop(main_ds.geom_col)
-            feat = Feature(bytes(g), d)
-            idx = {n: self.mapdata[n].local_index() for n in layer_names}
+            feat = Feature(bytes(g), d, self.scale)
+            idx = {n: self.mapdata[n].local_index().with_scale(self.scale) for n in layer_names}
             fn(feat, *[idx[n] for n in layer_names])
         finally:
             utils._plot_ctx.reset(token)
@@ -209,16 +210,16 @@ class Mundi:
         }
 
 
-def _row_to_feature(row: pd.Series, geom_col: str) -> Feature:
+def _row_to_feature(row: pd.Series, geom_col: str, uscale: float = 1.0) -> Feature:
     d = {k: v for k, v in row.items() if k not in (geom_col, "_id")}
-    return Feature(bytes(row[geom_col]), d)
+    return Feature(bytes(row[geom_col]), d, uscale)
 
 
-def _call_one(fn, spark_row, geom_col, bc_layers):
+def _call_one(fn, spark_row, geom_col, bc_layers, uscale: float = 1.0):
     d = spark_row.asDict()
     d.pop("_id", None)
     g = d.pop(geom_col)
-    feat = Feature(bytes(g), d)
+    feat = Feature(bytes(g), d, uscale)
     args = [bc.value for bc in bc_layers.values()]
     with contextlib.redirect_stdout(io.StringIO()):
         return fn(feat, *args)

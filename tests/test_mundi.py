@@ -201,3 +201,31 @@ def test_sql_registration_and_svg(spark):
 
     svg = Dataset(df)._repr_svg_()
     assert svg.startswith("<svg") and "path" in svg
+
+
+def test_units_feet_scale_measures(spark):
+    """Mundi(units='feet') scales measures inside q (reference semantics:
+    a foot-unit PCS is chosen, mundipy/pcs/__init__.py:26-62)."""
+    import numpy as np
+
+    from mundipy_spark.dataset import Dataset, Map
+    from mundipy_spark.kernels import wkb as wkb_mod
+    from mundipy_spark.mundi import Mundi
+
+    ring = np.array(
+        [[-118.0, 34.0], [-117.99, 34.0], [-117.99, 34.01], [-118.0, 34.01], [-118.0, 34.0]]
+    )
+    df = spark.createDataFrame(
+        [(wkb_mod.dumps(("Polygon", [ring])), "a")], "geometry binary, name string"
+    )
+    m = Map({"polys": Dataset(df)}, spark=spark)
+
+    def in_meters(poly):
+        poly["area"] = poly.area
+        poly["length"] = poly.length
+        return poly
+
+    am = Mundi(m, "polys", units="meters").q(in_meters)["features"][0]["properties"]
+    af = Mundi(m, "polys", units="feet").q(in_meters)["features"][0]["properties"]
+    assert abs(af["area"] / am["area"] - 3.28083333**2) < 1e-3
+    assert abs(af["length"] / am["length"] - 3.28083333) < 1e-4
