@@ -123,3 +123,51 @@ def resize_images(df: DataFrame, target: int = 64, id_col: str = "doc_id") -> Da
             yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "payload"])
 
     return df.select(id_col, "media").mapInPandas(op, RESIZE_SCHEMA)
+
+
+VIDEO_META_SCHEMA = "n_frames int, fps double"
+FRAME_SCHEMA = "doc_id long, frame_idx int, ts_sec double, payload binary"
+
+
+def attach_fake_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake video payloads: byte blob + (n_frames, fps)."""
+    return df.withColumn(
+        "video",
+        F.struct(
+            F.encode(F.concat(F.lit("VID"), F.col(id_col).cast("string")), "UTF-8").alias("payload"),
+            ((F.col(id_col) % 20) * 30 + 30).cast("int").alias("n_frames"),
+            F.lit(30.0).alias("fps"),
+        ),
+    )
+
+
+def sample_frames(df: DataFrame, k: int = 4, id_col: str = "doc_id", size: int = 8) -> DataFrame:
+    """mapInPandas frame sampling: k evenly-spaced frames per video, one
+    output row each (frame index, timestamp, raw frame bytes). The frame
+    decode is the same stub seam as images — a real pipeline swaps in
+    pyav/ffmpeg; the Spark batch shape (video-in, k compact frame rows
+    out, payload never shuffled) is the part that matters at scale."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                v = r["video"]
+                n, fps = int(v["n_frames"]), float(v["fps"])
+                idxs = np.linspace(0, n - 1, min(k, n)).astype(int)
+                for fi in idxs:
+                    frame = _decode_image_stub(
+                        bytes(v["payload"]) + int(fi).to_bytes(4, "little"),
+                        size, size, 3,
+                    )
+                    rows.append(
+                        {
+                            "doc_id": r[id_col],
+                            "frame_idx": int(fi),
+                            "ts_sec": float(fi) / fps,
+                            "payload": frame.astype(np.uint8).tobytes(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "ts_sec", "payload"])
+
+    return df.select(id_col, "video").mapInPandas(op, FRAME_SCHEMA)

@@ -135,3 +135,19 @@ def test_ivf_ann_recall(spark):
     recall = len(e & a) / len(e)
     # probing 3/8 clusters must beat the random-subset baseline by far
     assert recall >= 0.6, recall
+
+
+def test_frame_sampling_plumbing(spark, docs):
+    vids = multimodal.attach_fake_video(docs.limit(10))
+    frames = multimodal.sample_frames(vids, k=4, size=8).collect()
+    assert len(frames) == 40
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        assert len(r.payload) == 8 * 8 * 3
+        assert abs(r.ts_sec - r.frame_idx / 30.0) < 1e-9
+    assert all(len(v) == 4 for v in by_doc.values())
+    # frames are evenly spaced: first is 0, last is n_frames-1
+    for v in by_doc.values():
+        idxs = sorted(x.frame_idx for x in v)
+        assert idxs[0] == 0
