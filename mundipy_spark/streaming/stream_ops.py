@@ -125,3 +125,17 @@ def sessionize_stream(events_stream: DataFrame, gap_s: int = 1800) -> DataFrame:
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def dedup_stream(
+    pages_stream: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence per key within
+    the watermark horizon (dropDuplicates with event-time state expiry —
+    state stays bounded at 10^12-row streams because expired keys are
+    evicted). Key defaults to the url; recrawls inside the horizon drop."""
+    keys = list(key_cols or ["url"])
+    return pages_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -120,3 +120,32 @@ def test_sessionize_stream_matches_batch(spark):
         assert got == closed_expect
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dedup_stream_drops_recrawls(spark):
+    from mundipy_spark.streaming.stream_ops import dedup_stream
+
+    pages = pages_src.synth_pages(spark, SF).drop("html")
+    dup = pages.limit(100)  # recrawl of 100 urls, 1s later
+    dup = dup.withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 SECOND"))
+    both = pages.unionByName(dup)
+    tmp = tempfile.mkdtemp(prefix="dedup_stream_")
+    try:
+        both.write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(both.schema).parquet(f"{tmp}/in")
+        out = dedup_stream(stream)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0].n
+        n_urls = spark.sql("SELECT count(DISTINCT url) AS n FROM dedup_out").collect()[0].n
+        assert n == pages.count()  # each url exactly once
+        assert n_urls == n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
