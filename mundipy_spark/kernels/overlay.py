@@ -513,13 +513,51 @@ def _outer_rings(geom) -> list[np.ndarray]:
     return [_ccw(rings[0]) for rings in predicates._polygons_of(geom) if rings]
 
 
+def _ring_interior_point(ring: np.ndarray) -> tuple[float, float]:
+    """A point strictly inside a simple ring (midpoint of the widest
+    interior interval of a scanline through a vertex band) — ring
+    VERTICES can lie on other rings' boundaries (shared GH intersection
+    nodes), so nesting tests must not use them."""
+    ys = ring[:, 1]
+    y = (ys.min() + ys.max()) / 2.0
+    if np.any(ys == y):  # avoid scanning exactly through a vertex
+        y += (ys.max() - ys.min()) * 1e-7 + 1e-12
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    hit = (y1 > y) != (y2 > y)
+    xs = np.sort((x2[hit] - x1[hit]) * (y - y1[hit]) / (y2[hit] - y1[hit]) + x1[hit])
+    if len(xs) >= 2 and len(xs) % 2 == 0:
+        widths = xs[1::2] - xs[0::2]  # inside intervals by even-odd
+        i = int(np.argmax(widths))
+        return float((xs[2 * i] + xs[2 * i + 1]) / 2.0), float(y)
+    return float(ring[:, 0].mean()), float(ring[:, 1].mean())
+
+
 def _rings_to_geom(rings: list[np.ndarray]):
+    """Assemble GH output rings into (Multi)Polygons with hole NESTING:
+    union (and some concave intersections) legitimately emit rings that
+    lie INSIDE another result ring — those are holes (an enclosed void
+    between two interlocking shapes), not extra area."""
     rings = [r for r in rings if len(r) >= 3 and abs(_ring_signed_area(r)) > 1e-18]
     if not rings:
         return None
     if len(rings) == 1:
         return ("Polygon", [_close(rings[0])])
-    return ("MultiPolygon", [[_close(r)] for r in rings])
+    order = sorted(range(len(rings)), key=lambda i: -abs(_ring_signed_area(rings[i])))
+    polys: list[list[np.ndarray]] = []
+    for i in order:
+        r = rings[i]
+        px, py = _ring_interior_point(r)
+        for p in polys:
+            if _point_in_ring(px, py, p[0]):
+                p.append(r)  # hole of that outer (one-level nesting)
+                break
+        else:
+            polys.append([r])
+    polys = [[_close(x) for x in p] for p in polys]
+    if len(polys) == 1:
+        return ("Polygon", polys[0])
+    return ("MultiPolygon", polys)
 
 
 def _perturb(ring: np.ndarray, k: int) -> np.ndarray:
