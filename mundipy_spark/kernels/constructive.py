@@ -249,6 +249,15 @@ def buffer_planar(geom, dist: float, quad_segs: int = QUAD_SEGS):
                 polys.append(seg_hull[1])
         return ("MultiPolygon", polys)
     if t == "Polygon":
+        from mundipy_spark.kernels import overlay
+
+        ext = np.asarray(data[0], dtype=np.float64)
+        if len(data) == 1 and not overlay.is_convex(ext) and len(ext) <= 256:
+            # concave exterior: the offset curve self-intersects at
+            # reflex corners and even-odd fill drops concave pockets —
+            # build the EXACT buffer instead as P ∪ (capsule per edge),
+            # each capsule convex, via Greiner–Hormann union
+            return _buffer_ring_union(ext, dist, quad_segs)
         return ("Polygon", [_offset_ring(data[0], dist, quad_segs)] + [
             _offset_ring(h, -dist, quad_segs) for h in data[1:]
         ])
@@ -260,6 +269,41 @@ def buffer_planar(geom, dist: float, quad_segs: int = QUAD_SEGS):
     if t == "GeometryCollection":
         return (t, [buffer_planar(g, dist, quad_segs) for g in data])
     raise ValueError(t)
+
+
+def _segment_capsule(p0, p1, dist: float, quad_segs: int) -> np.ndarray:
+    """Convex hull of the two end circles = round-capped segment swept
+    area (exact to arc discretization)."""
+    hull = convex_hull(
+        (
+            "MultiPoint",
+            np.vstack(
+                [
+                    _circle(p0[0], p0[1], dist, quad_segs)[:-1],
+                    _circle(p1[0], p1[1], dist, quad_segs)[:-1],
+                ]
+            ),
+        )
+    )
+    return hull[1][0]
+
+
+def _buffer_ring_union(ring: np.ndarray, dist: float, quad_segs: int):
+    """buffer(P, r) = P ∪ { capsule(edge, r) } — correct for arbitrary
+    simple rings (dist(x, P) <= r  ⇔  x ∈ P or dist(x, ∂P) <= r)."""
+    from mundipy_spark.kernels import overlay
+
+    r = ring
+    if np.allclose(r[0], r[-1]):
+        body = r[:-1]
+    else:
+        body = r
+        r = np.vstack([r, r[:1]])
+    acc = ("Polygon", [r])
+    for i in range(len(body)):
+        cap = _segment_capsule(body[i], body[(i + 1) % len(body)], dist, quad_segs)
+        acc = overlay.union(acc, ("Polygon", [cap]))
+    return acc
 
 
 def _map_polys(geom, fn):
