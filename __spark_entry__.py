@@ -325,13 +325,16 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (UDF signature — rows-only oracle)."""
+    """SimHash near-dup pairs. max_hamming=7 keeps the 8-block pigeonhole
+    guarantee exact; the md5-based 56-bit signature is reproduced by the
+    DuckDB oracle bit-for-bit."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.simhash_dedup(docs, max_hamming=10)
+    return dedup.simhash_dedup(docs, max_hamming=7)
 
 
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID profile (UDF — rows-only oracle)."""
+    """Heuristic language ID profile (deterministic marker counts — the
+    oracle re-derives the argmax in SQL)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return textstats.lang_profile(docs).select("lang_detected", "n_docs")
 
@@ -671,6 +674,8 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
 GROUP BY n_name
 """,
-        # simhash_pairs / lang_profile / multimodal_features / lsh_ann:
-        # UDF-backed or approximate — intentionally rows-only checks.
+        "simhash_pairs": dedup.simhash_pairs_sql(max_hamming=7),
+        "lang_profile": textstats.lang_profile_sql(),
+        # multimodal_features / lsh_ann / ivf_ann: stubbed decode or
+        # approximate float-rank ties — intentionally rows-only checks.
     }

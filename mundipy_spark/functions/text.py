@@ -137,23 +137,42 @@ def lang_id(text: pd.Series) -> pd.Series:
 _TOKEN_HASH_MEMO: dict[str, int] = {}
 _TOKEN_HASH_MEMO_LIMIT = 2_000_000
 
+SIMHASH_BITS = 56  # md5[:14] = 56-bit token hash, portable to the oracle
+
+
+def _token_hash56(w: str) -> int:
+    """First 14 hex chars of md5(utf-8 bytes) — byte-identical to
+    md5_int_expr / md5_int_sql, so the DuckDB oracle reproduces the
+    SimHash signature exactly."""
+    import hashlib
+
+    return int(hashlib.md5(w.encode("utf-8")).hexdigest()[:14], 16)
+
 
 @F.pandas_udf(T.LongType())
-def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens, vectorized across the whole
-    Arrow batch: unique tokens are hashed in one pass (pandas siphash —
-    deterministic fixed-key, stable across workers), bit votes are 64
-    `reduceat` passes over the flat token-hash array, and signatures
-    assemble via packbits. No per-token Python in steady state."""
+def simhash56(text: pd.Series) -> pd.Series:
+    """56-bit SimHash over word tokens, vectorized across the whole
+    Arrow batch: only NEW unique tokens are hashed (md5 — deterministic,
+    portable, stable across workers and reproducible in SQL), bit votes
+    are 56 `reduceat` passes over the flat token-hash array, and
+    signatures assemble via packbits. No per-token Python in steady
+    state (Zipfian vocab: the memo absorbs repeats)."""
     n = len(text)
     out = np.zeros(n, dtype=np.int64)
     tok_lists = [t.lower().split() if t else [] for t in text]
 
-    new = list({w for toks in tok_lists for w in toks if w not in _TOKEN_HASH_MEMO})
+    batch_vocab = {w for toks in tok_lists for w in toks}
+    new = [w for w in batch_vocab if w not in _TOKEN_HASH_MEMO]
     if new:
-        hs = pd.util.hash_array(np.asarray(new, dtype=object))
+        hs = np.fromiter(
+            (_token_hash56(w) for w in new), dtype=np.uint64, count=len(new)
+        )
         if len(_TOKEN_HASH_MEMO) + len(new) > _TOKEN_HASH_MEMO_LIMIT:
+            # eviction must not orphan tokens THIS batch still reads:
+            # carry the batch's already-memoized entries across the clear
+            keep = {w: _TOKEN_HASH_MEMO[w] for w in batch_vocab if w in _TOKEN_HASH_MEMO}
             _TOKEN_HASH_MEMO.clear()
+            _TOKEN_HASH_MEMO.update(keep)
         _TOKEN_HASH_MEMO.update(zip(new, hs))
 
     counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
@@ -170,13 +189,40 @@ def simhash64(text: pd.Series) -> pd.Series:
     offsets = np.zeros(len(nz), dtype=np.int64)
     np.cumsum(cnz[:-1], out=offsets[1:])
     # majority vote per bit: sum(bit) * 2 > count  <=>  sum(2*bit-1) > 0
-    setbits = np.empty((len(nz), 64), dtype=bool)
-    for b in range(64):
+    setbits = np.zeros((len(nz), 64), dtype=bool)
+    for b in range(SIMHASH_BITS):
         s_b = np.add.reduceat((flat >> np.uint64(b)) & np.uint64(1), offsets)
         setbits[:, b] = s_b * 2 > cnz
     sig8 = np.packbits(setbits, axis=1, bitorder="little")
     out[nz] = sig8.view(np.int64).ravel()
     return pd.Series(out)
+
+
+def simhash_sig_sql(table: str = "documents", text_col: str = "text",
+                    id_col: str = "doc_id") -> str:
+    """DuckDB CTE body reproducing simhash56 exactly: md5[:14] token
+    hash, per-bit majority vote, 56-bit signature (0 for empty docs)."""
+    votes = ",\n         ".join(
+        f"sum((h >> {b}) & 1) AS s{b}" for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN 2 * s{b} > n THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+tok AS (
+  SELECT {id_col}, unnest(regexp_split_to_array(lower(trim({text_col})), '\\s+')) AS w
+  FROM {table}
+), th AS (
+  SELECT {id_col}, {md5_int_sql('w')} AS h FROM tok WHERE w <> ''
+), votes AS (
+  SELECT {id_col}, count(*) AS n,
+         {votes}
+  FROM th GROUP BY {id_col}
+), sig AS (
+  SELECT d.{id_col}, coalesce({sig}, 0) AS sig
+  FROM {table} d LEFT JOIN votes v USING ({id_col})
+)"""
 
 
 def hamming64_expr(a: Column, b: Column) -> Column:

@@ -183,18 +183,30 @@ def jaccard_ngram_pairs(
 
 
 def simhash_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bucket_cap: int = 200,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature, block banding with
-    n_blocks = max_hamming + 1 (pigeonhole: a pair within the hamming
-    budget must agree on at least one whole block), exact hamming refine
-    via bit_count. Wider hamming budgets mean narrower blocks and bigger
-    buckets — the standard recall/cost dial; >= 8 bits per block keeps
-    bucket sizes sane, so max_hamming <= 7 retains the exact guarantee
-    and larger budgets degrade to approximate recall."""
+    """SimHash near-dup pairs: 56-bit portable signature, block banding
+    with n_blocks = max_hamming + 1 (pigeonhole: a pair within the
+    hamming budget must agree on at least one whole block), exact
+    hamming refine via bit_count. max_hamming <= 7 retains the exact
+    pigeonhole guarantee (8 blocks of 7 bits); larger budgets are
+    clamped to 8 blocks and degrade to approximate recall.
+
+    bucket_cap drops block buckets larger than cap before the self-join
+    — a boilerplate-heavy corpus (many identical signatures) would
+    otherwise make one bucket quadratic; same guard as
+    lsh_candidate_pairs."""
+    n_bits = tx.SIMHASH_BITS
     n_blocks = min(max(max_hamming + 1, 2), 8)
-    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
-    sig = df.select(F.col(id_col), tx.simhash64(F.col(text_col)).alias("sig"))
+    widths = [
+        n_bits // n_blocks + (1 if i < n_bits % n_blocks else 0)
+        for i in range(n_blocks)
+    ]
+    sig = df.select(F.col(id_col), tx.simhash56(F.col(text_col)).alias("sig"))
     blocks = []
     off = 0
     for i, w in enumerate(widths):
@@ -208,6 +220,11 @@ def simhash_dedup(
     banded = sig.select(id_col, "sig", F.explode(F.array(*blocks)).alias("b")).select(
         id_col, "sig", "b.blk", "b.bval"
     )
+    from pyspark.sql import Window as W
+
+    banded = banded.withColumn(
+        "bucket_n", F.count("*").over(W.partitionBy("blk", "bval"))
+    ).filter(F.col("bucket_n") <= bucket_cap)
     a = banded.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"), "blk", "bval")
     b = banded.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"), "blk", "bval")
     return (
@@ -218,3 +235,43 @@ def simhash_dedup(
         .select("a", "b", "hamming")
         .distinct()
     )
+
+
+def simhash_pairs_sql(
+    max_hamming: int = 7,
+    bucket_cap: int = 200,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle twin of simhash_dedup (same signature, same
+    banding, same bucket cap)."""
+    n_bits = tx.SIMHASH_BITS
+    n_blocks = min(max(max_hamming + 1, 2), 8)
+    widths = [
+        n_bits // n_blocks + (1 if i < n_bits % n_blocks else 0)
+        for i in range(n_blocks)
+    ]
+    block_rows = []
+    off = 0
+    for i, w in enumerate(widths):
+        block_rows.append(
+            f"SELECT {id_col}, sig, {i} AS blk, (sig >> {off}) & {(1 << w) - 1} AS bval FROM sig"
+        )
+        off += w
+    blocks_union = "\nUNION ALL\n".join(block_rows)
+    return f"""
+WITH {tx.simhash_sig_sql(table, text_col, id_col).strip()},
+blocks AS (
+{blocks_union}
+), capped AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY blk, bval) AS bucket_n FROM blocks
+  ) WHERE bucket_n <= {bucket_cap}
+)
+SELECT DISTINCT x.{id_col} AS a, y.{id_col} AS b,
+       bit_count(xor(x.sig, y.sig)) AS hamming
+FROM capped x JOIN capped y ON x.blk = y.blk AND x.bval = y.bval
+WHERE x.{id_col} < y.{id_col}
+  AND bit_count(xor(x.sig, y.sig)) <= {max_hamming}
+"""

@@ -48,6 +48,48 @@ def lang_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def lang_profile_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB oracle twin of lang_profile: same marker sets, same
+    first-wins argmax as functions.text.lang_id (en, de, fr, es order),
+    same CJK pre-check."""
+    hit_cols = []
+    for lang, markers in tx._LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in sorted(markers))
+        hit_cols.append(
+            f"len(list_filter(toks, x -> list_contains([{lst}], x))) AS h_{lang}"
+        )
+    hits = ",\n         ".join(hit_cols)
+    order = list(tx._LANG_MARKERS.keys())
+    m = "greatest(" + ", ".join(f"h_{g}" for g in order) + ")"
+    pick = " ".join(f"WHEN h_{g} = m THEN '{g}'" for g in order[:-1])
+    return f"""
+WITH t AS (
+  SELECT {text_col} AS txt,
+         substr({text_col}, 1, 2000) AS head
+  FROM {table}
+), feat AS (
+  SELECT txt,
+         length(regexp_replace(head, '[^一-鿿]', '', 'g')) AS n_cjk,
+         length(head) AS n_head,
+         regexp_split_to_array(lower(txt), '\\s+') AS toks
+  FROM t
+), hits AS (
+  SELECT n_cjk, n_head,
+         {hits}
+  FROM feat
+), lab AS (
+  SELECT CASE
+           WHEN n_cjk > greatest(4, n_head * 0.05) THEN 'zh'
+           WHEN m = 0 THEN 'und'
+           {pick}
+           ELSE '{order[-1]}'
+         END AS lang_detected
+  FROM (SELECT *, {m} AS m FROM hits)
+)
+SELECT lang_detected, count(*) AS n_docs FROM lab GROUP BY lang_detected
+"""
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", min_count: int = 2
 ) -> DataFrame:

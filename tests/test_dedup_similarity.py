@@ -73,6 +73,46 @@ def test_simhash_planted_near_dup(spark):
     assert (1, 3) not in pairs
 
 
+def test_simhash_memo_eviction_stable():
+    """Memo overflow must not orphan tokens the current batch still
+    reads (the executor-crash regime at web-scale vocab): force eviction
+    with a tiny limit and require identical signatures. Runs the raw
+    kernel in-process (module-level UDFs pickle by reference, so a
+    driver-side limit change would not reach Spark's python workers)."""
+    from mundipy_spark.functions import text as tx
+
+    kernel = tx.simhash56.func
+    texts = pd.Series([" ".join(f"w{i}" for i in range(50)), "a b c", ""])
+    tx._TOKEN_HASH_MEMO.clear()
+    before = list(kernel(texts))
+    old = tx._TOKEN_HASH_MEMO_LIMIT
+    tx._TOKEN_HASH_MEMO_LIMIT = 10  # every batch overflows
+    try:
+        # memo is pre-warmed from the first pass: eviction now fires with
+        # previously-memoized tokens still needed — the r01 KeyError path
+        after1 = list(kernel(texts))
+        after2 = list(kernel(pd.Series(["w0 w1 brandnew " + " ".join(f"x{i}" for i in range(30))])))
+        after3 = list(kernel(texts))
+    finally:
+        tx._TOKEN_HASH_MEMO_LIMIT = old
+        tx._TOKEN_HASH_MEMO.clear()
+    assert before == after1 == after3
+    assert len(after2) == 1
+
+
+def test_simhash_portable_hash():
+    """simhash56's token hash must equal the md5_int primitive the
+    DuckDB oracle uses (14 hex chars of md5)."""
+    import hashlib
+
+    from mundipy_spark.functions.text import _token_hash56
+
+    for w in ["spark", "window", "a", "ümlaut"]:
+        assert _token_hash56(w) == int(
+            hashlib.md5(w.encode("utf-8")).hexdigest()[:14], 16
+        )
+
+
 def test_brute_force_topk_matches_numpy(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
