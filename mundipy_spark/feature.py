@@ -214,8 +214,11 @@ class LocalIndex:
                 out.append(Feature(self.geoms[i], self.props[i], self.uscale))
         return out
 
-    def within(self, radius_m: float, probe) -> list[Feature]:
+    def within(self, radius: float, probe) -> list[Feature]:
+        """radius is in SESSION units (feet under Mundi(units='feet')) —
+        consistent with Feature.buffer/distance, reference semantics."""
         g = _as_geom(probe)
+        radius_m = radius / self.uscale
         # equivalence with intersects(buffer(r)) per docs/manual/datasets.mdx:100-107
         pad = radius_m / 111_000.0 * 1.5 + 1e-9
         minx, miny, maxx, maxy = wkb.bounds(g)
@@ -230,17 +233,26 @@ class LocalIndex:
         g = _as_geom(probe)
         if not len(self.geoms):
             return None
-        # expanding-ring candidate search over bbox distance, then exact
-        minx, miny, maxx, maxy = wkb.bounds(g)
-        cx, cy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
-        # cheap lower-bound: degrees distance from probe center to bboxes
-        dx = np.maximum(np.maximum(self.minx - cx, cx - self.maxx), 0.0)
-        dy = np.maximum(np.maximum(self.miny - cy, cy - self.maxy), 0.0)
-        lb = np.hypot(dx, dy)
-        order = np.argsort(lb)
+        # best-first candidate scan over a TRUE meter lower bound, exact
+        # refine. Bbox-to-bbox gaps in degrees:
+        pminx, pminy, pmaxx, pmaxy = wkb.bounds(g)
+        dx = np.maximum(np.maximum(self.minx - pmaxx, pminx - self.maxx), 0.0)
+        dy = np.maximum(np.maximum(self.miny - pmaxy, pminy - self.maxy), 0.0)
+        # sound meter lower bounds (great-circle d between points at
+        # lats phi1, phi2 with lon gap dx satisfies d >= R*dphi and
+        # d >= (2/pi)*R*cos(phi_max)*dlam — the old scalar 85 km/deg
+        # overestimated the lon term above ~40 deg latitude and could
+        # prune the true nearest at high latitudes):
+        lat_hi = np.maximum(
+            np.maximum(np.abs(self.miny), np.abs(self.maxy)),
+            max(abs(pminy), abs(pmaxy)),
+        )
+        coslat = np.cos(np.radians(np.minimum(lat_hi, 89.99)))
+        lb_m = np.maximum(dy * 110_000.0, dx * 70_000.0 * coslat)
+        order = np.argsort(lb_m)
         best, best_d = None, np.inf
         for i in order:
-            if lb[i] * 85_000.0 > best_d:  # conservative deg->m lower bound
+            if lb_m[i] > best_d:
                 break
             d = measure.geom_distance_m(self.geoms[int(i)], g)
             if d < best_d:

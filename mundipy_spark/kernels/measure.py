@@ -70,7 +70,7 @@ def geom_distance_planar(a, b) -> float:
 # --- meters (local-PCS sandwich) --------------------------------------------
 
 
-def _projected(geom, *others):
+def _projected(geom, *others, purpose: str = "area"):
     """Project geom (and optionally companions) into a local PCS chosen
     from the union of all operands' bounds (reference
     mundipy/geometry.py:277-292: op-scoped projection choice)."""
@@ -79,7 +79,7 @@ def _projected(geom, *others):
     miny = min(b[1] for b in bs)
     maxx = max(b[2] for b in bs)
     maxy = max(b[3] for b in bs)
-    name, fwd, inv = proj.local_projection(minx, miny, maxx, maxy)
+    name, fwd, inv = proj.local_projection(minx, miny, maxx, maxy, purpose=purpose)
     return [proj.transform_geom(g, fwd) for g in (geom, *others)], name, fwd, inv
 
 
@@ -89,19 +89,19 @@ def geom_area_m2(geom) -> float:
 
 
 def geom_length_m(geom) -> float:
-    (g,), _, _, _ = _projected(geom)
+    (g,), _, _, _ = _projected(geom, purpose="distance")
     return geom_length_planar(g)
 
 
 def geom_distance_m(a, b) -> float:
-    (ga, gb), _, _, _ = _projected(a, b)
+    (ga, gb), _, _, _ = _projected(a, b, purpose="distance")
     return geom_distance_planar(ga, gb)
 
 
 def hausdorff_distance_m(a, b) -> float:
     """Discrete (vertex-sampled) Hausdorff distance in meters — matches
     the reference surface (mundipy/geometry.py:117) to vertex precision."""
-    (ga, gb), _, _, _ = _projected(a, b)
+    (ga, gb), _, _, _ = _projected(a, b, purpose="distance")
     va, vb = predicates.geom_vertices(ga), predicates.geom_vertices(gb)
     sa, sb = predicates.geom_segments(ga), predicates.geom_segments(gb)
     d_ab = (

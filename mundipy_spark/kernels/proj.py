@@ -215,20 +215,29 @@ def transform_geom(geom, fwd):
     raise ValueError(t)
 
 
-def local_projection(minx: float, miny: float, maxx: float, maxy: float):
+def local_projection(minx: float, miny: float, maxx: float, maxy: float,
+                     purpose: str = "area"):
     """Pick a deterministic local PCS for a bbox, mirroring the
     reference's choose-smallest-containing-region rule
     (mundipy/pcs/__init__.py:26-62) with a UTM-zone formula:
 
     - extent fits one UTM zone (<= ~6 deg of lon, same hemisphere-ish)
       -> that zone's transverse Mercator;
-    - else -> Mollweide (the reference's ESRI:54009 meters fallback).
+    - polar-cap small extents (UPS territory) -> azimuthal equidistant
+      about the bbox center;
+    - else: Mollweide (ESRI:54009, equal-area — the right fallback for
+      AREA) for purpose="area"; AEQD about the bbox center for
+      purpose="distance" (Mollweide compresses N-S distances without
+      bound near the poles, while AEQD's metric scales are >= 1
+      everywhere, so planar AEQD distance never under-estimates the
+      geodesic — the property `nearest` pruning relies on).
 
     Returns (name, forward_fn, inverse_fn).
     """
     cx = (minx + maxx) / 2.0
     cy = (miny + maxy) / 2.0
-    if (maxx - minx) <= 6.0 and (maxy - miny) <= 40.0 and -80.0 <= cy <= 84.0:
+    fits_zone = (maxx - minx) <= 6.0 and (maxy - miny) <= 40.0
+    if fits_zone and -80.0 <= cy <= 84.0:
         zone = int(utm_zone([cx], [cy])[0])
         south = cy < 0
         name = f"EPSG:{(32700 if south else 32600) + zone}"
@@ -236,5 +245,11 @@ def local_projection(minx: float, miny: float, maxx: float, maxy: float):
             name,
             lambda x, y, z=zone, s=south: utm_forward(x, y, z, s),
             lambda x, y, z=zone, s=south: utm_inverse(x, y, z, s),
+        )
+    if fits_zone or purpose == "distance":
+        return (
+            f"AEQD({cx:.3f},{cy:.3f})",
+            lambda x, y, a=cx, b=cy: aeqd_forward(x, y, a, b),
+            lambda x, y, a=cx, b=cy: aeqd_inverse(x, y, a, b),
         )
     return ("ESRI:54009", mollweide_forward, mollweide_inverse)

@@ -229,3 +229,30 @@ def test_units_feet_scale_measures(spark):
     af = Mundi(m, "polys", units="feet").q(in_meters)["features"][0]["properties"]
     assert abs(af["area"] / am["area"] - 3.28083333**2) < 1e-3
     assert abs(af["length"] / am["length"] - 3.28083333) < 1e-4
+
+
+def test_within_radius_in_session_units(spark):
+    """LocalIndex.within takes its radius in SESSION units: under
+    units='feet' a 500 ft probe must NOT reach a point ~200 m away,
+    while 500 m (units='meters') does."""
+    import numpy as np
+
+    from mundipy_spark.dataset import Dataset, Map
+    from mundipy_spark.kernels import wkb as wkb_mod
+    from mundipy_spark.mundi import Mundi
+
+    # ~200 m east at lat 34: 0.00217 deg lon
+    probe = (wkb_mod.dumps(("Point", np.array([[-118.0, 34.0]]))), "probe")
+    target = (wkb_mod.dumps(("Point", np.array([[-117.99783, 34.0]]))), "t")
+    df_p = spark.createDataFrame([probe], "geometry binary, name string")
+    df_t = spark.createDataFrame([target], "geometry binary, name string")
+    m = Map({"probes": Dataset(df_p), "targets": Dataset(df_t)}, spark=spark)
+
+    def proc(p, targets):
+        p["n"] = len(targets.within(500.0, p))
+        return p
+
+    n_m = Mundi(m, "probes", units="meters").q(proc)["features"][0]["properties"]["n"]
+    n_ft = Mundi(m, "probes", units="feet").q(proc)["features"][0]["properties"]["n"]
+    assert n_m == 1  # 500 m reaches 200 m away
+    assert n_ft == 0  # 500 ft = 152 m does not

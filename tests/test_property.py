@@ -115,3 +115,31 @@ def test_overlay_inclusion_exclusion(a, b):
     # (extent * 1e-9 * 3^4 * perimeter ≈ 1e-4 absolute on these sizes);
     # a traversal/marking bug would be O(component area), 1000x larger
     assert abs(lhs - rhs) < 1e-3 * max(1.0, rhs)
+
+
+@given(
+    lats=st.lists(st.floats(min_value=55.0, max_value=89.5), min_size=2, max_size=12),
+    lons=st.lists(st.floats(min_value=-179.0, max_value=179.0), min_size=12, max_size=12),
+    plat=st.floats(min_value=55.0, max_value=89.5),
+    plon=st.floats(min_value=-179.0, max_value=179.0),
+)
+@settings(max_examples=60, deadline=None)
+def test_nearest_exact_at_high_latitude(lats, lons, plat, plon):
+    """LocalIndex.nearest must equal the argmin of exact distances even
+    at high latitude, where meters-per-degree-longitude collapses (the
+    r01 85 km/deg pruning bound broke above ~40 deg)."""
+    from mundipy_spark.feature import LocalIndex
+
+    pts = [(lons[i], lats[i % len(lats)]) for i in range(len(lons))]
+    rows = [
+        (wkb.dumps(("Point", np.array([x, y]))), {"i": i})
+        for i, (x, y) in enumerate(pts)
+    ]
+    ix = LocalIndex(rows)
+    probe = ("Point", np.array([plon, plat]))
+    got = ix.nearest(probe)
+    dists = [measure.geom_distance_m(("Point", np.array([x, y])), probe) for x, y in pts]
+    best = int(np.argmin(dists))
+    assert got is not None
+    # accept exact argmin or an equidistant twin (float ties)
+    assert abs(dists[got["i"]] - dists[best]) <= 1e-6 * max(dists[best], 1.0)
