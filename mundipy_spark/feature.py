@@ -237,6 +237,10 @@ class LocalIndex:
         # refine. Bbox-to-bbox gaps in degrees:
         pminx, pminy, pmaxx, pmaxy = wkb.bounds(g)
         dx = np.maximum(np.maximum(self.minx - pmaxx, pminx - self.maxx), 0.0)
+        # antimeridian wrap: the gap the other way around is 360 minus
+        # the hull span of the two lon intervals
+        hull = np.maximum(self.maxx, pmaxx) - np.minimum(self.minx, pminx)
+        dx = np.minimum(dx, np.maximum(360.0 - hull, 0.0))
         dy = np.maximum(np.maximum(self.miny - pmaxy, pminy - self.maxy), 0.0)
         # sound meter lower bounds (great-circle d between points at
         # lats phi1, phi2 with lon gap dx satisfies d >= R*dphi and
