@@ -86,18 +86,12 @@ class Mundi:
         layer_names = self._resolve_layers(fn)
         main_ds = self.mapdata[self.main]
 
-        from pyspark.sql import Window as W
-
         base_cols = [
             c
             for c in main_ds.df.columns
             if c not in ("minx", "miny", "maxx", "maxy")
         ]
-        w = W.orderBy(F.monotonically_increasing_id())
-        main_df = (
-            main_ds.df.select(base_cols)
-            .withColumn("_id", F.row_number().over(w) - 1)
-        )
+        main_df = _with_input_ordinal(main_ds.df.select(base_cols))
         if n_start is not None:
             main_df = main_df.filter(F.col("_id") >= n_start)
         if n_end is not None:
@@ -208,6 +202,32 @@ class Mundi:
             "type": "GeometryCollection",
             "geometries": [wkb_mod.to_geojson(g) for g in geoms],
         }
+
+
+def _with_input_ordinal(df, out: str = "_id"):
+    """Input-ordinal `_id` (reference mundi.py:146-147 semantics: the
+    row's position in partition-major scan order) WITHOUT a global
+    single-task window: monotonically_increasing_id is
+    (partitionId << 33) | rowInPartition, so per-partition counts (a
+    tiny agg — one row per partition) turn into cumulative offsets via
+    a window over that tiny table, broadcast-joined back. The main
+    layer itself never shuffles and no stage runs single-task over the
+    data."""
+    from pyspark.sql import Window as W
+
+    mask = (1 << 33) - 1
+    with_mid = df.withColumn("_mid", F.monotonically_increasing_id())
+    pid = F.shiftright(F.col("_mid"), 33)
+    counts = with_mid.groupBy(pid.alias("_pid")).agg(F.count("*").alias("_n"))
+    w = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        with_mid.join(F.broadcast(offsets), pid == F.col("_pid"), "inner")
+        .withColumn(out, F.col("_off") + F.col("_mid").bitwiseAND(F.lit(mask)))
+        .drop("_pid", "_off", "_mid")
+    )
 
 
 def _row_to_feature(row: pd.Series, geom_col: str, uscale: float = 1.0) -> Feature:

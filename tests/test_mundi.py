@@ -256,3 +256,32 @@ def test_within_radius_in_session_units(spark):
     n_ft = Mundi(m, "probes", units="feet").q(proc)["features"][0]["properties"]["n"]
     assert n_m == 1  # 500 m reaches 200 m away
     assert n_ft == 0  # 500 ft = 152 m does not
+
+
+def test_input_ordinal_is_distributed(spark):
+    """_id assignment must keep the main layer distributed (no global
+    single-task window): >1 partition survives into the ordinal stage,
+    ordinals are a dense 0..n-1 in partition-major order."""
+    from pyspark.sql import functions as F
+
+    from mundipy_spark.mundi import _with_input_ordinal
+
+    df = spark.range(0, 1000, 1, 8).withColumn("v", F.col("id") * 2)
+    out = _with_input_ordinal(df)
+    rows = out.collect()
+    assert sorted(r._id for r in rows) == list(range(1000))
+    nparts = out.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert nparts > 1
+    # partition-major: ordinals within a surviving partition are contiguous
+    per_part = out.select(F.spark_partition_id().alias("p"), "_id").collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in per_part:
+        groups[r.p].append(r._id)
+    for ids in groups.values():
+        ids = sorted(ids)
+        assert ids == list(range(ids[0], ids[0] + len(ids)))
+    # no Exchange feeding the ordinal join on the main side (broadcast)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
