@@ -397,22 +397,16 @@ def _decode_for_pip(key: bytes):
     return ent
 
 
-@F.pandas_udf(T.BooleanType())
-def st_point_in_geom(lon: pd.Series, lat: pd.Series, g: pd.Series) -> pd.Series:
-    """Batch PIP refinement kernel of the tile join.
-
-    Distinct polygons decode once (cross-batch memo); all (point, edge)
-    pairs across ALL groups evaluate in one flat vectorized pass
-    (predicates.points_in_polys_flat) — per-batch cost has no per-polygon
-    term, which matters because shuffled probe batches touch most of a
-    broadcast admin layer at once."""
-    xs = lon.to_numpy(np.float64)
-    ys = lat.to_numpy(np.float64)
+def _pip_flat(xs: np.ndarray, ys: np.ndarray, geoms) -> tuple[np.ndarray, np.ndarray]:
+    """Core PIP over parallel (x, y, wkb) triples: distinct polygons
+    decode once (cross-batch memo); all (point, edge) pairs across ALL
+    groups evaluate in one flat vectorized pass. Returns (hit, missing)
+    bool arrays."""
     n = len(xs)
     hit_all = np.zeros(n, dtype=bool)
     missing = np.zeros(n, dtype=bool)
     groups: dict[bytes, list[int]] = {}
-    for i, b in enumerate(g):
+    for i, b in enumerate(geoms):
         # nulls can surface as None OR float NaN depending on the Arrow path
         if isinstance(b, (bytes, bytearray, memoryview)):
             groups.setdefault(bytes(b), []).append(i)
@@ -428,7 +422,52 @@ def st_point_in_geom(lon: pd.Series, lat: pd.Series, g: pd.Series) -> pd.Series:
             hit_all[ii] = predicates.points_in_geom(xs[ii], ys[ii], geom)
     if flat_groups:
         hit_all |= predicates.points_in_polys_flat(xs, ys, flat_groups)
+    return hit_all, missing
+
+
+@F.pandas_udf(T.BooleanType())
+def st_point_in_geom(lon: pd.Series, lat: pd.Series, g: pd.Series) -> pd.Series:
+    """Batch PIP refinement kernel of the tile join (see _pip_flat —
+    per-batch cost has no per-polygon term, which matters because
+    shuffled probe batches touch most of a broadcast admin layer at
+    once)."""
+    xs = lon.to_numpy(np.float64)
+    ys = lat.to_numpy(np.float64)
+    hit_all, missing = _pip_flat(xs, ys, g)
     return pd.Series(pd.arrays.BooleanArray(hit_all, missing))
+
+
+@F.pandas_udf(T.ArrayType(T.BooleanType()))
+def st_points_in_geoms(lon: pd.Series, lat: pd.Series, gs: pd.Series) -> pd.Series:
+    """Array variant for the single-scan LEFT tile join: each row carries
+    its candidate polygons as array<binary>; returns a parallel
+    array<boolean>. Flattens to (point, candidate) pairs and reuses the
+    same flat-vectorized PIP core, so Python cost still scales with
+    boundary candidates, not probe rows."""
+    lens = []
+    fx, fy, fg = [], [], []
+    for x, y, arr in zip(lon, lat, gs):
+        if arr is None or len(arr) == 0:
+            lens.append(0 if arr is not None else -1)
+            continue
+        lens.append(len(arr))
+        for b in arr:
+            fx.append(x)
+            fy.append(y)
+            fg.append(b)
+    if fx:
+        hit, _ = _pip_flat(np.asarray(fx, np.float64), np.asarray(fy, np.float64), fg)
+    else:
+        hit = np.zeros(0, dtype=bool)
+    out = []
+    off = 0
+    for ln in lens:
+        if ln < 0:
+            out.append(None)
+        else:
+            out.append([bool(v) for v in hit[off : off + ln]])
+            off += max(ln, 0)
+    return pd.Series(out)
 
 
 def _unary_geom(kernel, name: str):

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from mundipy_spark.functions import st
 from mundipy_spark.kernels import proj, tiling
@@ -245,6 +246,14 @@ def tile_join_points(
         )
         join_keys = ["cell", "_salt"]
 
+    if how == "left":
+        return _tile_join_points_left(
+            pts, index, lon, lat, geom_col, join_keys, broadcast_index,
+            out_cols=list(points.columns),
+        )
+    if how != "inner":
+        raise ValueError(f"unsupported how={how!r}")
+
     rhs = F.broadcast(index) if broadcast_index else index
     cand = pts.join(rhs, on=join_keys, how="inner")
     # Interior-cell candidates are PROVEN matches (the whole cell lies
@@ -262,17 +271,85 @@ def tile_join_points(
     refine = st.st_point_in_geom(
         F.col(lon), F.col(lat), F.when(~F.col("cell_full"), F.col(geom_col))
     )
-    matched = cand.filter(
+    return cand.filter(
         F.col("cell_full") | (bbox_ok & F.coalesce(refine, F.lit(False)))
     ).drop("minx", "miny", "maxx", "maxy", "cell", "cell_full", geom_col, "_salt")
 
-    if how == "inner":
-        return matched
-    if how == "left":
-        return points.join(
-            matched, on=[c for c in points.columns if c in matched.columns], how="left"
+
+def _tile_join_points_left(
+    pts: DataFrame,
+    index: DataFrame,
+    lon: str,
+    lat: str,
+    geom_col: str,
+    join_keys: list[str],
+    broadcast_index: bool,
+    out_cols: list[str],
+) -> DataFrame:
+    """LEFT point-in-polygon tagging in ONE scan of the probe side.
+
+    The index is pre-aggregated to one row per cell carrying its
+    candidate polygons as an array of structs, so the probe side left-
+    joins on the compact cell key only (never on payload columns like
+    the page text, and never re-joined against itself), stays on its
+    scan partitioning under a broadcast join, and each probe row decides
+    its matches inline:
+
+      candidates --[JVM: cell_full | bbox]--> near
+      near_full  auto-accept; near_boundary -> array PIP (Arrow UDF)
+      no accepted candidate -> single null-tagged row (left semantics)
+
+    Points whose cell key is null (un-geocoded probes) pass through with
+    null polygon columns, which is what lets plans/pipeline.geocode_pages
+    run as a single left tile-join over the parsed pages."""
+    cand_cols = [c for c in index.columns if c not in join_keys]
+    idx_by_cell = index.groupBy(*join_keys).agg(
+        F.collect_list(F.struct(*[F.col(c) for c in cand_cols])).alias("_cands")
+    )
+    rhs = F.broadcast(idx_by_cell) if broadcast_index else idx_by_cell
+    j = pts.join(rhs, on=join_keys, how="left")
+
+    elem_type = None
+    for f in idx_by_cell.schema.fields:
+        if f.name == "_cands":
+            elem_type = f.dataType.elementType
+    cands = F.coalesce(F.col("_cands"), F.array().cast(T.ArrayType(elem_type)))
+
+    def bbox_ok(c):
+        return (
+            (F.col(lon) >= c["minx"])
+            & (F.col(lon) <= c["maxx"])
+            & (F.col(lat) >= c["miny"])
+            & (F.col(lat) <= c["maxy"])
         )
-    raise ValueError(f"unsupported how={how!r}")
+
+    near = F.filter(cands, lambda c: c["cell_full"] | bbox_ok(c))
+    full = F.filter(near, lambda c: c["cell_full"])
+    bnd = F.filter(near, lambda c: ~c["cell_full"])
+    mask = st.st_points_in_geoms(
+        F.col(lon), F.col(lat), F.transform(bnd, lambda c: c[geom_col])
+    )
+    acc_bnd = F.transform(
+        F.filter(
+            F.zip_with(bnd, mask, lambda c, m: F.struct(c.alias("c"), m.alias("m"))),
+            lambda z: F.coalesce(z["m"], F.lit(False)),
+        ),
+        lambda z: z["c"],
+    )
+    accepted = F.concat(full, acc_bnd)
+    null_cand = F.lit(None).cast(elem_type)
+    padded = F.when(F.size(accepted) > 0, accepted).otherwise(F.array(null_cand))
+
+    keep = [c for c in out_cols if c not in ("_salt",)]
+    meta = [
+        c for c in cand_cols
+        if c not in (geom_col, "minx", "miny", "maxx", "maxy", "cell_full")
+    ]
+    out = j.withColumn("_c", F.explode(padded))
+    return out.select(
+        *[F.col(c) for c in keep if c != "cell"],
+        *[F.col("_c")[c].alias(c) for c in meta],
+    )
 
 
 # ---------------------------------------------------------------------------

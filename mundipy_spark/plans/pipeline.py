@@ -57,28 +57,17 @@ def geocode_pages(
     mention keep null lat/lon/region (left semantics — the reference's
     'none' default, tests/test_example.py:11-16)."""
     parsed = geoparse.parse_geo_tokens(pages)
-    geo = parsed.filter(F.col("lat").isNotNull())
-    nogeo = parsed.filter(F.col("lat").isNull())
-
-    tagged = joins.tile_join_points(
-        geo,
+    # ONE scan: left tile-join over all parsed pages — un-geocoded rows
+    # (null lat -> null cell) and geocoded rows that hit no region both
+    # pass through with null polygon columns, inline in the same plan
+    out = joins.tile_join_points(
+        parsed,
         regions,
         res=res,
         broadcast_index=broadcast_index,
         salt=salt,
-        how="inner",
+        how="left",
         index=index,
-    )
-    # left semantics for geo pages that hit no region + no-geo passthrough
-    missing = geo.join(tagged.select("url"), "url", "left_anti")
-    for c in tagged.columns:
-        if c not in missing.columns:
-            missing = missing.withColumn(c, F.lit(None))
-    for c in tagged.columns:
-        if c not in nogeo.columns:
-            nogeo = nogeo.withColumn(c, F.lit(None))
-    out = tagged.unionByName(missing.select(tagged.columns)).unionByName(
-        nogeo.select(tagged.columns)
     )
     return (
         out.withColumn(

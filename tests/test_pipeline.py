@@ -113,3 +113,50 @@ def test_gazetteer_join(spark):
     )
     out = {r.url: r.place for r in geoparse.parse_gazetteer(df, gaz).collect()}
     assert out == {"u1": "paris", "u2": "berlin"}  # first alphabetically
+
+
+def test_geocode_pages_single_scan_left_semantics(spark):
+    """geocode_pages must read the pages source exactly ONCE (the r01
+    plan evaluated the geoparse subtree 3x), keep every input row (left
+    semantics), and never shuffle the probe side."""
+    pages = pages_src.synth_pages(spark, SF)
+    regions = pages_src.synth_regions(spark, step_deg=10.0)
+    out = pipeline.geocode_pages(pages, regions)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    n_in = pages.count()
+    rows = out.select("url", "lat", "region").collect()
+    assert len(rows) == n_in  # every page survives
+    geo = [r for r in rows if r.lat is not None]
+    assert all(r.region is not None for r in geo)  # regions tile the world
+    assert all(r.region is None for r in rows if r.lat is None)
+
+
+def test_tile_join_left_multi_match_and_nulls(spark):
+    """Left tile join: overlapping polygons yield one row per match;
+    unmatched and null-coordinate probes yield exactly one null row."""
+    import numpy as np
+
+    from mundipy_spark.kernels import wkb as wkb_mod
+    from mundipy_spark.operators import joins
+
+    def rect(x0, y0, x1, y1):
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        return wkb_mod.dumps(("Polygon", [ring]))
+
+    polys = spark.createDataFrame(
+        [(rect(0, 0, 10, 10), "a"), (rect(5, 5, 15, 15), "b")],
+        "geometry binary, name string",
+    )
+    pts = spark.createDataFrame(
+        [(1, 7.0, 7.0), (2, 1.0, 1.0), (3, 40.0, 40.0), (4, None, None)],
+        "pid long, lon double, lat double",
+    )
+    out = joins.tile_join_points(pts, polys, res=6, how="left")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.pid, set()).add(r.name)
+    assert got[1] == {"a", "b"}  # overlap -> two rows
+    assert got[2] == {"a"}
+    assert got[3] == {None}  # unmatched -> single null row
+    assert got[4] == {None}  # null coords pass through
