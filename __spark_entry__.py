@@ -62,6 +62,24 @@ geo AS (
 """
 
 
+def _crs_ingest_sql() -> str:
+    """Oracle for q_crs_ingest: identical Mercator forward+inverse
+    closed forms, rounded to 8 decimals before region assignment."""
+    fx, fy = st.merc_forward_sql("lon", "lat")
+    ilon, ilat = st.merc_inverse_sql("x", "y")
+    region = pages_src.region_name_sql("blon", "blat", 10.0)
+    return f"""
+{GEO_SQL_CTE},
+prj AS (
+  SELECT url, {fx} AS x, {fy} AS y FROM geo
+),
+back AS (
+  SELECT url, round({ilon}, 8) AS blon, round({ilat}, 8) AS blat FROM prj
+)
+SELECT {region} AS region, count(*) AS n FROM back GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -360,6 +378,24 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crs_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS-mixed ingestion (C3/S-ingest): the geo layer arrives as
+    EPSG:3857 meters (x, y), normalizes to WGS84 with the pure-JVM
+    Mercator inverse (zero Python on the probe path), and tile-joins
+    the 4326 region grid. round(8) pins the float round-trip so the
+    oracle (same closed forms in DuckDB) agrees bit-for-bit."""
+    geo = _geo_pages(spark, sf_dir)
+    x, y = st.merc_forward_exprs(F.col("lon"), F.col("lat"))
+    projected = geo.select("url", x.alias("x"), y.alias("y"))  # the 3857 input
+    lon, lat = st.merc_inverse_exprs(F.col("x"), F.col("y"))
+    back = projected.select(
+        "url", F.round(lon, 8).alias("lon"), F.round(lat, 8).alias("lat")
+    )
+    regions = pages_src.synth_regions(spark, step_deg=10.0)
+    out = joins.tile_join_points(back, regions, res=CELL_RES, how="inner")
+    return out.groupBy("region").agg(F.count("*").alias("n")).orderBy("region")
+
+
 def q_geocode_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic (non-rectangular) PIP through the SAME tile-join
     machinery: regions split into SW/NE triangles whose membership the
@@ -445,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "crs_ingest": q_crs_ingest,
         "geocode_triangles": q_geocode_triangles,
         "overlap_weighted": q_overlap_weighted,
         "dissolve_blocks": q_dissolve_blocks,
@@ -526,6 +563,7 @@ pop AS (
 SELECT lang, count(*) AS n, CAST(round(sum(CAST(pop AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_pop
 FROM pop GROUP BY lang
 """,
+        "crs_ingest": _crs_ingest_sql(),
         "geocode_triangles": f"""
 {GEO_SQL_CTE},
 aug AS (

@@ -23,9 +23,20 @@ from mundipy_spark.functions import st
 
 
 class Dataset:
-    def __init__(self, source, geom_col: str = "geometry", spark: SparkSession | None = None):
-        """source: DataFrame, GeoJSON path, or parquet path (by suffix)."""
+    def __init__(self, source, geom_col: str = "geometry", spark: SparkSession | None = None,
+                 crs: str = "EPSG:4326", crs_units: str = "meters"):
+        """source: DataFrame, GeoJSON path, or parquet path (by suffix).
+
+        crs / crs_units: source coordinate system. Anything other than
+        EPSG:4326 is normalized to WGS84 at ingest (reference
+        mundipy/dataset.py:85-88 does the same via to_crs), so every
+        downstream operator sees one CRS — this is what lets a
+        state-plane-feet layer join 4326 layers transparently
+        (reference tests/test_mundi_q.py:75-88). Implemented CRSs:
+        kernels.proj.crs_transforms."""
         self.geom_col = geom_col
+        self.crs = "EPSG:4326"  # post-ingest, always
+        self.source_crs = crs
         self._index: LocalIndex | None = None
         if isinstance(source, DataFrame):
             self.df = source
@@ -39,6 +50,10 @@ class Dataset:
                 self.df = spark.read.parquet(source)
         else:
             raise TypeError(f"unsupported source {type(source)}")
+        if crs.upper() != "EPSG:4326" or crs_units != "meters":
+            self.df = self.df.withColumn(
+                geom_col, st.st_to_wgs84(F.col(geom_col), crs, crs_units)
+            ).drop("minx", "miny", "maxx", "maxy")
         if "minx" not in self.df.columns:
             b = st.st_bounds(F.col(geom_col))
             self.df = self.df.withColumn("_b", b).select(

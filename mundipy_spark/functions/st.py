@@ -16,6 +16,8 @@ in the DataFrame.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
@@ -81,6 +83,70 @@ def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
         f"cos(radians({lat1})) * cos(radians({lat2})) * "
         f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2), 1.0)))"
     )
+
+
+def merc_forward_exprs(lon: Column, lat: Column) -> tuple[Column, Column]:
+    """EPSG:3857 forward as pure JVM arithmetic (x = R*rad(lon),
+    y = R*ln(tan(pi/4 + rad(lat)/2))). Latitude clamps to the Web
+    Mercator domain (+-85.06, same as the numpy kernel) — also keeps
+    Spark's log(0)->NULL and DuckDB's ln(0)->-inf from diverging at the
+    poles."""
+    r = proj.WGS84_A
+    lat_c = F.greatest(F.least(lat, F.lit(85.06)), F.lit(-85.06))
+    x = F.lit(r) * F.radians(lon)
+    y = F.lit(r) * F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(lat_c) / 2.0))
+    return x, y
+
+
+def merc_inverse_exprs(x: Column, y: Column) -> tuple[Column, Column]:
+    """EPSG:3857 inverse as pure JVM arithmetic — projected POINT layers
+    normalize to WGS84 with zero Python (the CRS-ingest scale path; WKB
+    geometry layers go through st_to_wgs84 instead)."""
+    r = proj.WGS84_A
+    lon = F.degrees(x / F.lit(r))
+    lat = F.degrees(F.lit(2.0) * F.atan(F.exp(y / F.lit(r))) - F.lit(math.pi / 2.0))
+    return lon, lat
+
+
+def merc_forward_sql(lon: str, lat: str) -> tuple[str, str]:
+    r = proj.WGS84_A
+    lat_c = f"greatest(least({lat}, 85.06), -85.06)"
+    return (
+        f"({r} * radians({lon}))",
+        f"({r} * ln(tan(pi() / 4.0 + radians({lat_c}) / 2.0)))",
+    )
+
+
+def merc_inverse_sql(x: str, y: str) -> tuple[str, str]:
+    r = proj.WGS84_A
+    return (
+        f"degrees(({x}) / {r})",
+        f"degrees(2.0 * atan(exp(({y}) / {r})) - pi() / 2.0)",
+    )
+
+
+def st_to_wgs84(g: Column, crs: str, units: str = "meters") -> Column:
+    """Normalize a WKB geometry column from `crs` to WGS84 (the
+    reference's ingest normalization, mundipy/dataset.py:85-88). Arrow
+    batch UDF over the layer — runs once at ingest; pass-through (no
+    UDF in the plan) for EPSG:4326."""
+    if crs.upper() == "EPSG:4326" and units == "meters":
+        return g
+    proj.crs_transforms(crs, units)  # validate on the driver, fail fast
+
+    @F.pandas_udf(T.BinaryType())
+    def _udf(gs: pd.Series) -> pd.Series:
+        _, inv = proj.crs_transforms(crs, units)
+        out = []
+        for b in gs:
+            if not isinstance(b, (bytes, bytearray, memoryview)):
+                out.append(None)
+                continue
+            geom = wkb.loads(bytes(b))
+            out.append(wkb.dumps(proj.transform_geom(geom, inv)))
+        return pd.Series(out)
+
+    return _udf(g)
 
 
 def bbox_intersects_expr(

@@ -187,6 +187,60 @@ def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     return 2.0 * SPHERE_R * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
 
 
+_FT_PER_M = 3.28083333333333  # matches pcs.FT_PER_M
+
+
+def crs_transforms(crs: str, units: str = "meters"):
+    """(forward, inverse) lon/lat-degrees <-> projected-coords transforms
+    for the CRS strings this engine implements from public formulas:
+
+      EPSG:4326            identity
+      EPSG:3857            spherical Web Mercator
+      EPSG:326NN / 327NN   WGS84 UTM zone NN north / south (Krüger)
+      ESRI:54009           World Mollweide
+
+    units='feet' wraps the projected axis in international feet — the
+    role the reference's state-plane feet CRSs (e.g. EPSG:2844 in
+    tests/test_mundi_q.py:75-88) play; the projection math is the UTM /
+    Mercator formula, the unit conversion is exact.
+
+    The reference normalizes ANY input CRS to WGS84 at ingest
+    (mundipy/dataset.py:85-88); Dataset(crs=...) uses the inverse here.
+    """
+    scale = _FT_PER_M if units == "feet" else 1.0
+    if units not in ("meters", "feet"):
+        raise ValueError(f"unsupported crs units {units!r}")
+
+    def scaled(fwd, inv):
+        if scale == 1.0:
+            return fwd, inv
+        return (
+            lambda lon, lat: tuple(np.asarray(v) * scale for v in fwd(lon, lat)),
+            lambda x, y: inv(np.asarray(x, np.float64) / scale, np.asarray(y, np.float64) / scale),
+        )
+
+    c = crs.upper()
+    if c == "EPSG:4326":
+        ident = lambda a, b: (np.asarray(a, np.float64), np.asarray(b, np.float64))  # noqa: E731
+        return ident, ident
+    if c == "EPSG:3857":
+        return scaled(web_mercator_forward, web_mercator_inverse)
+    if c == "ESRI:54009":
+        return scaled(mollweide_forward, mollweide_inverse)
+    if c.startswith("EPSG:326") or c.startswith("EPSG:327"):
+        code = int(c.split(":")[1])
+        zone = code % 100
+        south = code // 100 == 327
+        if not 1 <= zone <= 60:
+            raise ValueError(f"bad UTM zone in {crs}")
+        return scaled(
+            lambda lon, lat, z=zone, s=south: utm_forward(lon, lat, z, s),
+            lambda x, y, z=zone, s=south: utm_inverse(x, y, z, s),
+        )
+    raise ValueError(f"unsupported crs {crs!r} (implemented: EPSG:4326, "
+                     "EPSG:3857, EPSG:326xx/327xx UTM, ESRI:54009)")
+
+
 # --- geometry-level transforms -------------------------------------------
 
 

@@ -351,3 +351,32 @@ def test_length_m_meridian_degree():
     phi = np.radians(48.85)
     expect = 111132.954 - 559.822 * np.cos(2 * phi) + 1.175 * np.cos(4 * phi)
     assert abs(l - expect) / expect < 0.005, (l, expect)
+
+
+def test_crs_transforms_roundtrip():
+    """Every implemented ingest CRS round-trips lon/lat to ~cm."""
+    import numpy as np
+
+    from mundipy_spark.kernels import proj
+
+    lon = np.array([-97.3, 2.35, 139.7, -46.6, 0.0])
+    lat = np.array([32.7, 48.86, 35.7, -23.55, 51.5])
+    for crs in ["EPSG:4326", "EPSG:3857", "ESRI:54009", "EPSG:32614", "EPSG:32723"]:
+        for units in ["meters", "feet"]:
+            fwd, inv = proj.crs_transforms(crs, units)
+            x, y = fwd(lon, lat)
+            lo, la = inv(x, y)
+            tol = 1e-7 if crs != "ESRI:54009" else 1e-6
+            assert np.abs(lo - lon).max() < tol, (crs, units)
+            assert np.abs(la - lat).max() < tol, (crs, units)
+    # feet axis really is feet: ~3.28x the meter coordinates
+    fm, _ = proj.crs_transforms("EPSG:32614", "meters")
+    ff, _ = proj.crs_transforms("EPSG:32614", "feet")
+    xm, ym = fm(lon[:1], lat[:1])
+    xf, yf = ff(lon[:1], lat[:1])
+    assert abs(xf[0] / xm[0] - 3.28083333) < 1e-6
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        proj.crs_transforms("EPSG:2844")  # not implemented -> loud, not wrong

@@ -285,3 +285,59 @@ def test_input_ordinal_is_distributed(spark):
     # no Exchange feeding the ordinal join on the main side (broadcast)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_crs_mixed_layers_join(spark):
+    """Port of the reference CRS-mixed test (tests/test_mundi_q.py:75-88,
+    texas_epsg_2844 fixture): a projected state-plane-style FEET layer
+    (UTM zone 14N in feet here — same math role as EPSG:2844) joins 4326
+    point probes through Mundi.q; ingest normalization makes it
+    transparent."""
+    import numpy as np
+
+    from mundipy_spark.dataset import Dataset, Map
+    from mundipy_spark.kernels import proj, wkb as wkb_mod
+    from mundipy_spark.mundi import Mundi
+
+    # a lon/lat square around Dallas-ish, forward-projected into UTM14N feet
+    ring = np.array(
+        [[-97.0, 32.5], [-96.5, 32.5], [-96.5, 33.0], [-97.0, 33.0], [-97.0, 32.5]]
+    )
+    fwd, _ = proj.crs_transforms("EPSG:32614", "feet")
+    px, py = fwd(ring[:, 0], ring[:, 1])
+    pring = np.column_stack([px, py])
+    tex = spark.createDataFrame(
+        [(wkb_mod.dumps(("Polygon", [pring])), "dallas")],
+        "geometry binary, name string",
+    )
+    pts = spark.createDataFrame(
+        [
+            (wkb_mod.dumps(("Point", np.array([-96.8, 32.78]))), "inside"),
+            (wkb_mod.dumps(("Point", np.array([-95.0, 29.76]))), "outside"),
+        ],
+        "geometry binary, name string",
+    )
+    m = Map(
+        {
+            "points": Dataset(pts),
+            "texas": Dataset(tex, crs="EPSG:32614", crs_units="feet"),
+        },
+        spark=spark,
+    )
+    mundi = Mundi(m, "points", units="feet")
+
+    def process_points(point, texas):
+        point["hits"] = len(texas.intersects(point))
+        return point
+
+    got = {
+        f["properties"]["name"]: f["properties"]["hits"]
+        for f in mundi.q(process_points)["features"]
+    }
+    assert got == {"inside": 1, "outside": 0}
+
+    # ingest round-trip accuracy: normalized ring within ~1e-7 deg (~1 cm)
+    norm = m["texas"].df.select("geometry").collect()[0][0]
+    nring = wkb_mod.loads(bytes(norm))[1][0]
+    assert np.abs(nring[:, 0] - ring[:, 0]).max() < 1e-7
+    assert np.abs(nring[:, 1] - ring[:, 1]).max() < 1e-7
