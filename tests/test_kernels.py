@@ -359,9 +359,15 @@ def test_crs_transforms_roundtrip():
 
     from mundipy_spark.kernels import proj
 
-    lon = np.array([-97.3, 2.35, 139.7, -46.6, 0.0])
-    lat = np.array([32.7, 48.86, 35.7, -23.55, 51.5])
+    world_lon = np.array([-97.3, 2.35, 139.7, -46.6, 0.0])
+    world_lat = np.array([32.7, 48.86, 35.7, -23.55, 51.5])
+    # UTM is only defined near its zone: test zone-local points there
+    zone_pts = {
+        "EPSG:32614": (np.array([-99.5, -97.3, -101.0]), np.array([30.0, 32.7, 45.0])),
+        "EPSG:32723": (np.array([-45.0, -46.6, -43.2]), np.array([-23.55, -10.0, -33.0])),
+    }
     for crs in ["EPSG:4326", "EPSG:3857", "ESRI:54009", "EPSG:32614", "EPSG:32723"]:
+        lon, lat = zone_pts.get(crs, (world_lon, world_lat))
         for units in ["meters", "feet"]:
             fwd, inv = proj.crs_transforms(crs, units)
             x, y = fwd(lon, lat)
@@ -372,8 +378,8 @@ def test_crs_transforms_roundtrip():
     # feet axis really is feet: ~3.28x the meter coordinates
     fm, _ = proj.crs_transforms("EPSG:32614", "meters")
     ff, _ = proj.crs_transforms("EPSG:32614", "feet")
-    xm, ym = fm(lon[:1], lat[:1])
-    xf, yf = ff(lon[:1], lat[:1])
+    xm, ym = fm(np.array([-97.3]), np.array([32.7]))
+    xf, yf = ff(np.array([-97.3]), np.array([32.7]))
     assert abs(xf[0] / xm[0] - 3.28083333) < 1e-6
 
     import pytest
