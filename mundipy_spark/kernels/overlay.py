@@ -6,10 +6,12 @@ Reference surface: difference, intersection, symmetric_difference, union
 Two tiers:
 
 1. **Geometry output** — Sutherland–Hodgman clipping when the clip
-   operand is convex (covers rect/tile clips, envelope clips, and the
-   catchment-style zip-square overlays the tests exercise). The general
-   concave-x-concave geometry output is a known round-2 item
-   (Greiner–Hormann); callers that only need *measures* use tier 2.
+   operand is convex (rect/tile clips, envelope clips); Greiner–Hormann
+   with degeneracy-perturbation retries for general concave×concave
+   pairs without holes (overlay_op below); an even-odd
+   segment-arrangement overlay (overlay_eo) for inputs carrying
+   interior rings — midpoint parity classification makes holes exact
+   with no special cases.
 
 2. **Exact intersection AREA for arbitrary simple polygons** via signed
    fan-triangle decomposition: |A∩B| = Σᵢⱼ sᵢsⱼ·|Tᵢ∩Tⱼ| where Tᵢ,Tⱼ are
@@ -609,14 +611,230 @@ def _pair_op(a_ring: np.ndarray, b_ring: np.ndarray, op: str) -> list[np.ndarray
     raise ValueError(op)
 
 
-def overlay_op(a, b, op: str):
-    """Boolean overlay of two (Multi)Polygons (outer rings; results of
-    difference may carry holes). op: intersection | union | difference |
-    symmetric_difference.
+# ---------------------------------------------------------------------------
+# even-odd segment-arrangement overlay: the general path for inputs WITH
+# interior rings (holes). Rings are oriented interior-left (outers CCW,
+# holes CW); every boundary sub-segment is classified by even-odd parity
+# of its midpoint against the OTHER operand's full ring set, so holes
+# need no special cases anywhere. Degeneracies (shared edges, vertex
+# touches) go through the same perturbation-retry hammer as GH.
+# ---------------------------------------------------------------------------
 
-    Pieces from distinct input components are emitted side by side
-    (their interiors are disjoint, so the MultiPolygon is area-correct;
-    shared boundaries between touching pieces are tolerated)."""
+
+def _rings_interior_left(geom) -> list[np.ndarray]:
+    """All rings of a (Multi)Polygon, open, oriented interior-left:
+    outer rings CCW, hole rings CW."""
+    out = []
+    for rings in predicates._polygons_of(geom):
+        for i, r in enumerate(rings):
+            rr = _open(np.asarray(r, dtype=np.float64))
+            if len(rr) < 3 or abs(_ring_signed_area(rr)) <= 1e-18:
+                continue
+            ccw = _ring_signed_area(rr) > 0
+            want_ccw = i == 0
+            out.append(rr if ccw == want_ccw else rr[::-1])
+    return out
+
+
+def _ring_segs(rings: list[np.ndarray]) -> np.ndarray:
+    """(n, 4) directed segments [x1 y1 x2 y2] of all rings."""
+    parts = []
+    for r in rings:
+        nxt = np.roll(r, -1, axis=0)
+        parts.append(np.hstack([r, nxt]))
+    return np.vstack(parts) if parts else np.empty((0, 4))
+
+
+def _split_at_crossings(sa: np.ndarray, sb: np.ndarray, tol: float):
+    """Split every segment of sa (resp. sb) at its proper crossings with
+    sb (resp. sa). Near-degenerate contact (endpoint-on-segment,
+    collinear overlap) raises _Degenerate for the perturb-retry loop.
+    Returns (sub_a, sub_b) arrays of (n, 4)."""
+    def crossings(s1, s2):
+        # pairwise params: t along s1, u along s2
+        p = s1[:, None, 0:2]
+        r = (s1[:, 2:4] - s1[:, 0:2])[:, None, :]
+        q = s2[None, :, 0:2]
+        s = (s2[:, 2:4] - s2[:, 0:2])[None, :, :]
+        denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+        qp = q - p
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]) / denom
+            u = (qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]) / denom
+        ok = (np.abs(denom) > 1e-300) & (t > -tol) & (t < 1 + tol) & (u > -tol) & (u < 1 + tol)
+        # endpoint/tangent contact is degenerate — resolved by perturbation
+        near_end = ok & (
+            (np.abs(t) < tol) | (np.abs(1 - t) < tol) | (np.abs(u) < tol) | (np.abs(1 - u) < tol)
+        )
+        if near_end.any():
+            raise _Degenerate("crossing at segment endpoint")
+        return ok, t, u
+
+    ok, t, u = crossings(sa, sb)
+
+    def split(segs, params_ok, params, axis):
+        out = []
+        for i in range(len(segs)):
+            ts = params[i][params_ok[i]] if axis == 0 else params[:, i][params_ok[:, i]]
+            p, q = segs[i, 0:2], segs[i, 2:4]
+            if len(ts) == 0:
+                out.append((p[0], p[1], q[0], q[1]))
+                continue
+            cut = np.sort(ts)
+            pts = [p] + [p + tt * (q - p) for tt in cut] + [q]
+            for j in range(len(pts) - 1):
+                out.append((pts[j][0], pts[j][1], pts[j + 1][0], pts[j + 1][1]))
+        return np.asarray(out)
+
+    return split(sa, ok, t, 0), split(sb, ok, u, 1)
+
+
+def _inside_even_odd(xs: np.ndarray, ys: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    inside = np.zeros(len(xs), dtype=bool)
+    for r in rings:
+        inside ^= predicates.crossings_in_ring(xs, ys, r)
+    return inside
+
+
+def _stitch(segs: list[tuple], quantum: float) -> list[np.ndarray]:
+    """Chain directed segments end-to-start into closed rings. After
+    regularized classification every vertex has exactly one unused
+    outgoing segment; anything else is a degeneracy -> retry."""
+    from collections import defaultdict
+
+    def key(x, y):
+        return (round(x / quantum), round(y / quantum))
+
+    outgoing: dict = defaultdict(list)
+    for i, (x1, y1, x2, y2) in enumerate(segs):
+        outgoing[key(x1, y1)].append(i)
+    used = [False] * len(segs)
+    rings = []
+    for start in range(len(segs)):
+        if used[start]:
+            continue
+        pts = []
+        cur = start
+        k0 = key(segs[start][0], segs[start][1])
+        guard = 0
+        while True:
+            guard += 1
+            if guard > len(segs) + 1:
+                raise _Degenerate("stitch did not close")
+            used[cur] = True
+            x1, y1, x2, y2 = segs[cur]
+            pts.append((x1, y1))
+            k2 = key(x2, y2)
+            if k2 == k0:
+                break
+            nxts = [j for j in outgoing.get(k2, ()) if not used[j]]
+            if len(nxts) != 1:
+                raise _Degenerate(f"vertex degree {len(nxts)} at stitch")
+            cur = nxts[0]
+        if len(pts) >= 3:
+            rings.append(np.asarray(pts, dtype=np.float64))
+    return rings
+
+
+def _nest_signed_rings(rings: list[np.ndarray]):
+    """Assemble interior-left rings (CCW outer / CW hole, as produced by
+    the stitcher) into a (Multi)Polygon, assigning each hole to the
+    smallest containing outer."""
+    outers = [r for r in rings if _ring_signed_area(r) > 0]
+    holes = [r for r in rings if _ring_signed_area(r) < 0]
+    if not outers:
+        return None
+    order = sorted(range(len(outers)), key=lambda i: abs(_ring_signed_area(outers[i])))
+    polys = [[o] for o in outers]
+    for h in holes:
+        px, py = _ring_interior_point(h)
+        for i in order:  # smallest containing outer wins
+            if _point_in_ring(px, py, outers[i]):
+                polys[i].append(h)
+                break
+        # a hole outside every outer is a degenerate sliver: drop it
+    polys = [[_close(r) for r in p] for p in polys]
+    if len(polys) == 1:
+        return ("Polygon", polys[0])
+    return ("MultiPolygon", polys)
+
+
+def _overlay_eo_once(a, b, op: str, k: int):
+    ra = _rings_interior_left(a)
+    # _perturb is a pure translation — winding preserved
+    rb = [_perturb(r, k) for r in _rings_interior_left(b)]
+    if not ra and not rb:
+        return None
+    ext = 1.0
+    for r in (*ra, *rb):
+        ext = max(ext, float(np.abs(r).max()))
+    tol = 1e-12
+    sa, sb = _split_at_crossings(_ring_segs(ra), _ring_segs(rb), tol)
+
+    def classify(subs, other_rings, other_segs):
+        if len(subs) == 0:
+            return np.zeros(0, dtype=bool)
+        mx = (subs[:, 0] + subs[:, 2]) / 2.0
+        my = (subs[:, 1] + subs[:, 3]) / 2.0
+        if other_segs is not None and len(other_segs):
+            d = predicates.point_segs_min_dist(mx, my, other_segs)
+            if (d < ext * 1e-12).any():
+                raise _Degenerate("midpoint on other boundary")
+        return _inside_even_odd(mx, my, other_rings)
+
+    a_in_b = classify(sa, rb, _ring_segs(rb))
+    b_in_a = classify(sb, ra, _ring_segs(ra))
+
+    if op == "intersection":
+        keep_a, keep_b, flip_b = a_in_b, b_in_a, False
+    elif op == "union":
+        keep_a, keep_b, flip_b = ~a_in_b, ~b_in_a, False
+    elif op == "difference":
+        keep_a, keep_b, flip_b = ~a_in_b, b_in_a, True
+    else:
+        raise ValueError(op)
+
+    kept = [tuple(s) for s in sa[keep_a]]
+    for s in sb[keep_b]:
+        kept.append((s[2], s[3], s[0], s[1]) if flip_b else tuple(s))
+    if not kept:
+        return None
+    rings = _stitch(kept, quantum=ext * 1e-11)
+    rings = [r for r in rings if abs(_ring_signed_area(r)) > (ext * 1e-10) ** 2]
+    return _nest_signed_rings(rings)
+
+
+def overlay_eo(a, b, op: str):
+    """Boolean overlay via even-odd segment arrangement — the hole-aware
+    general path (inputs may be MultiPolygons with interior rings).
+    Degeneracies retry with scale-aware perturbation of b, like GH."""
+    last = None
+    for k in range(6):
+        try:
+            return _overlay_eo_once(a, b, op, k)
+        except _Degenerate as e:
+            last = e
+            continue
+    raise _Degenerate(f"unresolvable degeneracy in eo overlay: {last}")
+
+
+def _has_holes(geom) -> bool:
+    return any(len(rings) > 1 for rings in predicates._polygons_of(geom))
+
+
+def overlay_op(a, b, op: str):
+    """Boolean overlay of two (Multi)Polygons. op: intersection | union
+    | difference | symmetric_difference.
+
+    Hole-free inputs take the Greiner–Hormann machinery below; inputs
+    with interior rings route through overlay_eo, whose even-odd
+    classification subtracts holes exactly (r01 silently discarded
+    them). Pieces from distinct input components are emitted side by
+    side (their interiors are disjoint, so the MultiPolygon is
+    area-correct; shared boundaries between touching pieces are
+    tolerated)."""
+    if op != "symmetric_difference" and (_has_holes(a) or _has_holes(b)):
+        return overlay_eo(a, b, op)
     if op == "symmetric_difference":
         pa = overlay_op(a, b, "difference")
         pb = overlay_op(b, a, "difference")
@@ -650,9 +868,22 @@ def overlay_op(a, b, op: str):
                     res = _pair_op(outer, y, "difference")
                     for r in res:
                         if isinstance(r, tuple) and r[0] == "HOLE":
-                            nxt.append([r[1], *holes, r[2][::-1]])
+                            new_outer, carved = r[1], [r[2][::-1]]
                         else:
-                            nxt.append([r, *holes])
+                            new_outer, carved = r, []
+                        # when the clip SPLITS the outer, each carried
+                        # hole belongs only to the piece containing it
+                        if len(res) > 1 and holes:
+                            mine = [
+                                h
+                                for h in holes
+                                if _point_in_ring(
+                                    *_ring_interior_point(np.asarray(h)), new_outer
+                                )
+                            ]
+                        else:
+                            mine = list(holes)
+                        nxt.append([new_outer, *mine, *carved])
                 pieces = nxt
             polys.extend(pieces)
         polys = [

@@ -280,3 +280,106 @@ def test_st_overlay_and_dissolve(spark):
     )
     inter = two.select(st.st_intersection(F.col("a"), F.col("b")).alias("g")).collect()[0].g
     assert abs(measure.geom_area_planar(wkb.loads(bytes(inter))) - 2.0) < 1e-6
+
+
+# --- even-odd overlay (holed inputs) ---------------------------------------
+
+
+def _rect_ring(x0, y0, x1, y1):
+    import numpy as np
+
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+
+
+def test_overlay_holed_inputs_exact_areas():
+    """overlay_op on inputs WITH interior rings must honor the holes
+    (r01 silently discarded them). Areas cross-checked against the
+    exact fan-triangle oracle, which is hole-aware by construction."""
+    import numpy as np
+
+    from mundipy_spark.kernels import measure, overlay
+
+    A = ("Polygon", [_rect_ring(0, 0, 10, 10), _rect_ring(3, 3, 7, 7)[::-1]])
+    cases = [
+        ("Polygon", [_rect_ring(5, -1, 15, 11)]),           # crosses hole
+        ("Polygon", [_rect_ring(1, 1, 2, 2)]),              # inside solid part
+        ("Polygon", [_rect_ring(4, 4, 6, 6)]),              # inside the hole
+        ("Polygon", [_rect_ring(2, 2, 8, 8), _rect_ring(4, 4, 6, 6)[::-1]]),  # both holed
+    ]
+    for B in cases:
+        ia = overlay.intersection_area_planar(A, B)
+        aa = measure.geom_area_planar(A)
+        ab = measure.geom_area_planar(B)
+        for op, want in [
+            ("intersection", ia),
+            ("union", aa + ab - ia),
+            ("difference", aa - ia),
+        ]:
+            got = overlay.overlay_op(A, B, op)
+            area = measure.geom_area_planar(got) if got else 0.0
+            assert abs(area - want) < 1e-5 * max(want, 1.0), (op, B, area, want)
+
+
+def test_overlay_eo_property_random_holed():
+    """Randomized holed-rect overlays: every op's area matches the
+    inclusion-exclusion identity from the exact intersection-area
+    oracle."""
+    import numpy as np
+
+    from mundipy_spark.kernels import measure, overlay
+
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        x0, y0 = rng.uniform(-50, 30, 2)
+        w, h = rng.uniform(8, 40, 2)
+        hx, hy = rng.uniform(0.15, 0.45, 2)
+        hw, hhh = rng.uniform(0.1, 0.35, 2)
+        outer = _rect_ring(x0, y0, x0 + w, y0 + h)
+        hole = _rect_ring(
+            x0 + hx * w, y0 + hy * h, x0 + (hx + hw) * w, y0 + (hy + hhh) * h
+        )[::-1]
+        A = ("Polygon", [outer, hole])
+        bx0, by0 = x0 + rng.uniform(-0.5, 0.8) * w, y0 + rng.uniform(-0.5, 0.8) * h
+        bw, bh = rng.uniform(5, 30, 2)
+        B = ("Polygon", [_rect_ring(bx0, by0, bx0 + bw, by0 + bh)])
+        ia = overlay.intersection_area_planar(A, B)
+        aa = measure.geom_area_planar(A)
+        ab = measure.geom_area_planar(B)
+        for op, want in [
+            ("intersection", ia),
+            ("union", aa + ab - ia),
+            ("difference", aa - ia),
+        ]:
+            got = overlay.overlay_op(A, B, op)
+            area = measure.geom_area_planar(got) if got else 0.0
+            assert abs(area - want) < 1e-4 * max(want, 1.0), (trial, op, area, want)
+
+
+def test_difference_split_hole_assignment():
+    """When a clip splits a piece, carried holes must land only in the
+    piece that contains them (not be double-subtracted everywhere)."""
+    import numpy as np
+
+    from mundipy_spark.kernels import measure, overlay
+
+    # A = wide slab; first clip carves a hole on the LEFT half, second
+    # clip splits the slab vertically into left+right pieces
+    A = ("Polygon", [_rect_ring(0, 0, 20, 10)])
+    B = (
+        "MultiPolygon",
+        [
+            [_rect_ring(2, 4, 4, 6)],       # hole in left piece
+            [_rect_ring(9, -1, 11, 11)],    # vertical splitter
+        ],
+    )
+    got = overlay.overlay_op(A, B, "difference")
+    want = 200.0 - 4.0 - 20.0
+    assert abs(measure.geom_area_planar(got) - want) < 1e-6
+    # right piece must remain a full 9x10 rectangle (no phantom hole)
+    areas = sorted(
+        abs(measure.ring_area_planar(np.asarray(p[0])))
+        - sum(abs(measure.ring_area_planar(np.asarray(r))) for r in p[1:])
+        for p in (got[1] if got[0] == "MultiPolygon" else [got[1]])
+    )
+    assert abs(areas[-1] - 90.0) < 1e-6
+    assert abs(areas[0] - (90.0 - 4.0)) < 1e-6
