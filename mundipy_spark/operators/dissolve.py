@@ -40,9 +40,19 @@ def dissolve(
             for b in pdf[geom_col]
             if isinstance(b, (bytes, bytearray, memoryview))
         ]
-        u = None
-        for g in geoms:
-            u = g if u is None else overlay.union(u, g)
+        # cascaded (pairwise-tree) union: O(n log n) union calls on
+        # operands of balanced size instead of a linear fold whose
+        # accumulator grows with every step — the large-group tail is
+        # what dominates dissolve wall time
+        while len(geoms) > 1:
+            nxt = [
+                overlay.union(geoms[i], geoms[i + 1])
+                if i + 1 < len(geoms)
+                else geoms[i]
+                for i in range(0, len(geoms), 2)
+            ]
+            geoms = [g for g in nxt if g is not None]
+        u = geoms[0] if geoms else None
         out = {k: [pdf[k].iloc[0]] for k in keys}
         out[geom_col] = [wkb.dumps(u) if u is not None else None]
         return pd.DataFrame(out)

@@ -480,7 +480,7 @@ def knn_join(
     min_res: int = 1,
     broadcast_targets: bool = True,
     tie_break: list[str] | None = None,
-    dense_threshold: int = 2048,
+    dense_threshold: int = 256,
 ) -> DataFrame:
     """k-nearest-neighbor join by expanding cells, mirroring the
     reference's expanding-bbox nearest (mundipy/dataset.py:179-206:
