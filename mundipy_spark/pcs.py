@@ -1,20 +1,22 @@
 """Projected-coordinate-system auto-selection (reference mundipy/pcs).
 
 The reference scans a packaged EPSG-region polygon dataset and returns
-the smallest region containing the query bbox (pcs/__init__.py:26-62);
-that dataset is absent from the repo (.MISSING_LARGE_BLOBS). This engine
-uses the deterministic subset stated in SURVEY §2.6 C1: UTM zone by
-formula when the bbox fits a zone, ESRI:54009 World Mollweide as the
-meters fallback, NoProjectionFoundError for feet at global extent
-(pcs/__init__.py:58-62 raises exactly there).
+the smallest region containing the query bbox whose axis unit matches
+(pcs/__init__.py:26-62); that dataset is absent from the reference repo
+(.MISSING_LARGE_BLOBS), so this engine SYNTHESIZES a small region table
+with the same algorithm shape: all 120 WGS84 UTM zones (meters) plus a
+hand-curated set of national/state grids with unit tags (public EPSG
+codes, approximate coverage bboxes — own goldens). Scan order is
+smallest-area-first; feet queries that no regional feet grid covers
+raise NoProjectionFoundError exactly like the reference
+(pcs/__init__.py:58-62); meters queries with no containing region fall
+back to World Mollweide (reference test_global_pcs).
 
-`suggest_pcs` returns the top-n candidates in the same smallest-first
-spirit: containing UTM zone(s), then Mollweide.
+The table is deliberately tiny (<150 rows) — on the Spark side it is a
+driver-side constant, broadcast implicitly inside closures.
 """
 
 from __future__ import annotations
-
-from mundipy_spark.kernels import proj
 
 FT_PER_M = 3.28083333333333  # US survey-ish foot used for unit scaling
 
@@ -23,46 +25,107 @@ class NoProjectionFoundError(Exception):
     """Parity with the reference error type (pcs/__init__.py:23)."""
 
 
+def _region(name, epsg, crs, units, bbox):
+    minx, miny, maxx, maxy = bbox
+    return {
+        "name": name,
+        "epsg": epsg,
+        "crs": crs,
+        "units": units,
+        "bbox": bbox,
+        "area_deg2": (maxx - minx) * (maxy - miny),
+    }
+
+
+def _build_regions() -> list[dict]:
+    regs = []
+    # regional unit-tagged grids (public EPSG codes; synthesized
+    # approximate coverage — the reference's exact region polygons are
+    # unavailable, so these are own goldens, smallest entries first by
+    # construction of their bboxes)
+    regs += [
+        _region("NAD83(HARN) / New Hampshire (ftUS)", 3445, "EPSG:3445", "feet",
+                (-72.6, 42.69, -70.57, 45.31)),
+        _region("NAD83 / Texas Central (ftUS)", 2277, "EPSG:2277", "feet",
+                (-104.05, 29.78, -93.5, 32.27)),
+        _region("NAD83 / California zone 5 (ftUS)", 2229, "EPSG:2229", "feet",
+                (-121.42, 32.76, -114.12, 35.81)),
+        _region("NAD83 / New York Long Island (ftUS)", 2263, "EPSG:2263", "feet",
+                (-74.26, 40.47, -71.8, 41.3)),
+        _region("Amersfoort / RD New (Netherlands)", 28992, "EPSG:28992", "meters",
+                (3.2, 50.75, 7.22, 53.7)),
+        _region("OSGB36 / British National Grid", 27700, "EPSG:27700", "meters",
+                (-9.0, 49.75, 2.01, 61.01)),
+        _region("ETRS89 / UTM zone 32N (Germany-ish)", 25832, "EPSG:25832", "meters",
+                (5.05, 46.8, 12.0, 55.09)),
+    ]
+    # all WGS84 UTM zones, meters (6 deg x hemisphere)
+    for zone in range(1, 61):
+        w = zone * 6.0 - 186.0
+        regs.append(
+            _region(f"WGS 84 / UTM zone {zone}N", 32600 + zone,
+                    f"EPSG:{32600 + zone}", "meters", (w, 0.0, w + 6.0, 84.0))
+        )
+        regs.append(
+            _region(f"WGS 84 / UTM zone {zone}S", 32700 + zone,
+                    f"EPSG:{32700 + zone}", "meters", (w, -80.0, w + 6.0, 0.0))
+        )
+    regs.sort(key=lambda r: r["area_deg2"])
+    return regs
+
+
+PCS_REGIONS = _build_regions()
+
+
+def _containing(bbox, units):
+    minx, miny, maxx, maxy = bbox
+    for r in PCS_REGIONS:
+        if r["units"] != units:
+            continue
+        rx0, ry0, rx1, ry1 = r["bbox"]
+        if rx0 <= minx and ry0 <= miny and rx1 >= maxx and ry1 >= maxy:
+            yield r
+
+
+def _strip(r: dict) -> dict:
+    return {k: r[k] for k in ("name", "epsg", "crs", "units")}
+
+
 def choose_pcs(bbox: tuple[float, float, float, float], units: str = "meters") -> dict:
-    """bbox = (minx, miny, maxx, maxy) in WGS84 degrees."""
+    """Smallest containing region with matching unit (the reference's
+    algorithm, pcs/__init__.py:26-62, over the synthesized table);
+    meters with no containing region falls back to World Mollweide."""
     if units not in ("meters", "feet"):
         raise TypeError(f"units must be meters or feet, got {units!r}")
-    minx, miny, maxx, maxy = bbox
-    cx, cy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
-    fits_zone = (maxx - minx) <= 6.0 and (maxy - miny) <= 40.0 and -80.0 <= cy <= 84.0
-    if fits_zone:
-        zone = int(proj.utm_zone([cx], [cy])[0])
-        epsg = (32700 if cy < 0 else 32600) + zone
-        return {
-            "name": f"WGS 84 / UTM zone {zone}{'S' if cy < 0 else 'N'}",
-            "epsg": epsg,
-            "crs": f"EPSG:{epsg}",
-            "units": units,
-        }
+    for r in _containing(bbox, units):
+        return _strip(r)
     if units == "feet":
         raise NoProjectionFoundError(
-            "no foot-unit projection covers a bbox wider than one UTM zone"
+            "no foot-unit projection region contains the query bbox"
         )
-    return {
-        "name": "World Mollweide",
-        "epsg": 54009,
-        "crs": "ESRI:54009",
-        "units": "meters",
-    }
+    # no containing region (e.g. a bbox straddling a UTM zone boundary):
+    # world fallback, exactly like the reference's test_global_pcs (its
+    # Mollweide dict carries no epsg key)
+    return {"name": "World Mollweide", "crs": "ESRI:54009", "units": "meters"}
 
 
 def suggest_pcs(
     bbox: tuple[float, float, float, float], units: str = "meters", n: int = 3
 ) -> list[dict]:
-    out = []
-    try:
-        out.append(choose_pcs(bbox, units))
-    except NoProjectionFoundError:
-        pass
-    if units == "meters" and (not out or out[0]["crs"] != "ESRI:54009"):
-        out.append(
-            {"name": "World Mollweide", "epsg": 54009, "crs": "ESRI:54009", "units": "meters"}
-        )
+    """Top-n candidates smallest-first: every containing unit-matched
+    region, then the meters fallbacks."""
+    out = [_strip(r) for r in _containing(bbox, units)]
+    if units == "meters":
+        try:
+            fb = choose_pcs(bbox, units)
+            if all(fb["crs"] != o["crs"] for o in out):
+                out.append(fb)
+        except NoProjectionFoundError:
+            pass
+        if all(o["crs"] != "ESRI:54009" for o in out):
+            out.append(
+                {"name": "World Mollweide", "crs": "ESRI:54009", "units": "meters"}
+            )
     return out[:n]
 
 
