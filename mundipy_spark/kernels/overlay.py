@@ -812,6 +812,119 @@ def _overlay_eo_once(a, b, op: str, k: int):
     return _nest_signed_rings(rings)
 
 
+def _geom_dim(geom) -> int:
+    t = geom[0]
+    if t in ("Polygon", "MultiPolygon"):
+        return 2
+    if t in ("LineString", "MultiLineString"):
+        return 1
+    if t in ("Point", "MultiPoint"):
+        return 0
+    if t == "GeometryCollection":
+        return max((_geom_dim(g) for g in geom[1]), default=-1)
+    return -1
+
+
+def _clip_lines_to_polygon(geom_line, geom_poly, keep_inside: bool):
+    """LineString/MultiLineString clipped against an arbitrary (holed,
+    multi-part) polygon: segments split at boundary crossings, midpoint
+    even-odd classification, contiguous kept pieces re-chained. The
+    line×concave case the convex Sutherland–Hodgman path can't express."""
+    rings = _rings_interior_left(geom_poly)
+    if not rings:
+        return geom_line if not keep_inside else None
+    segs_poly = _ring_segs(rings)
+    lines = [geom_line[1]] if geom_line[0] == "LineString" else list(geom_line[1])
+    for k in range(6):
+        try:
+            rk = [_perturb(r, k) for r in rings]
+            sp = _ring_segs(rk)
+            pieces = []
+            for line in lines:
+                pts = np.asarray(line, dtype=np.float64)
+                cur: list[np.ndarray] = []
+                for i in range(len(pts) - 1):
+                    p, q = pts[i], pts[i + 1]
+                    d = q - p
+                    # crossing params vs all polygon edges
+                    a0 = sp[:, 0:2]
+                    e = sp[:, 2:4] - sp[:, 0:2]
+                    denom = d[0] * e[:, 1] - d[1] * e[:, 0]
+                    qp = a0 - p
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        t = (qp[:, 0] * e[:, 1] - qp[:, 1] * e[:, 0]) / denom
+                        u = (qp[:, 0] * d[1] - qp[:, 1] * d[0]) / denom
+                    ok = (np.abs(denom) > 1e-300) & (t > 1e-12) & (t < 1 - 1e-12) & (
+                        u >= 0.0
+                    ) & (u <= 1.0)
+                    cut = np.sort(t[ok])
+                    knots = np.concatenate([[0.0], cut, [1.0]])
+                    for j in range(len(knots) - 1):
+                        t0, t1 = knots[j], knots[j + 1]
+                        if t1 - t0 < 1e-12:
+                            continue
+                        mid = p + (t0 + t1) / 2.0 * d
+                        dmin = predicates.point_segs_min_dist(
+                            np.array([mid[0]]), np.array([mid[1]]), sp
+                        )[0]
+                        ext = max(1.0, float(np.abs(pts).max()))
+                        if dmin < ext * 1e-12:
+                            raise _Degenerate("line midpoint on boundary")
+                        inside = bool(_inside_even_odd(
+                            np.array([mid[0]]), np.array([mid[1]]), rk
+                        )[0])
+                        if inside == keep_inside:
+                            s0, s1 = p + t0 * d, p + t1 * d
+                            if cur and np.allclose(cur[-1], s0):
+                                cur.append(s1)
+                            else:
+                                if len(cur) >= 2:
+                                    pieces.append(np.asarray(cur))
+                                cur = [s0, s1]
+                        else:
+                            if len(cur) >= 2:
+                                pieces.append(np.asarray(cur))
+                            cur = []
+                if len(cur) >= 2:
+                    pieces.append(np.asarray(cur))
+            if not pieces:
+                return None
+            if len(pieces) == 1:
+                return ("LineString", pieces[0])
+            return ("MultiLineString", pieces)
+        except _Degenerate:
+            continue
+    raise _Degenerate("line clip degeneracy unresolved")
+
+
+def _clip_points_to_polygon(geom_pt, geom_poly, keep_inside: bool):
+    pts = np.asarray(geom_pt[1], dtype=np.float64).reshape(-1, 2)
+    keep = predicates.points_in_geom(pts[:, 0], pts[:, 1], geom_poly)
+    pts = pts[keep if keep_inside else ~keep]
+    if len(pts) == 0:
+        return None
+    return ("Point", pts[0]) if len(pts) == 1 else ("MultiPoint", pts)
+
+
+def _mixed_dim_op(a, b, op: str):
+    """intersection/difference when operand dimensions differ: the
+    lower-dimensional operand is clipped by the polygon one (matching
+    the reference's shapely dispatch for line x polygon)."""
+    da, db = _geom_dim(a), _geom_dim(b)
+    if op == "intersection":
+        lo, poly = (a, b) if da < db else (b, a)
+        if _geom_dim(lo) == 1:
+            return _clip_lines_to_polygon(lo, poly, keep_inside=True)
+        return _clip_points_to_polygon(lo, poly, keep_inside=True)
+    if op == "difference":
+        if da < db:  # line/point minus polygon: keep the outside part
+            if da == 1:
+                return _clip_lines_to_polygon(a, b, keep_inside=False)
+            return _clip_points_to_polygon(a, b, keep_inside=False)
+        return a  # polygon minus line/point: zero-measure, unchanged
+    raise ValueError(f"mixed-dimension {op} not supported")
+
+
 def overlay_eo(a, b, op: str):
     """Boolean overlay via even-odd segment arrangement — the hole-aware
     general path (inputs may be MultiPolygons with interior rings).
@@ -841,6 +954,9 @@ def overlay_op(a, b, op: str):
     side (their interiors are disjoint, so the MultiPolygon is
     area-correct; shared boundaries between touching pieces are
     tolerated)."""
+    da, db = _geom_dim(a), _geom_dim(b)
+    if da != db and 2 in (da, db) and op in ("intersection", "difference"):
+        return _mixed_dim_op(a, b, op)
     if op != "symmetric_difference" and (_has_holes(a) or _has_holes(b)):
         return overlay_eo(a, b, op)
     if op == "symmetric_difference":

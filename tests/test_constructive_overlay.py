@@ -383,3 +383,39 @@ def test_difference_split_hole_assignment():
     )
     assert abs(areas[-1] - 90.0) < 1e-6
     assert abs(areas[0] - (90.0 - 4.0)) < 1e-6
+
+
+def test_line_clip_concave_holed_polygon():
+    """Line x arbitrary polygon intersection/difference (mixed-dimension
+    dispatch): splits at boundary crossings, hole spans excluded."""
+    import numpy as np
+
+    from mundipy_spark.kernels import overlay
+
+    L = (
+        "Polygon",
+        [
+            np.array([[0, 0], [10, 0], [10, 4], [4, 4], [4, 10], [0, 10], [0, 0]], float),
+            np.array([[1, 1], [1, 3], [3, 3], [3, 1], [1, 1]], float),  # hole
+        ],
+    )
+    line = ("LineString", np.array([[-2.0, 2.0], [12.0, 2.0]]))
+
+    def total_len(g):
+        if g is None:
+            return 0.0
+        parts = [g[1]] if g[0] == "LineString" else g[1]
+        return sum(
+            np.hypot(*np.diff(np.asarray(p), axis=0).T).sum() for p in parts
+        )
+
+    inter = overlay.intersection(line, L)
+    diff = overlay.difference(line, L)
+    assert abs(total_len(inter) - 8.0) < 1e-9  # x in [0,10] minus hole [1,3]
+    assert abs(total_len(diff) - 6.0) < 1e-9   # 2 outside ends + 2 in hole
+    # polygon minus line is unchanged (zero measure)
+    assert overlay.difference(L, line) == L
+    # points: in-hole and outside points drop, interior point kept
+    pts = ("MultiPoint", np.array([[2.0, 2.0], [5.0, 2.0], [20.0, 20.0]]))
+    kept = overlay.intersection(pts, L)
+    assert kept[0] == "Point" and np.allclose(kept[1], [5.0, 2.0])
