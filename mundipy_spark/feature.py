@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from mundipy_spark.kernels import constructive, measure, predicates, wkb
+from mundipy_spark.kernels import constructive, measure, overlay, predicates, wkb
 
 
 def _as_geom(other):
@@ -125,6 +125,55 @@ class Feature:
 
     def simplify(self, tol: float) -> "Feature":
         return Feature(constructive.simplify(self.geom, tol), self.features, self.uscale)
+
+    # --- overlays (RETURN_GEO, reference geometry.py:103,123,150,154) ---
+    def _overlay(self, other, op: str) -> "Feature | None":
+        g = overlay.overlay_op(self.geom, _as_geom(other), op) if op != "intersection" else overlay.intersection(self.geom, _as_geom(other))
+        return Feature(g, self.features, self.uscale) if g is not None else None
+
+    def intersection(self, other) -> "Feature | None":
+        return self._overlay(other, "intersection")
+
+    def union(self, other) -> "Feature | None":
+        return self._overlay(other, "union")
+
+    def difference(self, other) -> "Feature | None":
+        return self._overlay(other, "difference")
+
+    def symmetric_difference(self, other) -> "Feature | None":
+        return self._overlay(other, "symmetric_difference")
+
+    # --- remaining scalar surface (geometry.py:89,117,133,135,137,139,144) ---
+    def hausdorff_distance(self, other) -> float:
+        return measure.hausdorff_distance_m(self.geom, _as_geom(other)) * self.uscale
+
+    @property
+    def minimum_clearance(self) -> float:
+        """Coordinate-space clearance (same convention as st_minimum_clearance)."""
+        return constructive.minimum_clearance(self.geom)
+
+    def interpolate(self, dist: float) -> "Feature":
+        return Feature(constructive.interpolate(self.geom, dist), self.features, self.uscale)
+
+    def project(self, other) -> float:
+        return constructive.project(self.geom, _as_geom(other))
+
+    @property
+    def boundary(self) -> "Feature":
+        return Feature(constructive.boundary(self.geom), self.features, self.uscale)
+
+    @property
+    def representative_point(self) -> "Feature":
+        return Feature(constructive.representative_point(self.geom), self.features, self.uscale)
+
+    def normalize(self) -> "Feature":
+        return Feature(constructive.normalize(self.geom), self.features, self.uscale)
+
+    @property
+    def minimum_rotated_rectangle(self) -> "Feature":
+        return Feature(
+            constructive.minimum_rotated_rectangle(self.geom), self.features, self.uscale
+        )
 
     def __repr__(self) -> str:
         return f"<Feature {self.geom_type} props={list(self.features)[:4]}>"

@@ -386,3 +386,38 @@ def test_crs_transforms_roundtrip():
 
     with pytest.raises(ValueError):
         proj.crs_transforms("EPSG:2844")  # not implemented -> loud, not wrong
+
+
+def test_feature_full_scalar_surface():
+    """Feature exposes the reference BaseGeometry surface inside user
+    fns: overlays propagate properties, measures scale by session
+    units (geometry.py:103-154, 264)."""
+    import numpy as np
+
+    from mundipy_spark.feature import Feature
+
+    sq = lambda x0, y0, x1, y1: (  # noqa: E731
+        "Polygon",
+        [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)],
+    )
+    a = Feature(sq(0, 0, 2, 2), {"name": "a"})
+    b = Feature(sq(1, 1, 3, 3), {"name": "b"})
+    inter = a.intersection(b)
+    assert inter is not None and inter["name"] == "a"  # props propagate
+    from mundipy_spark.kernels import measure
+
+    assert abs(measure.geom_area_planar(inter.geom) - 1.0) < 1e-9
+    assert abs(measure.geom_area_planar(a.union(b).geom) - 7.0) < 1e-6
+    assert abs(measure.geom_area_planar(a.difference(b).geom) - 3.0) < 1e-6
+    assert abs(measure.geom_area_planar(a.symmetric_difference(b).geom) - 6.0) < 1e-6
+    assert a.intersection(Feature(sq(10, 10, 11, 11))) is None
+
+    line = Feature(("LineString", np.array([[0.0, 0.0], [0.0, 1.0]])), {"n": 1})
+    p = line.interpolate(0.25)
+    assert p.geom[0] == "Point" and p["n"] == 1
+    assert line.boundary.geom[0] in ("MultiPoint", "Point")
+    assert a.representative_point.geom[0] == "Point"
+    assert a.minimum_rotated_rectangle.geom[0] == "Polygon"
+    assert a.hausdorff_distance(b) > 0
+    assert a.minimum_clearance > 0
+    assert a.normalize().geom[0] == "Polygon"
