@@ -776,35 +776,53 @@ def _overlay_eo_once(a, b, op: str, k: int):
     ext = 1.0
     for r in (*ra, *rb):
         ext = max(ext, float(np.abs(r).max()))
-    tol = 1e-12
-    sa, sb = _split_at_crossings(_ring_segs(ra), _ring_segs(rb), tol)
+    sa, sb = _split_at_crossings(_ring_segs(ra), _ring_segs(rb), 1e-12)
+    subs = np.vstack([s for s in (sa, sb) if len(s)])
+    if len(subs) == 0:
+        return None
 
-    def classify(subs, other_rings, other_segs):
-        if len(subs) == 0:
-            return np.zeros(0, dtype=bool)
-        mx = (subs[:, 0] + subs[:, 2]) / 2.0
-        my = (subs[:, 1] + subs[:, 3]) / 2.0
-        if other_segs is not None and len(other_segs):
-            d = predicates.point_segs_min_dist(mx, my, other_segs)
-            if (d < ext * 1e-12).any():
-                raise _Degenerate("midpoint on other boundary")
-        return _inside_even_odd(mx, my, other_rings)
-
-    a_in_b = classify(sa, rb, _ring_segs(rb))
-    b_in_a = classify(sb, ra, _ring_segs(ra))
-
+    # SIDE-PROBE classification: a sub-segment belongs to the result
+    # boundary iff exactly one of its two side-neighborhoods is inside
+    # the result region. This needs no per-operand keep rules, makes
+    # orientation explicit (inside on the left), and — crucially —
+    # erases coincident internal boundaries (e.g. the shared cut edges
+    # a GH multi-part union carries between its pieces): both sides
+    # inside -> dropped.
+    mx = (subs[:, 0] + subs[:, 2]) / 2.0
+    my = (subs[:, 1] + subs[:, 3]) / 2.0
+    dx = subs[:, 2] - subs[:, 0]
+    dy = subs[:, 3] - subs[:, 1]
+    ln = np.hypot(dx, dy)
+    ok = ln > ext * 1e-13
+    subs, mx, my, dx, dy, ln = subs[ok], mx[ok], my[ok], dx[ok], dy[ok], ln[ok]
+    delta = ext * 3e-7
+    nxv, nyv = -dy / ln, dx / ln  # left normal
+    px = np.concatenate([mx + nxv * delta, mx - nxv * delta])
+    py = np.concatenate([my + nyv * delta, my - nyv * delta])
+    # probe points must be clear of every boundary for parity to equal
+    # the side-neighborhood limit (own segment sits at exactly delta)
+    all_segs = np.vstack([s for s in (_ring_segs(ra), _ring_segs(rb)) if len(s)])
+    dmin = predicates.point_segs_min_dist(px, py, all_segs)
+    if (dmin < delta * 0.35).any():
+        raise _Degenerate("side probe too close to a boundary")
+    in_a = _inside_even_odd(px, py, ra)
+    in_b = _inside_even_odd(px, py, rb)
     if op == "intersection":
-        keep_a, keep_b, flip_b = a_in_b, b_in_a, False
+        in_res = in_a & in_b
     elif op == "union":
-        keep_a, keep_b, flip_b = ~a_in_b, ~b_in_a, False
+        in_res = in_a | in_b
     elif op == "difference":
-        keep_a, keep_b, flip_b = ~a_in_b, b_in_a, True
+        in_res = in_a & ~in_b
     else:
         raise ValueError(op)
-
-    kept = [tuple(s) for s in sa[keep_a]]
-    for s in sb[keep_b]:
-        kept.append((s[2], s[3], s[0], s[1]) if flip_b else tuple(s))
+    n = len(subs)
+    left_in, right_in = in_res[:n], in_res[n:]
+    keep = left_in != right_in
+    kept = []
+    for i in np.nonzero(keep)[0]:
+        x1, y1, x2, y2 = subs[i]
+        # interior on the left
+        kept.append((x1, y1, x2, y2) if left_in[i] else (x2, y2, x1, y1))
     if not kept:
         return None
     rings = _stitch(kept, quantum=ext * 1e-11)

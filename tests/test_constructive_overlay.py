@@ -419,3 +419,45 @@ def test_line_clip_concave_holed_polygon():
     pts = ("MultiPoint", np.array([[2.0, 2.0], [5.0, 2.0], [20.0, 20.0]]))
     kept = overlay.intersection(pts, L)
     assert kept[0] == "Point" and np.allclose(kept[1], [5.0, 2.0])
+
+
+def test_tree_union_inclusion_exclusion_stress():
+    """Tree-union of K random axis-aligned rects vs the closed-form
+    inclusion-exclusion union area (k-way rect intersections are rects,
+    so the expected area is exact). Exercises multipolygon unions,
+    holes created by enclosing patterns, and touching edges."""
+    import itertools
+
+    import numpy as np
+
+    from mundipy_spark.kernels import measure, overlay
+
+    rng = np.random.default_rng(13)
+    for trial in range(12):
+        K = 7
+        rects = []
+        for _ in range(K):
+            x0, y0 = rng.uniform(0, 60, 2)
+            w, h = rng.uniform(4, 35, 2)
+            rects.append((x0, y0, x0 + w, y0 + h))
+        # exact union area by inclusion-exclusion
+        want = 0.0
+        for r in range(1, K + 1):
+            for combo in itertools.combinations(range(K), r):
+                xs0 = max(rects[i][0] for i in combo)
+                ys0 = max(rects[i][1] for i in combo)
+                xs1 = min(rects[i][2] for i in combo)
+                ys1 = min(rects[i][3] for i in combo)
+                a = max(0.0, xs1 - xs0) * max(0.0, ys1 - ys0)
+                want += a if r % 2 == 1 else -a
+        geoms = [
+            ("Polygon", [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])])
+            for x0, y0, x1, y1 in rects
+        ]
+        while len(geoms) > 1:
+            geoms = [
+                overlay.union(geoms[i], geoms[i + 1]) if i + 1 < len(geoms) else geoms[i]
+                for i in range(0, len(geoms), 2)
+            ]
+        got = measure.geom_area_planar(geoms[0])
+        assert abs(got - want) < 1e-4 * max(want, 1.0), (trial, got, want)
