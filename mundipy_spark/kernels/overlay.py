@@ -657,44 +657,55 @@ def _split_at_crossings(sa: np.ndarray, sb: np.ndarray, tol: float):
     """Split every segment of sa (resp. sb) at its proper crossings with
     sb (resp. sa). Near-degenerate contact (endpoint-on-segment,
     collinear overlap) raises _Degenerate for the perturb-retry loop.
+    Both sides of a crossing reuse the SAME computed point coordinates,
+    so the stitcher's quantized keys match bit-for-bit even for
+    near-parallel (ill-conditioned) crossings.
     Returns (sub_a, sub_b) arrays of (n, 4)."""
-    def crossings(s1, s2):
-        # pairwise params: t along s1, u along s2
-        p = s1[:, None, 0:2]
-        r = (s1[:, 2:4] - s1[:, 0:2])[:, None, :]
-        q = s2[None, :, 0:2]
-        s = (s2[:, 2:4] - s2[:, 0:2])[None, :, :]
-        denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
-        qp = q - p
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = (qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]) / denom
-            u = (qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]) / denom
-        ok = (np.abs(denom) > 1e-300) & (t > -tol) & (t < 1 + tol) & (u > -tol) & (u < 1 + tol)
-        # endpoint/tangent contact is degenerate — resolved by perturbation
-        near_end = ok & (
-            (np.abs(t) < tol) | (np.abs(1 - t) < tol) | (np.abs(u) < tol) | (np.abs(1 - u) < tol)
-        )
-        if near_end.any():
-            raise _Degenerate("crossing at segment endpoint")
-        return ok, t, u
+    p = sa[:, None, 0:2]
+    r = (sa[:, 2:4] - sa[:, 0:2])[:, None, :]
+    q = sb[None, :, 0:2]
+    s = (sb[:, 2:4] - sb[:, 0:2])[None, :, :]
+    denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    qp = q - p
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]) / denom
+        u = (qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]) / denom
+    ok = (np.abs(denom) > 1e-300) & (t > -tol) & (t < 1 + tol) & (u > -tol) & (u < 1 + tol)
+    # endpoint-contact threshold is WIDER than the inclusion window:
+    # crossings within ~1e-9 of an endpoint spawn micro sub-segments
+    # whose quantized stitch keys and side probes are unreliable —
+    # degenerate, resolved by the perturbation retry
+    t_end = 3e-9
+    near_end = ok & (
+        (np.abs(t) < t_end) | (np.abs(1 - t) < t_end)
+        | (np.abs(u) < t_end) | (np.abs(1 - u) < t_end)
+    )
+    if near_end.any():
+        raise _Degenerate("crossing at segment endpoint")
 
-    ok, t, u = crossings(sa, sb)
+    ii, jj = np.nonzero(ok)
+    cx = sa[ii, 0] + t[ii, jj] * (sa[ii, 2] - sa[ii, 0])
+    cy = sa[ii, 1] + t[ii, jj] * (sa[ii, 3] - sa[ii, 1])
+    cuts_a: dict[int, list] = {}
+    cuts_b: dict[int, list] = {}
+    for m in range(len(ii)):
+        cuts_a.setdefault(int(ii[m]), []).append((t[ii[m], jj[m]], cx[m], cy[m]))
+        cuts_b.setdefault(int(jj[m]), []).append((u[ii[m], jj[m]], cx[m], cy[m]))
 
-    def split(segs, params_ok, params, axis):
+    def split(segs, cuts):
         out = []
         for i in range(len(segs)):
-            ts = params[i][params_ok[i]] if axis == 0 else params[:, i][params_ok[:, i]]
-            p, q = segs[i, 0:2], segs[i, 2:4]
-            if len(ts) == 0:
-                out.append((p[0], p[1], q[0], q[1]))
+            x1, y1, x2, y2 = segs[i]
+            cs = cuts.get(i)
+            if not cs:
+                out.append((x1, y1, x2, y2))
                 continue
-            cut = np.sort(ts)
-            pts = [p] + [p + tt * (q - p) for tt in cut] + [q]
+            pts = [(x1, y1)] + [(x, y) for _, x, y in sorted(cs)] + [(x2, y2)]
             for j in range(len(pts) - 1):
-                out.append((pts[j][0], pts[j][1], pts[j + 1][0], pts[j + 1][1]))
+                out.append((*pts[j], *pts[j + 1]))
         return np.asarray(out)
 
-    return split(sa, ok, t, 0), split(sb, ok, u, 1)
+    return split(sa, cuts_a), split(sb, cuts_b)
 
 
 def _inside_even_odd(xs: np.ndarray, ys: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
@@ -704,26 +715,46 @@ def _inside_even_odd(xs: np.ndarray, ys: np.ndarray, rings: list[np.ndarray]) ->
     return inside
 
 
-def _stitch(segs: list[tuple], quantum: float) -> list[np.ndarray]:
-    """Chain directed segments end-to-start into closed rings. After
-    regularized classification every vertex has exactly one unused
-    outgoing segment; anything else is a degeneracy -> retry."""
+def _stitch(segs: list[tuple], join_tol: float) -> list[np.ndarray]:
+    """Chain directed segments end-to-start into closed rings by
+    NEAREST-start matching within join_tol. In exact arithmetic the
+    kept set forms closed loops; in floats the same junction point gets
+    several renditions (computed from different segment pairs, or from
+    near-coincident twin boundaries), so exact-key matching is too
+    brittle — the nearest unused start within join_tol is the right
+    continuation, and a miss is a degeneracy -> perturb-retry."""
     from collections import defaultdict
 
-    def key(x, y):
-        return (round(x / quantum), round(y / quantum))
+    cell = join_tol
 
-    outgoing: dict = defaultdict(list)
+    def key(x, y):
+        return (int(np.floor(x / cell)), int(np.floor(y / cell)))
+
+    buckets: dict = defaultdict(list)
     for i, (x1, y1, x2, y2) in enumerate(segs):
-        outgoing[key(x1, y1)].append(i)
+        buckets[key(x1, y1)].append(i)
     used = [False] * len(segs)
+
+    def next_from(x, y, exclude=-1):
+        kx, ky = key(x, y)
+        best, best_d = -1, join_tol
+        for ddx in (-1, 0, 1):
+            for ddy in (-1, 0, 1):
+                for j in buckets.get((kx + ddx, ky + ddy), ()):
+                    if used[j] or j == exclude:
+                        continue
+                    d = float(np.hypot(segs[j][0] - x, segs[j][1] - y))
+                    if d < best_d:
+                        best, best_d = j, d
+        return best
+
     rings = []
     for start in range(len(segs)):
         if used[start]:
             continue
         pts = []
         cur = start
-        k0 = key(segs[start][0], segs[start][1])
+        x0, y0 = segs[start][0], segs[start][1]
         guard = 0
         while True:
             guard += 1
@@ -732,13 +763,12 @@ def _stitch(segs: list[tuple], quantum: float) -> list[np.ndarray]:
             used[cur] = True
             x1, y1, x2, y2 = segs[cur]
             pts.append((x1, y1))
-            k2 = key(x2, y2)
-            if k2 == k0:
+            if np.hypot(x2 - x0, y2 - y0) < join_tol:
                 break
-            nxts = [j for j in outgoing.get(k2, ()) if not used[j]]
-            if len(nxts) != 1:
-                raise _Degenerate(f"vertex degree {len(nxts)} at stitch")
-            cur = nxts[0]
+            nxt = next_from(x2, y2)
+            if nxt < 0:
+                raise _Degenerate("dangling segment end at stitch")
+            cur = nxt
         if len(pts) >= 3:
             rings.append(np.asarray(pts, dtype=np.float64))
     return rings
@@ -795,7 +825,13 @@ def _overlay_eo_once(a, b, op: str, k: int):
     ln = np.hypot(dx, dy)
     ok = ln > ext * 1e-13
     subs, mx, my, dx, dy, ln = subs[ok], mx[ok], my[ok], dx[ok], dy[ok], ln[ok]
-    delta = ext * 3e-7
+    # probe offset: shrinks with each retry (shallow-angle slivers
+    # thinner than the first delta become classifiable) and is bounded
+    # per segment by the segment's own length (micro-segments from
+    # near-endpoint crossings otherwise probe into their neighbors)
+    delta = np.minimum(
+        max(ext * 3e-7 / (4.0**k), ext * 5e-11), ln * 0.25
+    )
     nxv, nyv = -dy / ln, dx / ln  # left normal
     px = np.concatenate([mx + nxv * delta, mx - nxv * delta])
     py = np.concatenate([my + nyv * delta, my - nyv * delta])
@@ -803,7 +839,14 @@ def _overlay_eo_once(a, b, op: str, k: int):
     # the side-neighborhood limit (own segment sits at exactly delta)
     all_segs = np.vstack([s for s in (_ring_segs(ra), _ring_segs(rb)) if len(s)])
     dmin = predicates.point_segs_min_dist(px, py, all_segs)
-    if (dmin < delta * 0.35).any():
+    dd = np.concatenate([delta, delta])
+    if k < 4 and (dmin < dd * 0.35).any():
+        # near-boundary probes usually mean a genuine degeneracy worth a
+        # perturb-retry; at deep retry levels the remaining offenders are
+        # near-PARALLEL twin boundaries (coincident internal edges of a
+        # GH multi-part union, offset by float noise) whose parity past
+        # the twin is exactly the regularized classification we want —
+        # proceed, and let the stitcher catch any real inconsistency
         raise _Degenerate("side probe too close to a boundary")
     in_a = _inside_even_odd(px, py, ra)
     in_b = _inside_even_odd(px, py, rb)
@@ -825,8 +868,10 @@ def _overlay_eo_once(a, b, op: str, k: int):
         kept.append((x1, y1, x2, y2) if left_in[i] else (x2, y2, x1, y1))
     if not kept:
         return None
-    rings = _stitch(kept, quantum=ext * 1e-11)
-    rings = [r for r in rings if abs(_ring_signed_area(r)) > (ext * 1e-10) ** 2]
+    rings = _stitch(kept, join_tol=ext * 1e-7)
+    rings = [
+        r for r in rings if abs(_ring_signed_area(r)) > (ext * 1e-10) ** 2
+    ]
     return _nest_signed_rings(rings)
 
 

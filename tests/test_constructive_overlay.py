@@ -461,3 +461,35 @@ def test_tree_union_inclusion_exclusion_stress():
             ]
         got = measure.geom_area_planar(geoms[0])
         assert abs(got - want) < 1e-4 * max(want, 1.0), (trial, got, want)
+
+
+def test_rotated_union_fold_oracle():
+    """Incremental union of rotated rectangles: each step's area must
+    match |U|+|A|-|U∩A| from the exact fan-triangle oracle. Exercises
+    shallow-angle crossings, coincident internal twin boundaries from
+    GH multi-part outputs, and micro-segment robustness."""
+    import numpy as np
+
+    from mundipy_spark.kernels import measure, overlay
+
+    rng = np.random.default_rng(4242)
+    for trial in range(15):
+        shapes = []
+        for _ in range(6):
+            cx, cy = rng.uniform(0, 50, 2)
+            w, h = rng.uniform(3, 25, 2)
+            th = rng.uniform(0, np.pi)
+            c, s = np.cos(th), np.sin(th)
+            pts = np.array(
+                [[-w / 2, -h / 2], [w / 2, -h / 2], [w / 2, h / 2], [-w / 2, h / 2], [-w / 2, -h / 2]]
+            )
+            R = np.array([[c, -s], [s, c]])
+            shapes.append(("Polygon", [pts @ R.T + [cx, cy]]))
+        U = shapes[0]
+        areaU = measure.geom_area_planar(U)
+        for g in shapes[1:]:
+            ia = overlay.intersection_area_planar(U, g)
+            want = areaU + measure.geom_area_planar(g) - ia
+            U = overlay.union(U, g)
+            areaU = measure.geom_area_planar(U)
+            assert abs(areaU - want) < 1e-4 * max(want, 1.0), (trial, areaU, want)
