@@ -20,7 +20,16 @@ from pyspark.sql import functions as F
 
 from mundipy_spark.functions import st
 from mundipy_spark.functions import text as tx
-from mundipy_spark.operators import dedup, geoparse, joins, sessions, similarity, textstats
+from mundipy_spark.operators import (
+    curation,
+    dedup,
+    geoparse,
+    graph,
+    joins,
+    sessions,
+    similarity,
+    textstats,
+)
 from mundipy_spark.plans import pipeline
 from mundipy_spark.sources import pages as pages_src
 
@@ -59,6 +68,29 @@ geo AS (
          CAST((doc_id * {pages_src.LON_MUL}) % 36000 - 18000 AS DOUBLE) / 100.0 AS lon
   FROM pages WHERE doc_id % 8 <> 0
 )
+"""
+
+
+# n-gram Jaccard refine over MinHash-LSH candidates — shared by the
+# jaccard_pairs oracle and the dedup_clusters connected-components oracle
+_JACCARD_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i : i + 2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ninter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       CAST(round(CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter), 6) AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.2
 """
 
 
@@ -215,6 +247,42 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.jaccard_ngram_pairs(docs, cand, threshold=0.2)
     return out.select(
         "a", "b", F.round(F.col("jaccard"), 6).cast("double").alias("jaccard")
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH candidates -> Jaccard refine ->
+    connected components (pointer-jumping label propagation), canonical
+    = min doc id per cluster — the keep-list a production dedup emits."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs, n_hashes=8)
+    cand = dedup.lsh_candidate_pairs(sigs, n_hashes=8, bands=4)
+    pairs = dedup.jaccard_ngram_pairs(docs, cand, threshold=0.2)
+    return graph.dedup_clusters(docs, pairs)
+
+
+def q_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (reproducible regardless of
+    partition layout, unlike df.sample) + per-source profile."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = curation.sample_by_hash(docs, rate=0.3)
+    return s.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(tx.token_count_expr(F.col("text"))).alias("sum_tokens"),
+    )
+
+
+def q_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality cap: keep the 3 highest-quality docs per
+    source (deterministic tie-break on doc_id)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "quality", tx.quality_score_expr(F.col("text"))
+    )
+    out = curation.top_k_per_group(
+        docs, "source", "quality", k=3, tie_break="doc_id"
+    )
+    return out.select(
+        "source", "doc_id", F.round(F.col("quality"), 6).alias("quality")
     )
 
 
@@ -474,6 +542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash": q_minhash,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "sample_stats": q_sample_stats,
+        "source_topk": q_source_topk,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
@@ -619,24 +690,27 @@ SELECT min(doc_id) AS doc_id, fingerprint, count(*) AS dup_count
 FROM fp GROUP BY fingerprint
 """,
         "minhash": dedup.minhash_sql(n_hashes=8),
-        "jaccard_pairs": """
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id,
-         array_to_string(t[i : i + 2], ' ') AS shingle
-  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
-), sizes AS (
-  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ninter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+        "jaccard_pairs": _JACCARD_PAIRS_SQL,
+        "dedup_clusters": f"""
+SELECT node AS doc_id, component, node = component AS is_canonical
+FROM ({graph.connected_components_sql(_JACCARD_PAIRS_SQL)}) t
+""",
+        "sample_stats": f"""
+SELECT source, count(*) AS n,
+       CAST(sum({tx.token_count_sql('text')}) AS BIGINT) AS sum_tokens
+FROM documents
+WHERE {curation.sample_by_hash_sql(0.3)}
+GROUP BY source
+""",
+        "source_topk": f"""
+WITH q AS (
+  SELECT source, doc_id, {tx.quality_score_sql('text')} AS quality FROM documents
+), r AS (
+  SELECT source, doc_id, quality,
+         row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk
+  FROM q
 )
-SELECT i.a, i.b,
-       CAST(round(CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter), 6) AS DOUBLE) AS jaccard
-FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
-WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.2
+SELECT source, doc_id, round(quality, 6) AS quality FROM r WHERE rk <= 3
 """,
         "ann_topk": """
 WITH emb AS (

@@ -1,0 +1,58 @@
+"""Training-data curation operators: deterministic sampling and
+per-group quality selection.
+
+Production corpus curation needs REPRODUCIBLE sampling (the same rows
+selected on every run, resumable mid-job, no RNG state shipped between
+executors) and bounded per-source selection (cap boilerplate-heavy
+domains). Both are pure column arithmetic — JVM-side, partition-count
+independent, and exactly reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mundipy_spark.functions import text as tx
+
+_SAMPLE_MOD = 1_000_000
+
+
+def sample_by_hash(
+    df: DataFrame, rate: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose md5-derived
+    hash bucket falls under rate. Same input -> same sample, regardless
+    of partitioning or executor count (unlike df.sample, whose output
+    depends on the split layout)."""
+    h = tx.md5_int_expr(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    return df.filter(F.pmod(h, F.lit(_SAMPLE_MOD)) < int(rate * _SAMPLE_MOD))
+
+
+def sample_by_hash_sql(rate: float, key_col: str = "doc_id", salt: str = "") -> str:
+    """WHERE-clause twin of sample_by_hash."""
+    h = tx.md5_int_sql(f"(CAST({key_col} AS VARCHAR) || '{salt}')")
+    return f"(({h}) % {_SAMPLE_MOD}) < {int(rate * _SAMPLE_MOD)}"
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col,
+    k: int,
+    descending: bool = True,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Keep the k best rows per group (source/domain caps, quality
+    selection). One window shuffle on the group key; ties broken
+    deterministically by tie_break so reruns select identical rows."""
+    order = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    w = W.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -1,0 +1,125 @@
+"""Graph operators for dedup pipelines: connected components over
+near-duplicate pair sets.
+
+After candidate generation + verification (MinHash/LSH -> Jaccard, or
+SimHash banding), production dedup keeps ONE canonical document per
+duplicate CLUSTER — the transitive closure of the pair relation, i.e.
+connected components with the min doc id as the cluster label.
+
+Scale shape: iterative label propagation with POINTER JUMPING — each
+round does (1) a neighbor-min join on the (undirected) edge list and
+(2) a label-of-label self-join that halves path lengths, so rounds are
+O(log diameter), not O(diameter). Every round is two shuffles on
+uniformly-hashed ids; the edge list is persisted once; labels persist
+per round and unpersist the previous round (bounded lineage — at
+10^12-doc scale add a checkpoint every ~8 rounds). Convergence is an
+exact changed-count check, so the loop stops as soon as labels are
+stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in `pairs`;
+    component = min node id of the connected component."""
+    e = pairs.select(F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().persist()
+    # localCheckpoint (not just persist) each round: the pointer-jump
+    # self-join doubles the LOGICAL plan per iteration, so without
+    # truncating lineage Catalyst's analysis cost grows 2^rounds even
+    # though the data is cached. (On a production cluster prefer
+    # reliable checkpoint() to survive executor loss.)
+    labels = (
+        edges.select("u").distinct().withColumn("label", F.col("u"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # (1) min over neighbor labels
+        nbr = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("vlabel")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlabel").alias("nlabel"))
+        )
+        stepped = (
+            labels.join(nbr, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+        )
+        # (2) pointer jumping: label <- label(label) (path halving)
+        jumped = (
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col("u").alias("label"), F.col("label").alias("ll")
+                ).alias("p"),
+                "label",
+                "left",
+            )
+            .select("u", F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Cluster labels for near-dup pairs: (doc_id, component, is_canonical).
+    Canonical = the min doc id of its cluster (the row a dedup keep-list
+    retains)."""
+    cc = connected_components(pairs, a=a, b=b)
+    return cc.select(
+        F.col("node").alias(id_col),
+        "component",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+def connected_components_sql(pairs_sql: str, a: str = "a", b: str = "b") -> str:
+    """DuckDB oracle: transitive closure via recursive CTE (fine at
+    oracle scale), component = min reachable node."""
+    return f"""
+WITH RECURSIVE pr AS ({pairs_sql}),
+e AS (
+  SELECT {a} AS u, {b} AS v FROM pr
+  UNION
+  SELECT {b} AS u, {a} AS v FROM pr
+),
+reach(u, v) AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+)
+SELECT u AS node, min(v) AS component FROM reach GROUP BY u
+"""

@@ -1,0 +1,64 @@
+"""Connected components + curation operators."""
+
+from pyspark.sql import functions as F
+
+from mundipy_spark.operators import curation, graph
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4-5 (diameter 4 -> exercises pointer jumping),
+    # clique {10,11,12}, isolated pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a long, b long",
+    )
+    cc = {r.node: r.component for r in graph.connected_components(pairs).collect()}
+    assert {cc[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert {cc[i] for i in (10, 11, 12)} == {10}
+    assert {cc[i] for i in (20, 21)} == {20}
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 40-node path: naive one-hop propagation needs 39 rounds; pointer
+    # jumping must converge within the default max_iter=25
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "a long, b long"
+    )
+    cc = graph.connected_components(pairs, max_iter=12)
+    comps = {r.component for r in cc.collect()}
+    assert comps == {0}
+
+
+def test_dedup_clusters_canonical_flags(spark):
+    pairs = spark.createDataFrame([(7, 3), (3, 9)], "a long, b long")
+    docs = spark.createDataFrame([(i,) for i in (3, 7, 9, 99)], "doc_id long")
+    out = {r.doc_id: (r.component, r.is_canonical) for r in graph.dedup_clusters(docs, pairs).collect()}
+    assert out == {3: (3, True), 7: (3, False), 9: (3, False)}
+
+
+def test_sample_by_hash_deterministic_and_partition_invariant(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {r.doc_id for r in curation.sample_by_hash(docs, 0.25).select("doc_id").collect()}
+    b = {r.doc_id for r in curation.sample_by_hash(docs.repartition(13), 0.25).select("doc_id").collect()}
+    assert a == b  # partition layout cannot change the sample
+    assert 0.1 < len(a) / docs.count() < 0.4
+    # salt changes the sample
+    c = {r.doc_id for r in curation.sample_by_hash(docs, 0.25, salt="v2").select("doc_id").collect()}
+    assert c != a
+
+
+def test_top_k_per_group(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "nc", F.length("text")
+    )
+    out = curation.top_k_per_group(docs, "source", "nc", k=2, tie_break="doc_id")
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    full = {r.source: r.nc for r in docs.groupBy("source").agg(F.max("nc").alias("nc")).collect()}
+    for src, grp in by_src.items():
+        assert len(grp) <= 2
+        assert max(g.nc for g in grp) == full[src]
