@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
-REPLICATION = int(os.environ.get("BENCH_REPLICATION", "2000"))  # 5k -> 10M pages
+REPLICATION = int(os.environ.get("BENCH_REPLICATION", "6000"))  # 5k -> 30M pages
 
 
 def replicated_pages(spark, sf_dir: str, factor: int, parallelism: int | None = None):
