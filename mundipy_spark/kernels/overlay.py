@@ -587,16 +587,27 @@ def _pair_op(a_ring: np.ndarray, b_ring: np.ndarray, op: str) -> list[np.ndarray
     if res is not None:
         return res
     # no crossings: disjoint, touching, or one ring contains the other.
-    # Probe with STRICT interior points (a boundary vertex of a touching
-    # ring gives arbitrary parity and misreads edge-adjacency as
-    # containment), guarded by area: only the smaller ring can be the
-    # contained one, and its interior point decides.
-    area_a = abs(_ring_signed_area(a_ring))
-    area_b = abs(_ring_signed_area(b_ring))
-    a_in_b = area_a <= area_b and _point_in_ring(*_ring_interior_point(a_ring), b_ring)
-    b_in_a = (not a_in_b) and area_b <= area_a and _point_in_ring(
-        *_ring_interior_point(b_ring), a_ring
-    )
+    # Bbox-disjoint pairs (the common case in tree unions over sparse
+    # layers) resolve without any probes; otherwise probe with STRICT
+    # interior points (a boundary vertex of a touching ring gives
+    # arbitrary parity and misreads edge-adjacency as containment),
+    # guarded by area: only the smaller ring can be the contained one.
+    if (
+        a_ring[:, 0].min() > b_ring[:, 0].max()
+        or a_ring[:, 0].max() < b_ring[:, 0].min()
+        or a_ring[:, 1].min() > b_ring[:, 1].max()
+        or a_ring[:, 1].max() < b_ring[:, 1].min()
+    ):
+        a_in_b = b_in_a = False
+    else:
+        area_a = abs(_ring_signed_area(a_ring))
+        area_b = abs(_ring_signed_area(b_ring))
+        a_in_b = area_a <= area_b and _point_in_ring(
+            *_ring_interior_point(a_ring), b_ring
+        )
+        b_in_a = (not a_in_b) and area_b <= area_a and _point_in_ring(
+            *_ring_interior_point(b_ring), a_ring
+        )
     if op == "intersection":
         if a_in_b:
             return [a_ring]
