@@ -187,6 +187,76 @@ def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     return 2.0 * SPHERE_R * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
 
 
+def lcc2sp_forward(lon, lat, lat1: float, lat2: float, lat0: float, lon0: float,
+                   x0: float, y0: float):
+    """Ellipsoidal Lambert Conformal Conic, 2 standard parallels
+    (Snyder, Map Projections — A Working Manual, pp. 107-109). GRS80/
+    WGS84 ellipsoid (NAD83's GRS80 differs from WGS84 by <1e-9 in
+    flattening)."""
+    e = WGS84_E
+    lam = np.deg2rad(np.asarray(lon, dtype=np.float64))
+    phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+    p1, p2, p0 = np.deg2rad(lat1), np.deg2rad(lat2), np.deg2rad(lat0)
+
+    def m(p):
+        return np.cos(p) / np.sqrt(1.0 - WGS84_E2 * np.sin(p) ** 2)
+
+    def t(p):
+        return np.tan(np.pi / 4.0 - p / 2.0) / (
+            (1.0 - e * np.sin(p)) / (1.0 + e * np.sin(p))
+        ) ** (e / 2.0)
+
+    n = (np.log(m(p1)) - np.log(m(p2))) / (np.log(t(p1)) - np.log(t(p2)))
+    F = m(p1) / (n * t(p1) ** n)
+    rho = WGS84_A * F * t(phi) ** n
+    rho0 = WGS84_A * F * t(p0) ** n
+    th = n * (lam - np.deg2rad(lon0))
+    return rho * np.sin(th) + x0, rho0 - rho * np.cos(th) + y0
+
+
+def lcc2sp_inverse(x, y, lat1: float, lat2: float, lat0: float, lon0: float,
+                   x0: float, y0: float, iters: int = 8):
+    e = WGS84_E
+    xs = np.asarray(x, dtype=np.float64) - x0
+    ys = np.asarray(y, dtype=np.float64) - y0
+    p1, p2, p0 = np.deg2rad(lat1), np.deg2rad(lat2), np.deg2rad(lat0)
+
+    def m(p):
+        return np.cos(p) / np.sqrt(1.0 - WGS84_E2 * np.sin(p) ** 2)
+
+    def t(p):
+        return np.tan(np.pi / 4.0 - p / 2.0) / (
+            (1.0 - e * np.sin(p)) / (1.0 + e * np.sin(p))
+        ) ** (e / 2.0)
+
+    n = (np.log(m(p1)) - np.log(m(p2))) / (np.log(t(p1)) - np.log(t(p2)))
+    F = m(p1) / (n * t(p1) ** n)
+    rho0 = WGS84_A * F * t(p0) ** n
+    rho = np.sign(n) * np.hypot(xs, rho0 - ys)
+    tp = (rho / (WGS84_A * F)) ** (1.0 / n)
+    th = np.arctan2(xs, rho0 - ys)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(tp)
+    for _ in range(iters):
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            tp * ((1.0 - e * np.sin(phi)) / (1.0 + e * np.sin(phi))) ** (e / 2.0)
+        )
+    return np.rad2deg(th / n) + lon0, np.rad2deg(phi)
+
+
+# Public EPSG LCC-2SP definitions this engine ships (parameters from the
+# EPSG registry — public facts): lat1, lat2, lat0, lon0, x0_m, y0_m, unit.
+# EPSG:2844 = NAD83(HARN) / Texas North (meters) — the CRS of the
+# reference's CRS-mixed test fixture (tests/fixtures/texas_epsg_2844
+# .geojson: points near Amarillo, x~220 km e., y~1,106 km n.).
+# EPSG:2277 = NAD83 / Texas Central (ftUS) — the PCS-table feet entry.
+LCC_2SP_CODES: dict[int, tuple] = {
+    2844: (34.65, 36.18333333333333, 34.0, -101.5,
+           200_000.0, 1_000_000.0, "m"),
+    2277: (31.883333333333333, 30.116666666666667, 29.666666666666668,
+           -100.33333333333333, 699999.9998983998, 3000000.0000101604, "us-ft"),
+}
+
+
 _FT_PER_M = 3.28083333333333  # matches pcs.FT_PER_M
 
 
@@ -237,8 +307,25 @@ def crs_transforms(crs: str, units: str = "meters"):
             lambda lon, lat, z=zone, s=south: utm_forward(lon, lat, z, s),
             lambda x, y, z=zone, s=south: utm_inverse(x, y, z, s),
         )
+    if c.startswith(("EPSG:", "ESRI:")):
+        code_s = c.split(":")[1]
+        if code_s.isdigit() and int(code_s) in LCC_2SP_CODES:
+            lat1, lat2, lat0, lon0, x0, y0, unit = LCC_2SP_CODES[int(code_s)]
+            # the registry unit is authoritative for these codes (the
+            # EPSG definition fixes the axis unit; us-ft == the
+            # FT_PER_M survey foot used engine-wide)
+            scale2 = _FT_PER_M if unit == "us-ft" else 1.0
+            fwd0 = lambda lon, lat: lcc2sp_forward(lon, lat, lat1, lat2, lat0, lon0, x0, y0)  # noqa: E731
+            inv0 = lambda x, y: lcc2sp_inverse(x, y, lat1, lat2, lat0, lon0, x0, y0)  # noqa: E731
+            if scale2 == 1.0:
+                return fwd0, inv0
+            return (
+                lambda lon, lat: tuple(np.asarray(v) * scale2 for v in fwd0(lon, lat)),
+                lambda x, y: inv0(np.asarray(x, np.float64) / scale2, np.asarray(y, np.float64) / scale2),
+            )
     raise ValueError(f"unsupported crs {crs!r} (implemented: EPSG:4326, "
-                     "EPSG:3857, EPSG:326xx/327xx UTM, ESRI:54009)")
+                     "EPSG:3857, EPSG:326xx/327xx UTM, ESRI:54009, "
+                     f"LCC-2SP codes {sorted(LCC_2SP_CODES)})")
 
 
 # --- geometry-level transforms -------------------------------------------

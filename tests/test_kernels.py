@@ -421,3 +421,26 @@ def test_feature_full_scalar_surface():
     assert a.hausdorff_distance(b) > 0
     assert a.minimum_clearance > 0
     assert a.normalize().geom[0] == "Polygon"
+
+
+def test_lcc2sp_roundtrip_and_false_origin():
+    """Ellipsoidal LCC-2SP (Snyder): EPSG:2277 (Texas Central ftUS)
+    false easting at the grid origin is exactly 2,296,583.333 ftUS
+    (700,000 m), and both shipped codes round-trip to ~1e-9 deg."""
+    import numpy as np
+
+    from mundipy_spark.kernels import proj
+
+    fwd, _ = proj.crs_transforms("EPSG:2277")
+    x, y = fwd(np.array([-100.33333333333333]), np.array([29.666666666666668]))
+    assert abs(x[0] - 2296583.333) < 0.01
+    assert abs(y[0] - 9842500.0) < 0.01
+    for code, lon, lat in [
+        ("EPSG:2277", np.array([-97.74, -98.49]), np.array([30.27, 29.42])),
+        ("EPSG:2844", np.array([-101.27, -100.71]), np.array([34.96, 35.5])),
+    ]:
+        f, inv = proj.crs_transforms(code)
+        px, py = f(lon, lat)
+        lo, la = inv(px, py)
+        assert np.abs(lo - lon).max() < 1e-9, code
+        assert np.abs(la - lat).max() < 1e-9, code

@@ -341,3 +341,57 @@ def test_crs_mixed_layers_join(spark):
     nring = wkb_mod.loads(bytes(norm))[1][0]
     assert np.abs(nring[:, 0] - ring[:, 0]).max() < 1e-7
     assert np.abs(nring[:, 1] - ring[:, 1]).max() < 1e-7
+
+
+def test_crs_mixed_reference_fixture(spark):
+    """True port of the reference's test_mundi_crs
+    (tests/test_mundi_q.py:75-88): its texas_epsg_2844.geojson fixture
+    (NAD83(HARN) / Texas North, LCC-2SP meters — points near Amarillo)
+    is ingested with crs='EPSG:2844' and probed by 4326 points."""
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    fixture = "/root/reference/tests/fixtures/texas_epsg_2844.geojson"
+    if not os.path.exists(fixture):
+        _pytest.skip("reference fixture unavailable")
+
+    from mundipy_spark.dataset import Dataset, Map
+    from mundipy_spark.kernels import wkb as wkb_mod
+    from mundipy_spark.mundi import Mundi
+
+    probes = spark.createDataFrame(
+        [
+            # decoded location of the first fixture point (panhandle)
+            (wkb_mod.dumps(("Point", np.array([-101.27196397, 34.95798938]))), "hit"),
+            (wkb_mod.dumps(("Point", np.array([-95.98, 44.47]))), "miss"),
+        ],
+        "geometry binary, name string",
+    )
+    m = Map(
+        {
+            "points": Dataset(probes),
+            "texas": Dataset(fixture, spark=spark, crs="EPSG:2844"),
+        },
+        spark=spark,
+    )
+    mundi = Mundi(m, "points", units="feet")
+
+    def process_points(point, texas):
+        # 500 ft radius (session units) — the ingest-normalized fixture
+        # point sits ~0 m from the decoded probe location
+        point["n"] = len(texas.within(500.0, point))
+        return point
+
+    got = {
+        f["properties"]["name"]: f["properties"]["n"]
+        for f in mundi.q(process_points)["features"]
+    }
+    assert got["hit"] == 1
+    assert got["miss"] == 0
+    # normalized layer sits in the Texas panhandle
+    ds = m["texas"]
+    minx, miny, maxx, maxy = ds.bounds
+    assert -102.0 < minx < maxx < -100.5
+    assert 34.8 < miny < maxy < 36.0
