@@ -444,3 +444,48 @@ def test_lcc2sp_roundtrip_and_false_origin():
         lo, la = inv(px, py)
         assert np.abs(lo - lon).max() < 1e-9, code
         assert np.abs(la - lat).max() < 1e-9, code
+
+
+def test_reference_measure_goldens():
+    """Exact parity with the reference's pyproj-computed goldens
+    (reference tests/test_geometry.py::test_local_properties): the Paris
+    polygon's auto-PCS area/length match to ~1e-11 relative (our Krüger
+    UTM vs pyproj); the continental-scale fixture polygon (reference
+    test_geometry golden 7865519140303.677) agrees within 0.3% (our
+    spherical Mollweide vs its ellipsoidal equal-area pick)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from mundipy_spark.kernels import measure, overlay, wkb
+
+    paris = wkb.from_wkt(
+        "POLYGON ((2.1920900667610113 48.95792877415394, 2.154649820686018 "
+        "48.89855338018583, 2.154649820686018 48.83230904559585, "
+        "2.208873625347394 48.742995477507094, 2.3005376760825698 "
+        "48.70211346591506, 2.398656941658629 48.72085517951464, "
+        "2.4735374338087013 48.76682797269828, 2.572947742352227 "
+        "48.811058328366954, 2.5355074962771766 48.91043410745752, "
+        "2.4051121564982623 48.99267300641242, 2.3108660198269604 "
+        "49.00283746919706, 2.1920900667610113 48.95792877415394))"
+    )
+    assert abs(measure.geom_area_m2(paris) - 723011286.0469426) / 723011286.0 < 1e-9
+    assert abs(measure.geom_length_m(paris) - 98778.35201223548) / 98778.35 < 1e-9
+
+    fixture = "/root/reference/tests/fixtures/polygon.geojson"
+    if os.path.exists(fixture):
+        f = json.load(open(fixture))["features"][0]
+        poly = ("Polygon", [np.asarray(f["geometry"]["coordinates"][0], float)])
+        assert wkb.bounds(poly) == (
+            -125.859375, 27.994401411046148, -81.2109375, 49.15296965617042
+        )
+        a = measure.geom_area_m2(poly)
+        assert abs(a - 7865519140303.677) / 7865519140303.677 < 0.003
+
+    # reference test_invalid_geometry_ops: self-intersecting difference
+    # must not raise and must carry no area (mundipy returns area 0.0;
+    # this engine's empty-result convention is None)
+    bow = wkb.from_wkt("POLYGON((0 0, 0 1, 2 1, 2 2, 1 2, 1 0, 0 0))")
+    res = overlay.difference(bow, bow)
+    assert res is None or measure.geom_area_planar(res) < 1e-9
