@@ -118,10 +118,51 @@ def web_mercator_inverse(x, y):
     return lon, lat
 
 
+# authalic latitude series (Snyder 3-12/3-18) + authalic sphere radius:
+# mapping geodetic latitude to the equal-area sphere before Mollweide
+# makes the projection ellipsoidally equal-area (the reference's
+# pyproj ESRI:54009 behavior) — continental-area goldens agree to ~1e-6
+# instead of the ~0.2% a geodetic-latitude spherical Mollweide shows.
+_E2, _E4, _E6 = WGS84_E2, WGS84_E2**2, WGS84_E2**3
+_AUTH_FWD = (
+    _E2 / 3.0 + 31.0 * _E4 / 180.0 + 59.0 * _E6 / 560.0,
+    17.0 * _E4 / 360.0 + 61.0 * _E6 / 1260.0,
+    383.0 * _E6 / 45360.0,
+)
+_AUTH_INV = (
+    _E2 / 3.0 + 31.0 * _E4 / 180.0 + 517.0 * _E6 / 5040.0,
+    23.0 * _E4 / 360.0 + 251.0 * _E6 / 3780.0,
+    761.0 * _E6 / 45360.0,
+)
+_QP = (1.0 - _E2) * (
+    1.0 / (1.0 - _E2) - (1.0 / (2.0 * WGS84_E)) * np.log((1.0 - WGS84_E) / (1.0 + WGS84_E))
+)
+AUTHALIC_R = WGS84_A * np.sqrt(_QP / 2.0)
+
+
+def _authalic_lat(phi):
+    return (
+        phi
+        - _AUTH_FWD[0] * np.sin(2.0 * phi)
+        + _AUTH_FWD[1] * np.sin(4.0 * phi)
+        - _AUTH_FWD[2] * np.sin(6.0 * phi)
+    )
+
+
+def _authalic_lat_inv(beta):
+    return (
+        beta
+        + _AUTH_INV[0] * np.sin(2.0 * beta)
+        + _AUTH_INV[1] * np.sin(4.0 * beta)
+        + _AUTH_INV[2] * np.sin(6.0 * beta)
+    )
+
+
 def mollweide_forward(lon, lat, iters: int = 12):
-    """Spherical Mollweide (equal-area; the ESRI:54009 fallback role)."""
+    """Ellipsoidal Mollweide (equal-area; the ESRI:54009 fallback role):
+    authalic latitude + authalic sphere radius."""
     lam = np.deg2rad(np.asarray(lon, dtype=np.float64))
-    phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+    phi = _authalic_lat(np.deg2rad(np.asarray(lat, dtype=np.float64)))
     theta = phi.copy()
     target = np.pi * np.sin(phi)
     for _ in range(iters):
@@ -129,15 +170,16 @@ def mollweide_forward(lon, lat, iters: int = 12):
         fp = 2.0 + 2.0 * np.cos(2.0 * theta)
         fp = np.where(np.abs(fp) < 1e-12, 1e-12, fp)
         theta = theta - f / fp
-    x = SPHERE_R * np.sqrt(8.0) / np.pi * lam * np.cos(theta)
-    y = SPHERE_R * np.sqrt(2.0) * np.sin(theta)
+    x = AUTHALIC_R * np.sqrt(8.0) / np.pi * lam * np.cos(theta)
+    y = AUTHALIC_R * np.sqrt(2.0) * np.sin(theta)
     return x, y
 
 
 def mollweide_inverse(x, y):
-    theta = np.arcsin(np.clip(np.asarray(y, dtype=np.float64) / (SPHERE_R * np.sqrt(2.0)), -1, 1))
-    phi = np.arcsin(np.clip((2.0 * theta + np.sin(2.0 * theta)) / np.pi, -1, 1))
-    lam = np.pi * np.asarray(x, dtype=np.float64) / (SPHERE_R * np.sqrt(8.0) * np.cos(theta))
+    theta = np.arcsin(np.clip(np.asarray(y, dtype=np.float64) / (AUTHALIC_R * np.sqrt(2.0)), -1, 1))
+    beta = np.arcsin(np.clip((2.0 * theta + np.sin(2.0 * theta)) / np.pi, -1, 1))
+    phi = _authalic_lat_inv(beta)
+    lam = np.pi * np.asarray(x, dtype=np.float64) / (AUTHALIC_R * np.sqrt(8.0) * np.cos(theta))
     return np.rad2deg(lam), np.rad2deg(phi)
 
 
