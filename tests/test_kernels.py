@@ -385,7 +385,7 @@ def test_crs_transforms_roundtrip():
     import pytest
 
     with pytest.raises(ValueError):
-        proj.crs_transforms("EPSG:2844")  # not implemented -> loud, not wrong
+        proj.crs_transforms("EPSG:9999")  # not implemented -> loud, not wrong
 
 
 def test_feature_full_scalar_surface():
