@@ -94,6 +94,39 @@ WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.2
 """
 
 
+def _rasterize_sql() -> str:
+    """Oracle for q_rasterize: closed-form rect-overlap coverage over
+    the full region x cell cross join."""
+    from mundipy_spark.kernels import tiling
+
+    res = RASTER_RES
+    nx, ny = tiling.nx_at(res), tiling.ny_at(res)
+    w, h = 360.0 / nx, 180.0 / ny
+    cell_id = (
+        f"((CAST({res} AS BIGINT) << {tiling._RES_SHIFT}) "
+        f"| (kx << {tiling._X_SHIFT}) | ky)"
+    )
+    return f"""
+WITH regions AS (
+  SELECT 'R_' || rx || '_' || ry AS region,
+         -180.0 + rx * 10.0 AS x0, -90.0 + ry * 10.0 AS y0
+  FROM range(0, 36) t1(rx), range(0, 18) t2(ry)
+),
+cells AS (
+  SELECT kx, ky,
+         -180.0 + kx * {w} AS cx0, -90.0 + ky * {h} AS cy0
+  FROM range(0, {nx}) t3(kx), range(0, {ny}) t4(ky)
+),
+ov AS (
+  SELECT {cell_id} AS cell, region,
+         greatest(0.0, least(x0 + 10.0, cx0 + {w}) - greatest(x0, cx0)) *
+         greatest(0.0, least(y0 + 10.0, cy0 + {h}) - greatest(y0, cy0)) AS ia
+  FROM regions, cells
+)
+SELECT cell, region, round(ia / {w * h}, 6) AS coverage FROM ov WHERE ia > 0
+"""
+
+
 def _crs_ingest_sql() -> str:
     """Oracle for q_crs_ingest: identical Mercator forward+inverse
     closed forms, rounded to 8 decimals before region assignment."""
@@ -464,6 +497,44 @@ def q_crs_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("region").agg(F.count("*").alias("n")).orderBy("region")
 
 
+RASTER_RES = 5  # 5.625-deg cells vs 10-deg regions: fractional coverage
+
+
+def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster side of raster<->vector: region polygons to per-cell
+    EXACT coverage fractions (interior cells free, boundary cells via
+    the planar intersection-area kernel)."""
+    from mundipy_spark.operators import raster
+
+    regions = pages_src.synth_regions(spark, step_deg=10.0).select("geometry", "region")
+    out = raster.rasterize(regions, res=RASTER_RES, keep=["region"])
+    return out.select(
+        "cell", "region", F.round(F.col("coverage"), 6).alias("coverage")
+    )
+
+
+def q_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector side: classify the res-3 page-count grid into dense/sparse
+    cells, dissolve cell rectangles per class, report exact planar
+    areas (disjoint rect unions are area-preserving)."""
+    from mundipy_spark.operators import raster
+
+    geo = _geo_pages(spark, sf_dir)
+    grid = (
+        geo.withColumn("cell", st.cell_expr(F.col("lon"), F.col("lat"), 3))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .withColumn("value", F.when(F.col("n") >= 3, "dense").otherwise("sparse"))
+    )
+    polys = raster.vectorize(grid, res=3, class_col="value")
+    return polys.select(
+        "value",
+        F.round(st.st_area_planar(F.col("geometry")).cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("area"),
+    )
+
+
 def q_geocode_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic (non-rectangular) PIP through the SAME tile-join
     machinery: regions split into SW/NE triangles whose membership the
@@ -553,6 +624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "crs_ingest": q_crs_ingest,
+        "rasterize": q_rasterize,
+        "vectorize": q_vectorize,
         "geocode_triangles": q_geocode_triangles,
         "overlap_weighted": q_overlap_weighted,
         "dissolve_blocks": q_dissolve_blocks,
@@ -635,6 +708,21 @@ SELECT lang, count(*) AS n, CAST(round(sum(CAST(pop AS DECIMAL(18,6))), 2) AS DO
 FROM pop GROUP BY lang
 """,
         "crs_ingest": _crs_ingest_sql(),
+        "rasterize": _rasterize_sql(),
+        "vectorize": f"""
+{GEO_SQL_CTE},
+grid AS (
+  SELECT {st.cell_sql("lon", "lat", 3)} AS cell, count(*) AS n FROM geo GROUP BY 1
+),
+lab AS (
+  SELECT CASE WHEN n >= 3 THEN 'dense' ELSE 'sparse' END AS value,
+         count(*) AS ncells
+  FROM grid GROUP BY 1
+)
+SELECT value,
+       CAST(round(CAST(ncells * 506.25 AS DECIMAL(18,6)), 2) AS DOUBLE) AS area
+FROM lab
+""",
         "geocode_triangles": f"""
 {GEO_SQL_CTE},
 aug AS (

@@ -232,3 +232,32 @@ def test_knn_iterative_matches_dense_k3(spark):
     i = {(r.pid, r.t_tid) for r in iterative.collect()}
     assert d == i
     assert len(d) == 40 * 3
+
+
+def test_rasterize_vectorize_roundtrip(spark):
+    """raster<->vector: coverage fractions of each region sum to the
+    region's area in cells; vectorizing a full-cell class returns
+    area-exact polygons."""
+    from pyspark.sql import functions as F
+
+    from mundipy_spark.functions import st
+    from mundipy_spark.operators import raster
+    from mundipy_spark.sources import pages as pages_src
+
+    regions = pages_src.synth_regions(spark, step_deg=10.0).select("geometry", "region")
+    cov = raster.rasterize(regions, res=5, keep=["region"])
+    # sum(coverage) * cell_area == region area (100 deg^2) for every region
+    sums = cov.groupBy("region").agg(F.sum("coverage").alias("s")).collect()
+    cell_area = (360.0 / 64) * (180.0 / 32)  # nx_at(5)=64, ny_at(5)=32
+    assert len(sums) == 648
+    for r in sums:
+        assert abs(r.s * cell_area - 100.0) < 1e-6, r
+
+    # vectorize those cells back per region and compare planar areas:
+    # cells clipped by coverage>=1 only (interior) -> area = n_full * cell_area
+    full = cov.filter(F.col("coverage") >= 0.999999)
+    out = raster.vectorize(full, res=5, class_col="region")
+    got = out.withColumn("area", st.st_area_planar(F.col("geometry"))).collect()
+    nfull = {r.region: r.n for r in full.groupBy("region").agg(F.count("*").alias("n")).collect()}
+    for r in got:
+        assert abs(r.area - nfull[r.region] * cell_area) < 1e-6
