@@ -603,13 +603,17 @@ def overlap_weighted_join(
     ).select(
         F.col("cell"),
         F.col(region_geom).alias("_rgeom"),
+        # compact region identity for the (zone, region) dedup — keying
+        # the dedup shuffle on the full WKB payload would hash-compare
+        # megabyte keys at scale
+        F.xxhash64(F.col(region_geom)).alias("_rid"),
         F.col(weight_col).alias("_w"),
     )
     ia_fn = st.st_intersection_area_planar if planar else st.st_intersection_area
     ra_fn = st.st_area_planar if planar else st.st_area
     cand = (
         zidx.join(ridx, "cell")
-        .dropDuplicates([zone_id, "_rgeom"])
+        .dropDuplicates([zone_id, "_rid"])
         .withColumn("_ia", ia_fn(F.col("_zgeom"), F.col("_rgeom")))
         .filter(F.col("_ia") > 0)
         .withColumn("_ra", ra_fn(F.col("_rgeom")))
