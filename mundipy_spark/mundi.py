@@ -104,12 +104,21 @@ class Mundi:
             for name in layer_names
         }
 
-        # infer the output schema from the first row (the reference fixes
-        # the key set from the first result, mundi.py:149-159)
-        first = main_df.orderBy("_id").limit(1).collect()
+        # infer the output schema from the first NON-None result (the
+        # reference fixes the key set from the first result a process fn
+        # actually returns, mundi.py:149-159 — rows it drops don't
+        # count). Bounded probe: scan at most the first 256 rows driver-
+        # side; a fn that drops all of them yields the bare schema
+        # (geometry, _stdout, _id) and later non-conforming results
+        # raise, keeping the schema decision O(1) at any input size.
+        first = main_df.orderBy("_id").limit(256).collect()
         if not first:
             raise ValueError("main layer is empty")
-        proto_out = _call_one(fn, first[0], main_ds.geom_col, bc_layers, self.scale)
+        proto_out = None
+        for row in first:
+            proto_out = _call_one(fn, row, main_ds.geom_col, bc_layers, self.scale)
+            if proto_out is not None:
+                break
         key_fields = [] if proto_out is None else list(proto_out.features.keys())
         schema_fields = ["geometry binary"]
         for k in key_fields:

@@ -395,3 +395,30 @@ def test_crs_mixed_reference_fixture(spark):
     minx, miny, maxx, maxy = ds.bounds
     assert -102.0 < minx < maxx < -100.5
     assert 34.8 < miny < maxy < 36.0
+
+
+def test_keyset_from_first_non_none_result(spark):
+    """Reference semantics: a dropped (None) first row does not fix the
+    key set — the first RETURNED Feature does (mundi.py:149-159)."""
+    import numpy as np
+
+    from mundipy_spark.dataset import Dataset, Map
+    from mundipy_spark.kernels import wkb as wkb_mod
+    from mundipy_spark.mundi import Mundi
+
+    rows = [
+        (wkb_mod.dumps(("Point", np.array([float(i), 0.0]))), i) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "geometry binary, i long")
+    m = Map({"pts": Dataset(df)}, spark=spark)
+
+    def proc(p):
+        if p["i"] < 3:
+            return None  # first rows dropped
+        p["kept"] = p["i"] * 10
+        return p
+
+    feats = Mundi(m, "pts").q(proc)["features"]
+    assert len(feats) == 3
+    assert all("kept" in f["properties"] for f in feats)
+    assert sorted(f["properties"]["kept"] for f in feats) == [30, 40, 50]
