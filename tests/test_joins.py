@@ -261,3 +261,58 @@ def test_rasterize_vectorize_roundtrip(spark):
     nfull = {r.region: r.n for r in full.groupBy("region").agg(F.count("*").alias("n")).collect()}
     for r in got:
         assert abs(r.area - nfull[r.region] * cell_area) < 1e-6
+
+
+def test_tile_join_matches_brute_force_pip(spark):
+    """Differential: the distributed tile join (cell cover, interior
+    classification, bbox prefilter, Arrow PIP refine) must equal per-
+    point brute-force PIP with the same predicate kernel — random
+    concave polygons and random points, both join modes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mundipy_spark.kernels import predicates, wkb as wkb_mod
+    from mundipy_spark.operators import joins
+
+    rng = np.random.default_rng(77)
+    polys = []
+    for i in range(12):
+        cx, cy = rng.uniform(-60, 60, 2)
+        nv = rng.integers(5, 11)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(2, 14, nv)  # star polygon: concave, simple
+        ring = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+        ring = np.vstack([ring, ring[:1]])
+        polys.append((wkb_mod.dumps(("Polygon", [ring])), f"p{i}", ("Polygon", [ring])))
+
+    pts = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+        zip(rng.uniform(-80, 80, 400), rng.uniform(-80, 80, 400))
+    )]
+    pdf = spark.createDataFrame(pts, "pid long, lon double, lat double")
+    poly_df = spark.createDataFrame(
+        [(b, n) for b, n, _ in polys], "geometry binary, name string"
+    )
+
+    expected = set()
+    for pid, x, y in pts:
+        for _, name, geom in polys:
+            if predicates.points_in_geom(np.array([x]), np.array([y]), geom)[0]:
+                expected.add((pid, name))
+
+    for res in (6, 8):
+        got = {
+            (r.pid, r.name)
+            for r in joins.tile_join_points(pdf, poly_df, res=res, how="inner").collect()
+        }
+        assert got == expected, (res, got ^ expected)
+        left = joins.tile_join_points(pdf, poly_df, res=res, how="left").collect()
+        got_left = {(r.pid, r.name) for r in left if r.name is not None}
+        assert got_left == expected
+        # left semantics: every point appears; unmatched exactly once
+        from collections import Counter
+
+        per_pid = Counter(r.pid for r in left)
+        matched_pids = {p for p, _ in expected}
+        for pid, _, _ in pts:
+            if pid not in matched_pids:
+                assert per_pid[pid] == 1
