@@ -316,3 +316,40 @@ def test_tile_join_matches_brute_force_pip(spark):
         for pid, _, _ in pts:
             if pid not in matched_pids:
                 assert per_pid[pid] == 1
+
+
+def test_tile_join_left_salted_shuffle_matches_broadcast(spark):
+    """how='left' on the shuffled+salted path must equal the broadcast
+    path (salt replicates index rows; per-(cell,salt) candidate sets
+    stay complete)."""
+    import numpy as np
+
+    from mundipy_spark.kernels import wkb as wkb_mod
+    from mundipy_spark.operators import joins
+
+    def rect(x0, y0, x1, y1):
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        return wkb_mod.dumps(("Polygon", [ring]))
+
+    polys = spark.createDataFrame(
+        [(rect(0, 0, 10, 10), "a"), (rect(5, 5, 15, 15), "b")],
+        "geometry binary, name string",
+    )
+    rng = np.random.default_rng(11)
+    pts = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+            zip(rng.uniform(-5, 20, 200), rng.uniform(-5, 20, 200))
+        )],
+        "pid long, lon double, lat double",
+    )
+    base = {
+        (r.pid, r.name)
+        for r in joins.tile_join_points(pts, polys, res=6, how="left").collect()
+    }
+    salted = {
+        (r.pid, r.name)
+        for r in joins.tile_join_points(
+            pts, polys, res=6, how="left", broadcast_index=False, salt=4
+        ).collect()
+    }
+    assert base == salted
