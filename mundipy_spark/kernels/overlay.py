@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from mundipy_spark.kernels import measure, predicates, wkb
+from mundipy_spark.kernels import measure, predicates
 
 
 def _close(ring: np.ndarray) -> np.ndarray:

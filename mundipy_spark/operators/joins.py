@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mundipy_spark.functions import st
-from mundipy_spark.kernels import proj, tiling
+from mundipy_spark.kernels import tiling
 
 DEFAULT_RES = 8  # ~0.7 deg cells; override per layer via pick_resolution
 
