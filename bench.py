@@ -128,6 +128,22 @@ def main() -> None:
     queries["geocode_pipeline"] = round(dt, 3)
     docs_per_sec = n_pages / dt
 
+    # left-semantics variant (single-scan left tile join): every page
+    # passes through, un-geocoded rows keep null region
+    from mundipy_spark.plans import pipeline as _pipeline
+    from mundipy_spark.sources import pages as _pages_src
+
+    lp = replicated_pages(spark, sf_dir, max(REPLICATION // 3, 1))
+    lregions = _pages_src.synth_regions(spark, step_deg=10.0)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _pipeline.geocode_pages(lp, lregions).filter(
+            F.col("region").isNotNull()
+        ).count()
+        best = min(best, time.time() - t0)
+    queries["geocode_left"] = round(best, 3)
+
     # operator suite at native SF (count() forces full execution)
     suite = {
         "tile_cells": entry_mod.q_tile_cells,
