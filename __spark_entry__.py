@@ -467,6 +467,19 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_image_features(multimodal.attach_fake_payloads(docs))
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio: synthetic float32 PCM -> numpy DSP features.
+    No stub anywhere — RMS and dominant frequency have closed forms
+    (integer-cycle tones), so the oracle is value-exact."""
+    from mundipy_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = multimodal.extract_audio_features(multimodal.attach_fake_audio(docs))
+    return feats.select(
+        "doc_id", F.round("rms", 6).alias("rms"), "dominant_hz"
+    )
+
+
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate NN (scale path — rows-only oracle;
     recall vs brute force is asserted in tests)."""
@@ -632,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lang_profile": q_lang_profile,
         "multimodal_features": q_multimodal_features,
+        "audio_features": q_audio_features,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
     }
@@ -873,6 +887,12 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
 GROUP BY n_name
+""",
+        "audio_features": """
+SELECT doc_id,
+       round((0.1 + (doc_id % 5) * 0.1) / sqrt(2.0), 6) AS rms,
+       CAST(100 + (doc_id % 20) * 40 AS DOUBLE) AS dominant_hz
+FROM documents
 """,
         "simhash_pairs": dedup.simhash_pairs_sql(max_hamming=7),
         "lang_profile": textstats.lang_profile_sql(),

@@ -171,3 +171,68 @@ def sample_frames(df: DataFrame, k: int = 4, id_col: str = "doc_id", size: int =
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "ts_sec", "payload"])
 
     return df.select(id_col, "video").mapInPandas(op, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio: fully computable (no codec needed) — synthetic PCM in, numpy
+# DSP features out, closed-form oracle-checkable
+# ---------------------------------------------------------------------------
+
+AUDIO_SR = 8000
+AUDIO_SECONDS = 0.25  # 2000 samples; every tone below is integer-cycle
+
+
+def attach_fake_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PCM payloads: a pure tone per doc,
+    f = 100 + (doc_id % 20) * 40 Hz (always integer cycles over the
+    clip, so RMS is exactly amp/sqrt(2)), amp = 0.1 + (doc_id % 5)*0.1.
+    Unlike images/video there is NO stub here — float32 PCM is just
+    bytes, so the whole decode -> DSP path is real."""
+    n = int(AUDIO_SR * AUDIO_SECONDS)
+
+    @F.pandas_udf("binary")
+    def synth(ids: pd.Series) -> pd.Series:
+        t = np.arange(n, dtype=np.float64) / AUDIO_SR
+        out = []
+        for i in ids:
+            f = 100.0 + (int(i) % 20) * 40.0
+            amp = 0.1 + (int(i) % 5) * 0.1
+            out.append((amp * np.sin(2.0 * np.pi * f * t)).astype(np.float32).tobytes())
+        return pd.Series(out)
+
+    return df.withColumn(
+        "audio",
+        F.struct(
+            synth(F.col(id_col)).alias("payload"),
+            F.lit(AUDIO_SR).alias("sample_rate"),
+            F.lit(n).alias("n_samples"),
+        ),
+    )
+
+
+AUDIO_FEATURE_SCHEMA = "doc_id long, rms double, dominant_hz double, zcr double"
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas DSP: float32 PCM -> RMS, dominant frequency (argmax
+    of the real FFT magnitude), zero-crossing rate. Payload bytes stay
+    inside the stage; output is compact per-clip features."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                a = r["audio"]
+                x = np.frombuffer(bytes(a["payload"]), dtype=np.float32).astype(np.float64)
+                sr = int(a["sample_rate"])
+                rms = float(np.sqrt(np.mean(x * x)))
+                spec = np.abs(np.fft.rfft(x))
+                spec[0] = 0.0  # ignore DC
+                dom = float(np.argmax(spec) * sr / len(x))
+                zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                rows.append(
+                    {"doc_id": r[id_col], "rms": rms, "dominant_hz": dom, "zcr": zcr}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "rms", "dominant_hz", "zcr"])
+
+    return df.select(id_col, "audio").mapInPandas(op, AUDIO_FEATURE_SCHEMA)

@@ -191,3 +191,21 @@ def test_frame_sampling_plumbing(spark, docs):
     for v in by_doc.values():
         idxs = sorted(x.frame_idx for x in v)
         assert idxs[0] == 0
+
+
+def test_audio_features_closed_form(spark, docs):
+    """No-stub multimodal path: float32 PCM synth -> FFT features match
+    closed forms (integer-cycle tones: RMS = amp/sqrt(2), dominant bin
+    = the tone frequency, ZCR ~ 2f/sr)."""
+    from mundipy_spark.operators import multimodal
+
+    feats = multimodal.extract_audio_features(
+        multimodal.attach_fake_audio(docs.limit(60))
+    ).collect()
+    assert len(feats) == 60
+    for r in feats:
+        f = 100.0 + (r.doc_id % 20) * 40.0
+        amp = 0.1 + (r.doc_id % 5) * 0.1
+        assert abs(r.rms - amp / np.sqrt(2.0)) < 1e-6
+        assert r.dominant_hz == f
+        assert abs(r.zcr - 2.0 * f / multimodal.AUDIO_SR) < 0.01
