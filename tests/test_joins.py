@@ -353,3 +353,41 @@ def test_tile_join_left_salted_shuffle_matches_broadcast(spark):
         ).collect()
     }
     assert base == salted
+
+
+def test_knn_general_path_matches_numpy(spark):
+    """General cell-ring kNN (target count above dense_threshold) vs
+    numpy haversine ground truth — exercises the per-row guarantee
+    radius and the residual fallback with an independent oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from mundipy_spark.kernels import proj
+    from mundipy_spark.operators import joins
+
+    rng = np.random.default_rng(21)
+    nt, npx, k = 300, 120, 2
+    t_lon = rng.uniform(-179, 179, nt)
+    t_lat = rng.uniform(-85, 85, nt)
+    p_lon = rng.uniform(-179, 179, npx)
+    p_lat = rng.uniform(-85, 85, npx)
+    targets = spark.createDataFrame(
+        pd.DataFrame({"tid": range(nt), "lon": t_lon, "lat": t_lat})
+    )
+    probes = spark.createDataFrame(
+        pd.DataFrame({"pid": range(npx), "lon": p_lon, "lat": p_lat})
+    )
+    out = joins.knn_join(
+        probes, targets, k=k, probe_id="pid", tie_break=["t_tid"], start_res=5
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.pid, []).append((r.dist_m, r.t_tid))
+    assert len(got) == npx
+    for pid in range(npx):
+        d = proj.haversine_m(p_lon[pid], p_lat[pid], t_lon, t_lat)
+        order = np.lexsort((np.arange(nt), d))[:k]
+        expect = [int(i) for i in order]
+        mine = [tid for _, tid in sorted(got[pid])]
+        assert mine == expect, (pid, mine, expect)
+        assert len(got[pid]) == k
