@@ -503,6 +503,36 @@ def st_point_in_geom(lon: pd.Series, lat: pd.Series, g: pd.Series) -> pd.Series:
     return pd.Series(pd.arrays.BooleanArray(hit_all, missing))
 
 
+@F.pandas_udf(T.DoubleType())
+def st_point_geom_dist_m(lon: pd.Series, lat: pd.Series, g: pd.Series) -> pd.Series:
+    """Meters from each point to its row's geometry (0 inside) — the
+    refine kernel of the point-vs-polygon within-distance join. Distinct
+    geometries decode once per batch (same memo as PIP); inside tests
+    batch per geometry; only outside points pay the per-pair projected
+    distance."""
+    xs = lon.to_numpy(np.float64)
+    ys = lat.to_numpy(np.float64)
+    out = np.full(len(xs), np.nan)
+    groups: dict[bytes, list[int]] = {}
+    for i, b in enumerate(g):
+        if isinstance(b, (bytes, bytearray, memoryview)):
+            groups.setdefault(bytes(b), []).append(i)
+    for key, idx in groups.items():
+        _, has_area, geom = _decode_for_pip(key)
+        ii = np.asarray(idx, dtype=np.int64)
+        inside = (
+            predicates.points_in_geom(xs[ii], ys[ii], geom)
+            if has_area
+            else np.zeros(len(ii), dtype=bool)
+        )
+        out[ii[inside]] = 0.0
+        for j in ii[~inside]:
+            out[j] = measure.geom_distance_m(
+                ("Point", np.array([xs[j], ys[j]])), geom
+            )
+    return pd.Series(out)
+
+
 @F.pandas_udf(T.ArrayType(T.BooleanType()))
 def st_points_in_geoms(lon: pd.Series, lat: pd.Series, gs: pd.Series) -> pd.Series:
     """Array variant for the single-scan LEFT tile join: each row carries

@@ -60,6 +60,15 @@ def parent_cell_expr(cell: Column, steps: int = 1) -> Column:
     )
 
 
+def cell_bounds_exprs(cell, res: int):
+    """(minx, miny, maxx, maxy) of a cell id — pure column arithmetic."""
+    nx, ny = tiling.nx_at(res), tiling.ny_at(res)
+    _, x, y = cell_xy_expr(cell)
+    minx = -180.0 + x.cast("double") * (360.0 / nx)
+    miny = -90.0 + y.cast("double") * (180.0 / ny)
+    return minx, miny, minx + 360.0 / nx, miny + 180.0 / ny
+
+
 def rollup_cells(
     df: DataFrame, cell_col: str = "cell", steps: int = 1, aggs: list | None = None
 ) -> DataFrame:
@@ -415,6 +424,61 @@ def within_radius_join(
         .withColumn("dist_m", dist)
         .filter(F.col("dist_m") <= radius_m)
         .drop("_lcell")
+    )
+
+
+def within_distance_geom_join(
+    points: DataFrame,
+    polys: DataFrame,
+    radius_m: float,
+    lon: str = "lon",
+    lat: str = "lat",
+    geom_col: str = "geometry",
+    broadcast_index: bool = True,
+    res: int | None = None,
+    point_id: str | None = None,
+) -> DataFrame:
+    """All (point, polygon) pairs with point-to-geometry distance
+    <= radius_m — the set-scale form of the reference's
+    Dataset.within(radius, probe) against ARBITRARY geometry layers
+    (mundipy/dataset.py:164-177), not just point layers.
+
+    Shape: polygon cover cells at a resolution whose cell height covers
+    the radius, expanded by the latitude-aware radius neighborhood
+    (same guarantee as the point-point join: any point within R of a
+    covered point shares a cell with the expanded cover); probe side is
+    one JVM cell assignment; refine is the grouped Arrow distance
+    kernel over candidates only. Output carries dist_m.
+
+    point_id: compact probe key for the multi-cell candidate dedup —
+    pass it when probe rows carry payload columns (deduping on every
+    probe column would shuffle-compare payloads)."""
+    if res is None:
+        res = radius_res(radius_m)
+    idx = tile_index(polys, geom_col=geom_col, res=res, null_interior_geom=False)
+    _, cminy, _, cmaxy = cell_bounds_exprs(F.col("cell"), res)
+    center_lat = (cminy + cmaxy) / 2.0
+    idx = (
+        idx.withColumn(
+            "cell",
+            F.explode(
+                neighbors_radius_expr(F.col("cell"), res, radius_m, center_lat)
+            ),
+        )
+        .withColumn("_gid", F.xxhash64(F.col(geom_col)))
+        .dropDuplicates(["cell", "_gid"])
+    )
+    pts = add_point_cell(points, lon, lat, res)
+    rhs = F.broadcast(idx) if broadcast_index else idx
+    dedup_keys = [point_id, "_gid"] if point_id else (
+        [c for c in points.columns] + ["_gid"]
+    )
+    cand = pts.join(rhs, "cell", "inner").dropDuplicates(dedup_keys)
+    d = st.st_point_geom_dist_m(F.col(lon), F.col(lat), F.col(geom_col))
+    return (
+        cand.withColumn("dist_m", d)
+        .filter(F.col("dist_m") <= radius_m)
+        .drop("cell", "cell_full", "minx", "miny", "maxx", "maxy", geom_col, "_gid")
     )
 
 

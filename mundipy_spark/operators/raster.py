@@ -28,13 +28,8 @@ from mundipy_spark.kernels import tiling
 from mundipy_spark.operators import joins
 
 
-def cell_bounds_exprs(cell: Column, res: int) -> tuple[Column, Column, Column, Column]:
-    """(minx, miny, maxx, maxy) of a cell id — pure column arithmetic."""
-    nx, ny = tiling.nx_at(res), tiling.ny_at(res)
-    _, x, y = joins.cell_xy_expr(cell)
-    minx = -180.0 + x.cast("double") * (360.0 / nx)
-    miny = -90.0 + y.cast("double") * (180.0 / ny)
-    return minx, miny, minx + 360.0 / nx, miny + 180.0 / ny
+# cell_bounds_exprs lives with the other cell helpers in operators.joins
+cell_bounds_exprs = joins.cell_bounds_exprs
 
 
 def cell_bounds_sql(cell: str, res: int) -> tuple[str, str, str, str]:

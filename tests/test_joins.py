@@ -391,3 +391,55 @@ def test_knn_general_path_matches_numpy(spark):
         mine = [tid for _, tid in sorted(got[pid])]
         assert mine == expect, (pid, mine, expect)
         assert len(got[pid]) == k
+
+
+def test_within_distance_geom_join_matches_bruteforce(spark):
+    """Point-vs-POLYGON within-distance join (reference Dataset.within
+    against arbitrary layers) vs driver-side brute force with the same
+    distance kernel — random polys/points, inside points at dist 0."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mundipy_spark.kernels import measure, predicates, wkb as wkb_mod
+    from mundipy_spark.operators import joins
+
+    rng = np.random.default_rng(9)
+    polys = []
+    for i in range(8):
+        cx, cy = rng.uniform(-50, 50, 2)
+        nv = rng.integers(5, 9)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(1, 6, nv)
+        ring = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+        ring = np.vstack([ring, ring[:1]])
+        polys.append((wkb_mod.dumps(("Polygon", [ring])), f"g{i}", ("Polygon", [ring])))
+    pts = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+        zip(rng.uniform(-60, 60, 150), rng.uniform(-60, 60, 150))
+    )]
+    R = 300_000.0  # 300 km
+
+    pdf = spark.createDataFrame(pts, "pid long, lon double, lat double")
+    poly_df = spark.createDataFrame(
+        [(b, n) for b, n, _ in polys], "geometry binary, name string"
+    )
+    out = joins.within_distance_geom_join(pdf, poly_df, R, point_id="pid")
+    got = {(r.pid, r.name) for r in out.collect()}
+
+    expected = set()
+    for pid, x, y in pts:
+        for _, name, geom in polys:
+            inside = predicates.points_in_geom(np.array([x]), np.array([y]), geom)[0]
+            d = 0.0 if inside else measure.geom_distance_m(
+                ("Point", np.array([x, y])), geom
+            )
+            if d <= R:
+                expected.add((pid, name))
+    assert got == expected, (got ^ expected)
+    # inside points report dist 0
+    zero = {r.pid for r in out.collect() if r.dist_m == 0.0}
+    ins = {
+        pid for pid, x, y in pts
+        for _, name, geom in polys
+        if predicates.points_in_geom(np.array([x]), np.array([y]), geom)[0]
+    }
+    assert ins <= zero | set()
