@@ -24,8 +24,10 @@ from __future__ import annotations
 import contextlib
 import inspect
 import io
+import json
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import functions as F
 
 from mundipy_spark.dataset import Map
@@ -42,6 +44,7 @@ class Mundi:
         self.main = main
         self.units = units
         self.scale = unit_scale(units)
+        self._cache = None
 
     # --- parameter-name injection (reference mundi.py:35-50) ---
     def _resolve_layers(self, fn) -> list[str]:
@@ -61,11 +64,23 @@ class Mundi:
         return layer_names
 
     def q(self, fn, n_start: int | None = None, n_end: int | None = None,
-          progress: bool = False) -> dict:
-        return {
-            "type": "FeatureCollection",
-            "features": self._collect_features(self.q_df(fn, n_start, n_end)),
-        }
+          progress: bool = False, keys: dict[str, str] | None = None) -> dict:
+        try:
+            return {
+                "type": "FeatureCollection",
+                "features": self._collect_features(self.q_df(fn, n_start, n_end, keys=keys)),
+            }
+        finally:
+            self.release()
+
+    def release(self) -> None:
+        """Drop the cached ordinal-stamped main layer left by q_df (the
+        cache is what keeps q_df at ONE source scan; q() frees it after
+        collecting, q_df callers free it here or on the next q_df)."""
+        cache = getattr(self, "_cache", None)
+        if cache is not None:
+            cache.unpersist()
+            self._cache = None
 
     def _collect_features(self, df) -> list[dict]:
         feats = []
@@ -81,8 +96,22 @@ class Mundi:
             )
         return feats
 
-    def q_df(self, fn, n_start: int | None = None, n_end: int | None = None):
-        """The distributed run; returns DataFrame(geometry, <keys>, _stdout, _id)."""
+    def q_df(self, fn, n_start: int | None = None, n_end: int | None = None,
+             keys: dict[str, str] | None = None):
+        """The distributed run; returns DataFrame(geometry, <keys>, _stdout, _id).
+
+        ONE scan of the main layer: the `_mid`-stamped frame is persisted
+        (memory-and-disk), the per-partition count job materializes it,
+        and every later job — the driver schema probe, the sparse-output
+        fallback probe, the real mapInPandas run — reads the cache, never
+        the source (reference does one pass, mundi.py:114-161; asserted
+        by tests/test_mundi.py::test_mundi_q_single_scan). The cache is
+        released by q(), by the next q_df call, or by release().
+
+        keys: optional {name: spark_type} escape hatch fixing the output
+        key set up front (skips the schema probes entirely — useful when
+        the process fn returns rows rarely and probing would be a second
+        pass of fn over the data)."""
         layer_names = self._resolve_layers(fn)
         main_ds = self.mapdata[self.main]
 
@@ -91,7 +120,9 @@ class Mundi:
             for c in main_ds.df.columns
             if c not in ("minx", "miny", "maxx", "maxy")
         ]
-        main_df = _with_input_ordinal(main_ds.df.select(base_cols))
+        self.release()
+        main_df, cache = _stamp_ordinal(main_ds.df.select(base_cols))
+        self._cache = cache
         if n_start is not None:
             main_df = main_df.filter(F.col("_id") >= n_start)
         if n_end is not None:
@@ -103,40 +134,42 @@ class Mundi:
             name: sc.broadcast(self.mapdata[name].local_index().with_scale(self.scale))
             for name in layer_names
         }
+        geom_col = main_ds.geom_col
+        uscale = self.scale
 
-        # infer the output schema from the first NON-None result (the
-        # reference fixes the key set from the first result a process fn
-        # actually returns, mundi.py:149-159 — rows it drops don't
-        # count). Bounded probe: scan at most the first 256 rows driver-
-        # side; a fn that drops all of them yields the bare schema
-        # (geometry, _stdout, _id) and later non-conforming results
-        # raise, keeping the schema decision O(1) at any input size.
-        first = main_df.orderBy("_id").limit(256).collect()
-        if not first:
-            raise ValueError("main layer is empty")
-        proto_out = None
-        for row in first:
-            proto_out = _call_one(fn, row, main_ds.geom_col, bc_layers, self.scale)
+        if keys is not None:
+            key_fields, key_types = list(keys), dict(keys)
+        else:
+            # infer the output key set from the first NON-None result (the
+            # reference fixes it from the first result the fn actually
+            # returns, however deep in the input — mundi.py:149-159).
+            # Two stages, both over the CACHE: (1) a driver-side probe of
+            # the first 256 rows; (2) if the fn dropped all of them, a
+            # distributed probe that stops at the first returned result
+            # per partition and takes the globally-first one (so sparse-
+            # output fns keep exact reference semantics at any depth).
+            first = main_df.orderBy("_id").limit(256).collect()
+            if not first:
+                raise ValueError("main layer is empty")
+            proto_out = None
+            for row in first:
+                proto_out = _call_one(fn, row, geom_col, bc_layers, uscale)
+                if proto_out is not None:
+                    break
             if proto_out is not None:
-                break
-        key_fields = [] if proto_out is None else list(proto_out.features.keys())
+                key_fields = list(proto_out.features.keys())
+                key_types = {k: _sql_type(v) for k, v in proto_out.features.items()}
+            elif len(first) == 256:
+                key_fields, key_types = _distributed_keyset_probe(
+                    main_df.filter(F.col("_id") > first[-1]["_id"]),
+                    fn, geom_col, bc_layers, layer_names, uscale,
+                )
+            else:  # whole (sliced) input probed driver-side: fn drops everything
+                key_fields, key_types = [], {}
         schema_fields = ["geometry binary"]
-        for k in key_fields:
-            v = proto_out.features[k]
-            if isinstance(v, bool):
-                t = "boolean"
-            elif isinstance(v, int):
-                t = "long"
-            elif isinstance(v, float):
-                t = "double"
-            else:
-                t = "string"
-            schema_fields.append(f"`{k}` {t}")
+        schema_fields += [f"`{k}` {key_types[k]}" for k in key_fields]
         schema_fields += ["_stdout string", "_id long"]
         schema = ", ".join(schema_fields)
-        geom_col = main_ds.geom_col
-        main_name = self.main
-        uscale = self.scale
 
         def run(batches):
             keyset: list[str] | None = None
@@ -213,30 +246,99 @@ class Mundi:
         }
 
 
-def _with_input_ordinal(df, out: str = "_id"):
+def _stamp_ordinal(df, persist: bool = True, out: str = "_id"):
     """Input-ordinal `_id` (reference mundi.py:146-147 semantics: the
     row's position in partition-major scan order) WITHOUT a global
     single-task window: monotonically_increasing_id is
     (partitionId << 33) | rowInPartition, so per-partition counts (a
-    tiny agg — one row per partition) turn into cumulative offsets via
-    a window over that tiny table, broadcast-joined back. The main
-    layer itself never shuffles and no stage runs single-task over the
-    data."""
-    from pyspark.sql import Window as W
+    tiny agg — one row per partition) become cumulative offsets. The
+    counts are collected driver-side and broadcast-joined back from a
+    LOCAL offsets table, so the stamped subtree is referenced exactly
+    once; with persist=True the `_mid` frame is cached (memory+disk)
+    and the counts job itself materializes it — every downstream job
+    reads the cache, giving ONE source scan total. The main layer never
+    shuffles and no stage runs single-task over the data.
 
+    Returns (stamped_df, cache_handle_or_None)."""
     mask = (1 << 33) - 1
     with_mid = df.withColumn("_mid", F.monotonically_increasing_id())
+    if persist:
+        with_mid = with_mid.persist(StorageLevel.MEMORY_AND_DISK)
     pid = F.shiftright(F.col("_mid"), 33)
-    counts = with_mid.groupBy(pid.alias("_pid")).agg(F.count("*").alias("_n"))
-    w = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("_n").over(w), F.lit(0))
-    ).select("_pid", "_off")
-    return (
-        with_mid.join(F.broadcast(offsets), pid == F.col("_pid"), "inner")
-        .withColumn(out, F.col("_off") + F.col("_mid").bitwiseAND(F.lit(mask)))
+    counts = sorted(
+        with_mid.groupBy(pid.alias("_pid")).agg(F.count("*").alias("_n")).collect(),
+        key=lambda r: r._pid,
+    )
+    offs, acc = [], 0
+    for r in counts:
+        offs.append((int(r._pid), acc))
+        acc += int(r._n)
+    offsets = df.sparkSession.createDataFrame(
+        offs or [(0, 0)], "_pid long, _off long"
+    )
+    stamped = (
+        with_mid.join(F.broadcast(offsets), pid == F.col("_pid"), "left")
+        .withColumn(
+            out,
+            F.coalesce(F.col("_off"), F.lit(0)) + F.col("_mid").bitwiseAND(F.lit(mask)),
+        )
         .drop("_pid", "_off", "_mid")
     )
+    return stamped, (with_mid if persist else None)
+
+
+def _with_input_ordinal(df, out: str = "_id"):
+    """Uncached form of _stamp_ordinal (two passes of the source: the
+    counts job + the consumer) for callers that must not leave a cache
+    behind; Mundi.q uses the persisted form."""
+    stamped, _ = _stamp_ordinal(df, persist=False, out=out)
+    return stamped
+
+
+def _sql_type(v) -> str:
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "long"
+    if isinstance(v, float):
+        return "double"
+    return "string"
+
+
+def _distributed_keyset_probe(df, fn, geom_col, bc_layers, layer_names, uscale):
+    """Executor-side key-set inference for sparse-output process fns:
+    each partition runs fn row-by-row (scan order) and emits AT MOST one
+    row — the ordinal + key/type list of its first non-None result —
+    then stops; the globally-first result (min _id) fixes the key set,
+    exactly the reference's first-returned-result rule (mundi.py:149-159)
+    at any depth. Cost: fn runs on rows before each partition's first
+    hit once more than strictly needed — only paid when the fn drops the
+    entire 256-row driver probe. Reads the q_df cache, not the source."""
+
+    def probe(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                feat = _row_to_feature(row, geom_col, uscale)
+                with contextlib.redirect_stdout(io.StringIO()):
+                    ret = fn(feat, *[bc_layers[n].value for n in layer_names])
+                if ret is None:
+                    continue
+                if not isinstance(ret, Feature):
+                    raise TypeError(
+                        f"process fn must return a Feature or None, got {type(ret)}"
+                    )
+                spec = [(k, _sql_type(v)) for k, v in ret.features.items()]
+                yield pd.DataFrame(
+                    [{"_first_id": int(row["_id"]), "_keys": json.dumps(spec)}]
+                )
+                return
+
+    hits = df.mapInPandas(probe, "_first_id long, _keys string").collect()
+    if not hits:
+        return [], {}
+    best = min(hits, key=lambda r: r._first_id)
+    spec = json.loads(best._keys)
+    return [k for k, _ in spec], dict(spec)
 
 
 def _row_to_feature(row: pd.Series, geom_col: str, uscale: float = 1.0) -> Feature:

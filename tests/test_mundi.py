@@ -422,3 +422,96 @@ def test_keyset_from_first_non_none_result(spark):
     assert len(feats) == 3
     assert all("kept" in f["properties"] for f in feats)
     assert sorted(f["properties"]["kept"] for f in feats) == [30, 40, 50]
+
+
+def test_keyset_first_result_beyond_256_rows(spark):
+    """Sparse-output fns: when the fn drops the entire 256-row driver
+    probe, the key set still comes from the first result actually
+    returned (reference mundi.py:149-159 at any depth) via the
+    distributed fallback probe — not a bare schema + raise."""
+    import numpy as np
+
+    from mundipy_spark.dataset import Dataset, Map
+    from mundipy_spark.kernels import wkb as wkb_mod
+    from mundipy_spark.mundi import Mundi
+
+    rows = [
+        (wkb_mod.dumps(("Point", np.array([float(i % 360 - 180), 0.0]))), i)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "geometry binary, i long")
+    m = Map({"pts": Dataset(df)}, spark=spark)
+
+    def proc(p):
+        if p["i"] < 300:
+            return None  # drops the whole driver probe window
+        p["deep"] = p["i"] + 1
+        return p
+
+    feats = Mundi(m, "pts").q(proc)["features"]
+    assert len(feats) == 300
+    assert all("deep" in f["properties"] for f in feats)
+    assert min(f["properties"]["deep"] for f in feats) == 301
+
+
+def test_mundi_q_single_scan(spark, tmp_path):
+    """q_df must read the main-layer source exactly ONCE: the ordinal-
+    stamped frame is cached, so the executed plan of the returned frame
+    contains one parquet scan (inside the InMemoryRelation) and one
+    in-memory scan — no re-execution of the source subtree (the r02 plan
+    paid up to ~4 scans: uncached ordinal counts + probe + run)."""
+    import numpy as np
+
+    from mundipy_spark.dataset import Dataset, Map
+    from mundipy_spark.kernels import wkb as wkb_mod
+    from mundipy_spark.mundi import Mundi
+
+    rows = [
+        (wkb_mod.dumps(("Point", np.array([float(i % 360 - 180), 0.0]))), i)
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows, "geometry binary, i long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "pts.parquet"))
+    src = spark.read.parquet(str(tmp_path / "pts.parquet"))
+    m = Map({"pts": Dataset(src)}, spark=spark)
+    mundi = Mundi(m, "pts")
+
+    def proc(p):
+        p["j"] = p["i"] * 2
+        return p
+
+    out = mundi.q_df(proc)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "InMemoryTableScan" in plan, plan
+    got = sorted(r.j for r in out.collect())
+    assert got == [i * 2 for i in range(40)]
+    mundi.release()
+
+
+def test_mundi_q_keys_escape_hatch(spark):
+    """keys= fixes the output schema up front and skips both probes —
+    the documented path for production fns that return rows rarely."""
+    import numpy as np
+
+    from mundipy_spark.dataset import Dataset, Map
+    from mundipy_spark.kernels import wkb as wkb_mod
+    from mundipy_spark.mundi import Mundi
+
+    rows = [
+        (wkb_mod.dumps(("Point", np.array([float(i), 0.0]))), i) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "geometry binary, i long")
+    m = Map({"pts": Dataset(df)}, spark=spark)
+
+    def proc(p):
+        if p["i"] != 5:
+            return None
+        p["rare"] = 5.5
+        return p
+
+    feats = Mundi(m, "pts").q(proc, keys={"i": "long", "rare": "double"})["features"]
+    assert len(feats) == 1
+    assert feats[0]["properties"]["rare"] == 5.5
+    assert feats[0]["properties"]["i"] == 5
