@@ -459,12 +459,23 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: fake payloads -> mapInPandas feature extract
-    (decode is stubbed; rows-only oracle)."""
+    """Multimodal images, NO stub: real 24-bit BMP (even ids) / binary
+    PPM (odd ids) payloads are encoded then DECODED in pure numpy inside
+    mapInPandas; per-image stats come from the decoded pixels. The
+    gradient pattern g(x,y) = x + 2y + seed never wraps, so mean/std
+    have closed forms and the oracle is value-exact."""
     from mundipy_spark.operators import multimodal
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
-    return multimodal.extract_image_features(multimodal.attach_fake_payloads(docs))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = multimodal.extract_image_features(multimodal.attach_image_payloads(docs))
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.round("std_intensity", 6).alias("std_intensity"),
+        F.round("aspect", 6).alias("aspect"),
+    )
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -896,6 +907,20 @@ FROM documents
 """,
         "simhash_pairs": dedup.simhash_pairs_sql(max_hamming=7),
         "lang_profile": textstats.lang_profile_sql(),
-        # multimodal_features / lsh_ann / ivf_ann: stubbed decode or
-        # approximate float-rank ties — intentionally rows-only checks.
+        "multimodal_features": """
+WITH dims AS (
+  SELECT doc_id,
+         16 + (doc_id % 8) * 8 AS w,
+         16 + (doc_id % 5) * 8 AS h,
+         doc_id % 64 AS seed
+  FROM documents
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       round((w - 1) / 2.0 + (h - 1) + seed, 6) AS mean_intensity,
+       round(sqrt((w * w - 1) / 12.0 + (h * h - 1) / 3.0), 6) AS std_intensity,
+       round(CAST(w AS DOUBLE) / h, 6) AS aspect
+FROM dims
+""",
+        # lsh_ann / ivf_ann: approximate float-rank ties —
+        # intentionally rows-only checks.
     }

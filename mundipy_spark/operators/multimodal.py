@@ -2,11 +2,13 @@
 
 Image/audio/video payloads ride as `binary` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow
-batch UDFs over mapInPandas. The decode step itself is STUBBED (the
-sandbox ships no image/audio codecs — see `_decode_image_stub`), but
-everything Spark-side is real and tested: schema, partition-preserving
-mapInPandas plumbing, batch shapes, and the deterministic fake decoder
-that downstream stages exercise.
+batch UDFs over mapInPandas. Uncompressed formats (24-bit BMP, binary
+PPM/P6, float32 PCM) are encoded AND decoded for real in pure numpy —
+no codec library needed — so the whole payload->features path executes
+end-to-end and is value-exact against a closed-form oracle. Compressed
+formats (JPEG/PNG/H.264) are the one seam left: `decode_image` raises
+NotImplementedError on an unknown magic — swap in PIL/cv2/pyav there on
+a cluster that ships codecs; nothing Spark-side changes.
 
 At 100 TB the shape matters more than the codec: payloads must NOT be
 shuffled (decode before any groupBy, project metadata early, keep the
@@ -21,9 +23,154 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 from pyspark.sql import functions as F
 
 IMAGE_META_SCHEMA = "width int, height int, channels int, format string"
+
+
+# ---------------------------------------------------------------------------
+# real uncompressed codecs (pure numpy — BMP 24-bit and PPM P6)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Windows BMP, 24 bpp, BI_RGB (uncompressed): 14-byte file header +
+    40-byte BITMAPINFOHEADER, rows bottom-up, BGR, padded to 4 bytes."""
+    h, w = img.shape[:2]
+    rgb = img if img.ndim == 3 else np.repeat(img[:, :, None], 3, axis=2)
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    body = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+    # bottom-up rows, BGR channel order
+    body[:, :row_bytes] = rgb[::-1, :, ::-1].reshape(h, row_bytes)
+    off = 14 + 40
+    size = off + body.size
+    head = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + body.size.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 dpi
+        + (0).to_bytes(4, "little") * 2
+    )
+    return head + body.tobytes()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Binary PPM (P6): ASCII header, then raw RGB rows top-down."""
+    h, w = img.shape[:2]
+    rgb = img if img.ndim == 3 else np.repeat(img[:, :, None], 3, axis=2)
+    return f"P6\n{w} {h}\n255\n".encode() + rgb.astype(np.uint8).tobytes()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL image decode for uncompressed formats, pure numpy:
+    24-bit BI_RGB BMP (header parse, bottom-up padded BGR rows) and
+    binary PPM/P6 (ASCII header, top-down RGB). Returns (h, w, 3) uint8.
+    Unknown magic (JPEG/PNG/...) raises NotImplementedError — the
+    documented codec seam; swap PIL/cv2 imdecode in there on a cluster
+    with codecs installed."""
+    if payload is None or len(payload) < 2:
+        raise ValueError("empty image payload")
+    buf = bytes(payload)
+    if buf[:2] == b"BM":
+        off = int.from_bytes(buf[10:14], "little")
+        hdr_sz = int.from_bytes(buf[14:18], "little")
+        w = int.from_bytes(buf[18:22], "little", signed=True)
+        h = int.from_bytes(buf[22:26], "little", signed=True)
+        bpp = int.from_bytes(buf[28:30], "little")
+        comp = int.from_bytes(buf[30:34], "little")
+        if hdr_sz < 40 or bpp != 24 or comp != 0:
+            raise NotImplementedError(f"BMP variant unsupported (bpp={bpp}, comp={comp})")
+        flip = h > 0
+        h = abs(h)
+        row_bytes = w * 3
+        stride = row_bytes + ((-row_bytes) % 4)
+        rows = np.frombuffer(buf, dtype=np.uint8, count=h * stride, offset=off)
+        rows = rows.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+        rgb = rows[:, :, ::-1]  # BGR -> RGB
+        return (rgb[::-1] if flip else rgb).copy()
+    if buf[:2] == b"P6":
+        # header: magic, width, height, maxval — whitespace/comment tolerant
+        pos, vals = 2, []
+        while len(vals) < 3:
+            while pos < len(buf) and buf[pos : pos + 1].isspace():
+                pos += 1
+            if buf[pos : pos + 1] == b"#":  # comment to EOL
+                while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(buf[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = vals
+        if maxval != 255:
+            raise NotImplementedError("16-bit PPM unsupported")
+        return (
+            np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+            .reshape(h, w, 3)
+            .copy()
+        )
+    raise NotImplementedError(
+        "compressed image formats need a codec library (PIL/cv2) — "
+        "only uncompressed BMP/PPM decode in-sandbox"
+    )
+
+
+def _gradient_image(width: int, height: int, seed: int) -> np.ndarray:
+    """Deterministic test pattern with closed-form stats: every channel
+    g(x, y) = x + 2*y + seed. Dims/seed are chosen by the attachers so
+    max < 256 (no modulo) => mean = (w-1)/2 + (h-1) + seed and
+    var = (w^2-1)/12 + (h^2-1)/3 exactly."""
+    y = np.arange(height, dtype=np.int64)[:, None]
+    x = np.arange(width, dtype=np.int64)[None, :]
+    base = (x + 2 * y + seed).astype(np.uint8)
+    return np.repeat(base[:, :, None], 3, axis=2)
+
+
+def attach_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL encoded image payloads (no stub): even ids carry 24-bit BMP,
+    odd ids binary PPM — both written by the numpy encoders above, both
+    readable by any standard image tool. Deterministic per id:
+    w = 16 + (id%8)*8, h = 16 + (id%5)*8, seed = id%64 (so pixel values
+    never wrap and the feature oracle is closed-form)."""
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("payload", T.BinaryType()),
+                T.StructField("width", T.IntegerType()),
+                T.StructField("height", T.IntegerType()),
+                T.StructField("channels", T.IntegerType()),
+                T.StructField("format", T.StringType()),
+            ]
+        )
+    )
+    def synth(ids: pd.Series) -> pd.DataFrame:
+        rows = []
+        for i in ids:
+            i = int(i)
+            w, h, seed = 16 + (i % 8) * 8, 16 + (i % 5) * 8, i % 64
+            img = _gradient_image(w, h, seed)
+            if i % 2 == 0:
+                rows.append((encode_bmp(img), w, h, 3, "image/bmp"))
+            else:
+                rows.append((encode_ppm(img), w, h, 3, "image/x-portable-pixmap"))
+        return pd.DataFrame(
+            rows, columns=["payload", "width", "height", "channels", "format"]
+        )
+
+    return df.withColumn("media", synth(F.col(id_col)))
 
 
 def attach_fake_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -42,11 +189,10 @@ def attach_fake_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def _decode_image_stub(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """STUB decoder: no real codecs in this container. Deterministic
-    fake: a seeded gradient so downstream feature math is testable.
-    Swap for PIL/cv2 `imdecode` on a cluster with codecs installed —
-    the Spark-side plumbing does not change.
-    """
+    """Deterministic synthetic decoder for payloads that are NOT real
+    images (fake video containers below): a seeded gradient so
+    downstream feature math is testable. Real image payloads go through
+    `decode_image` instead."""
     if payload is None:
         raise NotImplementedError("real image decode requires a codec library")
     seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") & 0xFFFF
@@ -74,17 +220,22 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             rows = []
             for _, r in pdf.iterrows():
                 m = r["media"]
-                img = _decode_image_stub(
-                    m["payload"], int(m["width"]), int(m["height"]), int(m["channels"])
-                )
+                payload = bytes(m["payload"])
+                if payload[:2] in (b"BM", b"P6"):
+                    img = decode_image(payload)  # REAL decode, pure numpy
+                else:  # synthetic non-image payloads (plumbing tests)
+                    img = _decode_image_stub(
+                        payload, int(m["width"]), int(m["height"]), int(m["channels"])
+                    )
+                h, w = img.shape[:2]  # from the DECODED pixels, not metadata
                 rows.append(
                     {
                         "doc_id": r[id_col],
-                        "width": int(m["width"]),
-                        "height": int(m["height"]),
+                        "width": int(w),
+                        "height": int(h),
                         "mean_intensity": float(img.mean()),
                         "std_intensity": float(img.std()),
-                        "aspect": float(m["width"]) / float(m["height"]),
+                        "aspect": float(w) / float(h),
                     }
                 )
             yield pd.DataFrame(rows, columns=[
@@ -98,17 +249,21 @@ RESIZE_SCHEMA = "doc_id long, width int, height int, payload binary"
 
 
 def resize_images(df: DataFrame, target: int = 64, id_col: str = "doc_id") -> DataFrame:
-    """mapInPandas resize: decode (stub) -> nearest-neighbor downsample ->
-    re-encode (raw bytes). Demonstrates the payload-in/payload-out batch
-    shape real pipelines use."""
+    """mapInPandas resize: decode -> nearest-neighbor downsample ->
+    re-encode (raw bytes). Real BMP/PPM payloads decode for real; the
+    payload-in/payload-out batch shape is what production pipelines use."""
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 m = r["media"]
-                img = _decode_image_stub(
-                    m["payload"], int(m["width"]), int(m["height"]), int(m["channels"])
-                )
+                payload = bytes(m["payload"])
+                if payload[:2] in (b"BM", b"P6"):
+                    img = decode_image(payload)
+                else:
+                    img = _decode_image_stub(
+                        payload, int(m["width"]), int(m["height"]), int(m["channels"])
+                    )
                 ys = np.linspace(0, img.shape[0] - 1, target).astype(int)
                 xs = np.linspace(0, img.shape[1] - 1, target).astype(int)
                 small = img[ys][:, xs]
