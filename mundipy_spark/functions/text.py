@@ -149,20 +149,23 @@ def _token_hash56(w: str) -> int:
     return int(hashlib.md5(w.encode("utf-8")).hexdigest()[:14], 16)
 
 
-@F.pandas_udf(T.LongType())
-def simhash56(text: pd.Series) -> pd.Series:
+def _simhash_batch(text: pd.Series, counters=None) -> pd.Series:
     """56-bit SimHash over word tokens, vectorized across the whole
     Arrow batch: only NEW unique tokens are hashed (md5 — deterministic,
     portable, stable across workers and reproducible in SQL), bit votes
     are 56 `reduceat` passes over the flat token-hash array, and
     signatures assemble via packbits. No per-token Python in steady
-    state (Zipfian vocab: the memo absorbs repeats)."""
+    state (Zipfian vocab: the memo absorbs repeats). counters: optional
+    DistCacheCounters reporting memo hits (vocab lookups served) and
+    misses (tokens hashed) to the driver."""
     n = len(text)
     out = np.zeros(n, dtype=np.int64)
     tok_lists = [t.lower().split() if t else [] for t in text]
 
     batch_vocab = {w for toks in tok_lists for w in toks}
     new = [w for w in batch_vocab if w not in _TOKEN_HASH_MEMO]
+    if counters is not None:
+        counters.record(len(batch_vocab) - len(new), len(new))
     if new:
         hs = np.fromiter(
             (_token_hash56(w) for w in new), dtype=np.uint64, count=len(new)
@@ -196,6 +199,25 @@ def simhash56(text: pd.Series) -> pd.Series:
     sig8 = np.packbits(setbits, axis=1, bitorder="little")
     out[nz] = sig8.view(np.int64).ravel()
     return pd.Series(out)
+
+
+@F.pandas_udf(T.LongType())
+def simhash56(text: pd.Series) -> pd.Series:
+    return _simhash_batch(text)
+
+
+def simhash56_counted(counters):
+    """simhash56 with accumulator-backed token-memo observability (K2
+    parity role of the reference's cache_info counters,
+    cache/__init__.py:139-147): pass a mundipy_spark.cache.
+    DistCacheCounters; after an action, counters.cache_info() reports
+    aggregate memo hits/misses across all executors."""
+
+    @F.pandas_udf(T.LongType())
+    def sim(text: pd.Series) -> pd.Series:
+        return _simhash_batch(text, counters)
+
+    return sim
 
 
 def simhash_sig_sql(table: str = "documents", text_col: str = "text",

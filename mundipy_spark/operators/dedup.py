@@ -188,6 +188,7 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bucket_cap: int = 200,
+    counters=None,
 ) -> DataFrame:
     """SimHash near-dup pairs: 56-bit portable signature, block banding
     with n_blocks = max_hamming + 1 (pigeonhole: a pair within the
@@ -206,7 +207,8 @@ def simhash_dedup(
         n_bits // n_blocks + (1 if i < n_bits % n_blocks else 0)
         for i in range(n_blocks)
     ]
-    sig = df.select(F.col(id_col), tx.simhash56(F.col(text_col)).alias("sig"))
+    sim = tx.simhash56 if counters is None else tx.simhash56_counted(counters)
+    sig = df.select(F.col(id_col), sim(F.col(text_col)).alias("sig"))
     blocks = []
     off = 0
     for i, w in enumerate(widths):

@@ -53,16 +53,38 @@ def parse_decimal_pairs(pages: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def parse_gazetteer(
-    pages: DataFrame, gazetteer: DataFrame, text_col: str = "text"
+    pages: DataFrame,
+    gazetteer: DataFrame,
+    text_col: str = "text",
+    prefilter: bool = True,
+    prefilter_cap: int = 5000,
 ) -> DataFrame:
     """Tag pages with the first gazetteer place they mention.
 
     gazetteer: DataFrame(place string, lat double, lon double) — small,
-    broadcast. Probe side explodes to (url, token) only for tokens that
-    pass a cheap length filter; the join is a broadcast hash join so the
-    pages table is never shuffled.
+    broadcast. At web scale the vast majority of pages mention NO place,
+    so a page-level regexp prefilter compiled from the gazetteer drops
+    them BEFORE the token explode (which multiplies the probe stream by
+    ~tokens-per-doc); only mentioning pages explode and join. The
+    boundary class `[^a-z0-9]` mirrors the tokenizer's split exactly, so
+    the prefilter can never drop a page the join would keep. The join is
+    a broadcast hash join — the pages table is never shuffled.
+
+    prefilter_cap: above this many places the alternation pattern stops
+    paying for itself (regex state blowup) — fall back to explode-only.
     """
-    toks = pages.withColumn(
+    toks = pages
+    if prefilter:
+        import re as _re
+
+        places = [r[0] for r in gazetteer.select(F.lower("place")).distinct().collect()]
+        if 0 < len(places) <= prefilter_cap:
+            alt = "|".join(_re.escape(p) for p in sorted(places))
+            # custom boundaries (NOT \b: '_' is a regex word char but a
+            # tokenizer separator, so \b would wrongly drop "place_x")
+            pat = f"(?i)(^|[^a-z0-9])({alt})([^a-z0-9]|$)"
+            toks = toks.filter(F.col(text_col).rlike(pat))
+    toks = toks.withColumn(
         "_tok", F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"))
     ).filter(F.length("_tok") >= 3)
     g = F.broadcast(gazetteer.withColumn("_tok", F.lower(F.col("place"))))

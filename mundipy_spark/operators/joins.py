@@ -450,9 +450,10 @@ def within_distance_geom_join(
     one JVM cell assignment; refine is the grouped Arrow distance
     kernel over candidates only. Output carries dist_m.
 
-    point_id: compact probe key for the multi-cell candidate dedup —
-    pass it when probe rows carry payload columns (deduping on every
-    probe column would shuffle-compare payloads)."""
+    point_id: compact probe key for the multi-cell candidate dedup.
+    When omitted, a 64-bit content hash over the probe columns becomes
+    the dedup key, so payload columns are hashed once map-side and never
+    become shuffle-comparison keys themselves."""
     if res is None:
         res = radius_res(radius_m)
     idx = tile_index(polys, geom_col=geom_col, res=res, null_interior_geom=False)
@@ -469,17 +470,23 @@ def within_distance_geom_join(
         .dropDuplicates(["cell", "_gid"])
     )
     pts = add_point_cell(points, lon, lat, res)
+    drop_pid = False
+    if point_id is None:
+        # derive a compact probe key: one xxhash64 over all probe
+        # columns, computed map-side BEFORE the dedup shuffle — distinct
+        # probe rows keep distinct keys while payload columns stay out
+        # of the comparison path
+        point_id, drop_pid = "_pid", True
+        pts = pts.withColumn("_pid", F.xxhash64(*[F.col(c) for c in points.columns]))
     rhs = F.broadcast(idx) if broadcast_index else idx
-    dedup_keys = [point_id, "_gid"] if point_id else (
-        [c for c in points.columns] + ["_gid"]
-    )
-    cand = pts.join(rhs, "cell", "inner").dropDuplicates(dedup_keys)
+    cand = pts.join(rhs, "cell", "inner").dropDuplicates([point_id, "_gid"])
     d = st.st_point_geom_dist_m(F.col(lon), F.col(lat), F.col(geom_col))
-    return (
+    out = (
         cand.withColumn("dist_m", d)
         .filter(F.col("dist_m") <= radius_m)
         .drop("cell", "cell_full", "minx", "miny", "maxx", "maxy", geom_col, "_gid")
     )
+    return out.drop("_pid") if drop_pid else out
 
 
 # ---------------------------------------------------------------------------

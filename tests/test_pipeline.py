@@ -115,6 +115,37 @@ def test_gazetteer_join(spark):
     assert out == {"u1": "paris", "u2": "berlin"}  # first alphabetically
 
 
+def test_gazetteer_prefilter_equivalence(spark):
+    """The page-level regexp prefilter must be a pure optimization:
+    identical hits with and without it, including tokenizer-separator
+    characters that are regex word chars ('_': \\b would wrongly drop
+    'paris_x'), case variance, and substring non-matches."""
+    df = spark.createDataFrame(
+        [
+            ("u1", "I love Paris in the spring"),
+            ("u2", "paris_adjacent underscore case"),
+            ("u3", "comparisons with parisian flair only"),
+            ("u4", "PARIS uppercase"),
+            ("u5", "nothing to see"),
+            ("u6", "berlin,comma-bound"),
+        ],
+        "url string, text string",
+    )
+    gaz = spark.createDataFrame(
+        [("paris", 48.85, 2.35), ("berlin", 52.52, 13.40)],
+        "place string, lat double, lon double",
+    )
+    with_pf = {(r.url, r.place) for r in geoparse.parse_gazetteer(df, gaz).collect()}
+    without = {
+        (r.url, r.place)
+        for r in geoparse.parse_gazetteer(df, gaz, prefilter=False).collect()
+    }
+    assert with_pf == without
+    assert with_pf == {
+        ("u1", "paris"), ("u2", "paris"), ("u4", "paris"), ("u6", "berlin")
+    }
+
+
 def test_geocode_pages_single_scan_left_semantics(spark):
     """geocode_pages must read the pages source exactly ONCE (the r01
     plan evaluated the geoparse subtree 3x), keep every input row (left
