@@ -149,14 +149,24 @@ class Feature:
 
     @property
     def minimum_clearance(self) -> float:
-        """Coordinate-space clearance (same convention as st_minimum_clearance)."""
-        return constructive.minimum_clearance(self.geom)
+        """Session units (meter sandwich like buffer/distance — the
+        reference projects into the chosen PCS for every SHAPELY_METHODS
+        TRANSFORM_INPUT op, geometry.py:133)."""
+        return measure.minimum_clearance_m(self.geom) * self.uscale
 
     def interpolate(self, dist: float) -> "Feature":
-        return Feature(constructive.interpolate(self.geom, dist), self.features, self.uscale)
+        """dist in session units along the line (feet under
+        Mundi(units='feet')), like the reference's projected shapely."""
+        return Feature(
+            measure.interpolate_m(self.geom, dist / self.uscale),
+            self.features,
+            self.uscale,
+        )
 
     def project(self, other) -> float:
-        return constructive.project(self.geom, _as_geom(other))
+        """Distance along this line of the point nearest `other`, in
+        session units."""
+        return measure.line_project_m(self.geom, _as_geom(other)) * self.uscale
 
     @property
     def boundary(self) -> "Feature":
@@ -268,10 +278,20 @@ class LocalIndex:
         consistent with Feature.buffer/distance, reference semantics."""
         g = _as_geom(probe)
         radius_m = radius / self.uscale
-        # equivalence with intersects(buffer(r)) per docs/manual/datasets.mdx:100-107
-        pad = radius_m / 111_000.0 * 1.5 + 1e-9
+        # equivalence with intersects(buffer(r)) per docs/manual/datasets.mdx:100-107.
+        # SOUND pruning pads: 1 deg lat >= 110.57 km everywhere, so
+        # dividing by 110 km overshoots (safe); 1 deg lon is only
+        # 111.32*cos(lat) km, so the lon pad must scale by 1/cos at the
+        # highest |lat| the radius can reach — a flat 1.5x fudge
+        # undercovers above ~48 deg and silently drops true matches.
         minx, miny, maxx, maxy = wkb.bounds(g)
-        idx = self._bbox_candidates(minx - pad, miny - pad, maxx + pad, maxy + pad)
+        pad_lat = radius_m / 110_000.0 + 1e-9
+        lat_hi = min(max(abs(miny), abs(maxy)) + pad_lat, 89.9)
+        coslat = max(np.cos(np.radians(lat_hi)), 1e-6)
+        pad_lon = radius_m / (110_000.0 * coslat) + 1e-9
+        idx = self._bbox_candidates(
+            minx - pad_lon, miny - pad_lat, maxx + pad_lon, maxy + pad_lat
+        )
         out = []
         for i in idx:
             if measure.geom_distance_m(self.geoms[i], g) <= radius_m:

@@ -98,6 +98,37 @@ def geom_distance_m(a, b) -> float:
     return geom_distance_planar(ga, gb)
 
 
+def interpolate_m(geom, dist_m: float):
+    """Point at dist_m METERS along a LineString: project into the local
+    PCS (distance-purposed), interpolate planar, inverse-project back to
+    lon/lat (reference TRANSFORM_INPUT semantics, geometry.py:137)."""
+    from mundipy_spark.kernels import constructive
+
+    (g,), _, _, inv = _projected(geom, purpose="distance")
+    return proj.transform_geom(constructive.interpolate(g, dist_m), inv)
+
+
+def line_project_m(geom, other) -> float:
+    """Distance in METERS along `geom` of the point nearest `other`
+    (shapely `project` through the local-PCS sandwich,
+    reference geometry.py:139)."""
+    from mundipy_spark.kernels import constructive
+
+    (g, o), _, _, _ = _projected(geom, other, purpose="distance")
+    pt = o[1] if o[0] == "Point" else np.asarray(predicates.geom_vertices(o)).mean(axis=0)
+    return constructive.line_project(g, pt)
+
+
+def minimum_clearance_m(geom) -> float:
+    """Minimum clearance in METERS (projected sandwich — the raw-degree
+    form silently mixed lat/lon scales, ~1e5x off for callers porting
+    reference code)."""
+    from mundipy_spark.kernels import constructive
+
+    (g,), _, _, _ = _projected(geom, purpose="distance")
+    return constructive.minimum_clearance(g)
+
+
 def hausdorff_distance_m(a, b) -> float:
     """Discrete (vertex-sampled) Hausdorff distance in meters — matches
     the reference surface (mundipy/geometry.py:117) to vertex precision."""

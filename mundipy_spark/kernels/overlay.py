@@ -1029,8 +1029,25 @@ def overlay_op(a, b, op: str):
     area-correct; shared boundaries between touching pieces are
     tolerated)."""
     da, db = _geom_dim(a), _geom_dim(b)
-    if da != db and 2 in (da, db) and op in ("intersection", "difference"):
-        return _mixed_dim_op(a, b, op)
+    if da != db:
+        if 2 not in (da, db):
+            raise NotImplementedError(
+                f"{op} between dimension-{da} and dimension-{db} operands "
+                "is not supported (point x line overlays)"
+            )
+        if op in ("intersection", "difference"):
+            return _mixed_dim_op(a, b, op)
+        # union / symmetric_difference with a zero-measure operand: the
+        # areal result is the polygon unchanged; the parts of the lower-
+        # dimensional operand OUTSIDE the polygon survive alongside it —
+        # shapely (the reference's engine) returns a GeometryCollection.
+        # (Silently routing through the polygon-only GH path treated the
+        # line as a ring and returned empty/wrong geometry.)
+        poly, lo = (a, b) if da == 2 else (b, a)
+        outside = _mixed_dim_op(lo, poly, "difference")
+        if outside is None:
+            return poly
+        return ("GeometryCollection", [poly, outside])
     if op != "symmetric_difference" and (_has_holes(a) or _has_holes(b)):
         return overlay_eo(a, b, op)
     if op == "symmetric_difference":

@@ -493,3 +493,34 @@ def test_rotated_union_fold_oracle():
             U = overlay.union(U, g)
             areaU = measure.geom_area_planar(U)
             assert abs(areaU - want) < 1e-4 * max(want, 1.0), (trial, areaU, want)
+
+
+def test_mixed_dim_union_symdiff_no_fallthrough():
+    """ADVICE r02: polygon x line union/symmetric_difference must not
+    fall through to the polygon-only GH path — the polygon survives and
+    line parts outside it ride along as a GeometryCollection; point x
+    line raises loudly."""
+    import pytest as _pytest
+
+    sq = ("Polygon", [np.array([[0.0, 0], [4, 0], [4, 4], [0, 4], [0, 0]])])
+    line = ("LineString", np.array([[2.0, 2.0], [8.0, 2.0]]))  # half inside
+
+    u = overlay.overlay_op(sq, line, "union")
+    assert u[0] == "GeometryCollection"
+    parts = {g[0] for g in u[1]}
+    assert "Polygon" in parts and ("LineString" in parts or "MultiLineString" in parts)
+    # the surviving line piece is the OUTSIDE part (x in [4, 8])
+    lp = [g for g in u[1] if g[0] in ("LineString", "MultiLineString")][0]
+    seg = lp[1] if lp[0] == "LineString" else lp[1][0]
+    assert np.asarray(seg)[:, 0].min() >= 4.0 - 1e-9
+
+    s = overlay.overlay_op(line, sq, "symmetric_difference")
+    assert s[0] == "GeometryCollection"
+
+    # fully-inside line: union is just the polygon
+    inner = ("LineString", np.array([[1.0, 1.0], [3.0, 1.0]]))
+    assert overlay.overlay_op(sq, inner, "union")[0] == "Polygon"
+
+    pt = ("Point", np.array([1.0, 1.0]))
+    with _pytest.raises(NotImplementedError):
+        overlay.overlay_op(pt, line, "union")

@@ -489,3 +489,66 @@ def test_reference_measure_goldens():
     bow = wkb.from_wkt("POLYGON((0 0, 0 1, 2 1, 2 2, 1 2, 1 0, 0 0))")
     res = overlay.difference(bow, bow)
     assert res is None or measure.geom_area_planar(res) < 1e-9
+
+
+def test_interpolate_project_clearance_session_units():
+    """interpolate/project/minimum_clearance run through the meter
+    sandwich like buffer/distance (ADVICE r02): values are session
+    units, not raw degrees, and feet scale by ~3.28083."""
+    from mundipy_spark.feature import Feature
+    from mundipy_spark.pcs import FT_PER_M
+
+    # 1-degree meridian segment at lon 7: length ~110.57-111.7 km
+    line_m = Feature(("LineString", np.array([[7.0, 45.0], [7.0, 46.0]])), {}, 1.0)
+    line_ft = Feature(line_m.geom, {}, FT_PER_M)
+    L = line_m.length
+    assert 110_000 < L < 112_000
+
+    # midpoint of the line by arc length lands at lat ~45.5
+    mid = line_m.interpolate(L / 2.0)
+    assert mid.geom[0] == "Point"
+    assert abs(mid.geom[1][1] - 45.5) < 2e-3
+    assert abs(mid.geom[1][0] - 7.0) < 1e-3  # PCS meridian convergence ~6 m
+    # feet session: same midpoint needs the distance in feet
+    mid_ft = line_ft.interpolate(L * FT_PER_M / 2.0)
+    assert abs(mid_ft.geom[1][1] - mid.geom[1][1]) < 1e-9
+
+    # project is interpolate's inverse (session units both ways)
+    p = line_m.project(mid)
+    assert abs(p - L / 2.0) / L < 1e-3
+    assert abs(line_ft.project(mid) - p * FT_PER_M) / (p * FT_PER_M) < 1e-6
+
+    # minimum_clearance of a ~1km square at lat 45 is ~1km in meters
+    # (raw-degree form returned ~0.009)
+    d = 1000.0 / 111_320.0
+    sq = Feature(
+        (
+            "Polygon",
+            [np.array([[7.0, 45.0], [7.0 + d / np.cos(np.radians(45)), 45.0],
+                       [7.0 + d / np.cos(np.radians(45)), 45.0 + d],
+                       [7.0, 45.0 + d], [7.0, 45.0]])],
+        ),
+        {},
+        1.0,
+    )
+    mc = sq.minimum_clearance
+    assert 900 < mc < 1100, mc
+    assert abs(Feature(sq.geom, {}, FT_PER_M).minimum_clearance / mc - FT_PER_M) < 1e-9
+
+
+def test_local_index_within_high_latitude_lon_pad():
+    """ADVICE r02: the within() bbox prefilter must scale its lon pad by
+    1/cos(lat) — at lat 75 a point ~0.015 deg east (~430 m) is inside a
+    500 m radius but was outside the old flat pad (500/111000*1.5 =
+    0.00676 deg)."""
+    from mundipy_spark.feature import LocalIndex
+    from mundipy_spark.kernels import wkb as wkb_mod
+
+    lat = 75.0
+    dlon = 0.015  # ~432 m east at lat 75
+    probe = ("Point", np.array([10.0, lat]))
+    target = wkb_mod.dumps(("Point", np.array([10.0 + dlon, lat])))
+    ix = LocalIndex([(target, {"name": "t"})])
+    hits = ix.within(500.0, probe)
+    assert len(hits) == 1  # true distance ~432 m < 500 m
+    assert len(ix.within(300.0, probe)) == 0  # exact refine still prunes
