@@ -28,9 +28,16 @@ def connected_components(
     a: str = "a",
     b: str = "b",
     max_iter: int = 25,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """(node, component) for every node appearing in `pairs`;
-    component = min node id of the connected component."""
+    component = min node id of the connected component.
+
+    checkpoint_every: when > 0, every Nth round uses RELIABLE
+    `checkpoint()` (requires sc.setCheckpointDir) instead of
+    localCheckpoint — on a production cluster localCheckpoint blocks
+    are lost with their executor, which kills a long CC job; reliable
+    checkpoints survive executor loss and also truncate lineage."""
     e = pairs.select(F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v"))
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -45,7 +52,12 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iter):
+    def _truncate(df, rnd):
+        if checkpoint_every > 0 and (rnd + 1) % checkpoint_every == 0:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    for rnd in range(max_iter):
         # (1) min over neighbor labels
         nbr = (
             edges.join(
@@ -73,8 +85,8 @@ def connected_components(
                 "left",
             )
             .select("u", F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias("label"))
-            .localCheckpoint(eager=True)
         )
+        jumped = _truncate(jumped, rnd)
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "u")
@@ -94,11 +106,12 @@ def dedup_clusters(
     id_col: str = "doc_id",
     a: str = "a",
     b: str = "b",
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Cluster labels for near-dup pairs: (doc_id, component, is_canonical).
     Canonical = the min doc id of its cluster (the row a dedup keep-list
     retains)."""
-    cc = connected_components(pairs, a=a, b=b)
+    cc = connected_components(pairs, a=a, b=b, checkpoint_every=checkpoint_every)
     return cc.select(
         F.col("node").alias(id_col),
         "component",

