@@ -229,19 +229,267 @@ def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     return 2.0 * SPHERE_R * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
 
 
+# --- generalized ellipsoids + datum shifts ---------------------------------
+# Public ellipsoid constants (a, 1/f) and published Helmert parameters
+# (local datum -> WGS84, position-vector convention: tx ty tz meters,
+# rx ry rz arc-seconds, s ppm). NAD83/ETRS89's GRS80 is within 1e-9 of
+# WGS84 flattening, so those codes carry no shift.
+
+ELLIPSOIDS: dict[str, tuple[float, float]] = {
+    "WGS84": (6378137.0, 1.0 / 298.257223563),
+    "GRS80": (6378137.0, 1.0 / 298.257222101),
+    "airy1830": (6377563.396, 1.0 / 299.3249646),
+    "bessel1841": (6377397.155, 1.0 / 299.1528128),
+    "intl1924": (6378388.0, 1.0 / 297.0),
+    "krassowsky1940": (6378245.0, 1.0 / 298.3),
+}
+
+# datum -> WGS84 (position vector). OSGB36 is the OS national set (~5 m
+# nationwide); Amersfoort is the NL standard; ED50 mean-European; the
+# Beijing 1954 set is the widely-cited approximate mainland mean.
+DATUM_TO_WGS84: dict[str, tuple] = {
+    "WGS84": (0, 0, 0, 0, 0, 0, 0),
+    "OSGB36": (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894),
+    "Amersfoort": (565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.87740, 4.0725),
+    "ED50": (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0),
+    "Beijing1954": (15.8, -154.4, -82.3, 0.0, 0.0, 0.0, 0.0),
+}
+
+
+def _geodetic_to_geocentric(lon, lat, a: float, f: float):
+    e2 = f * (2.0 - f)
+    lam = np.deg2rad(np.asarray(lon, np.float64))
+    phi = np.deg2rad(np.asarray(lat, np.float64))
+    sphi, cphi = np.sin(phi), np.cos(phi)
+    N = a / np.sqrt(1.0 - e2 * sphi * sphi)
+    return N * cphi * np.cos(lam), N * cphi * np.sin(lam), N * (1.0 - e2) * sphi
+
+
+def _geocentric_to_geodetic(X, Y, Z, a: float, f: float, iters: int = 6):
+    e2 = f * (2.0 - f)
+    X, Y, Z = (np.asarray(v, np.float64) for v in (X, Y, Z))
+    lam = np.arctan2(Y, X)
+    p = np.hypot(X, Y)
+    phi = np.arctan2(Z, p * (1.0 - e2))
+    for _ in range(iters):
+        sphi = np.sin(phi)
+        N = a / np.sqrt(1.0 - e2 * sphi * sphi)
+        phi = np.arctan2(Z + e2 * N * sphi, p)
+    return np.rad2deg(lam), np.rad2deg(phi)
+
+
+def _helmert(X, Y, Z, params, inverse: bool = False):
+    tx, ty, tz, rx, ry, rz, s = params
+    rx, ry, rz = (np.deg2rad(v / 3600.0) for v in (rx, ry, rz))
+    m = 1.0 + s * 1e-6
+    if not inverse:
+        Xo = tx + m * (X - rz * Y + ry * Z)
+        Yo = ty + m * (rz * X + Y - rx * Z)
+        Zo = tz + m * (-ry * X + rx * Y + Z)
+        return Xo, Yo, Zo
+    # exact-enough reverse for small rotations/scale (iterated once)
+    Xs, Ys, Zs = (X - tx) / m, (Y - ty) / m, (Z - tz) / m
+    Xo = Xs + rz * Ys - ry * Zs
+    Yo = -rz * Xs + Ys + rx * Zs
+    Zo = ry * Xs - rx * Ys + Zs
+    return Xo, Yo, Zo
+
+
+def _datum_from_wgs84(lon, lat, datum: str, a: float, f: float):
+    """WGS84 lon/lat -> local-datum lon/lat (via geocentric Helmert)."""
+    if datum == "WGS84" or datum == "GRS80":
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+    aw, fw = ELLIPSOIDS["WGS84"]
+    X, Y, Z = _geodetic_to_geocentric(lon, lat, aw, fw)
+    X, Y, Z = _helmert(X, Y, Z, DATUM_TO_WGS84[datum], inverse=True)
+    return _geocentric_to_geodetic(X, Y, Z, a, f)
+
+
+def _datum_to_wgs84(lon, lat, datum: str, a: float, f: float):
+    if datum == "WGS84" or datum == "GRS80":
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+    X, Y, Z = _geodetic_to_geocentric(lon, lat, a, f)
+    X, Y, Z = _helmert(X, Y, Z, DATUM_TO_WGS84[datum])
+    aw, fw = ELLIPSOIDS["WGS84"]
+    return _geocentric_to_geodetic(X, Y, Z, aw, fw)
+
+
+def _kruger_coeffs(f: float):
+    n = f / (2.0 - f)
+    A = 1.0 / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0)
+    alpha = (
+        n / 2.0 - 2.0 * n**2 / 3.0 + 5.0 * n**3 / 16.0,
+        13.0 * n**2 / 48.0 - 3.0 * n**3 / 5.0,
+        61.0 * n**3 / 240.0,
+    )
+    beta = (
+        n / 2.0 - 2.0 * n**2 / 3.0 + 37.0 * n**3 / 96.0,
+        n**2 / 48.0 + n**3 / 15.0,
+        17.0 * n**3 / 480.0,
+    )
+    delta = (
+        2.0 * n - 2.0 * n**2 / 3.0 - 2.0 * n**3,
+        7.0 * n**2 / 3.0 - 8.0 * n**3 / 5.0,
+        56.0 * n**3 / 15.0,
+    )
+    return A, alpha, beta, delta
+
+
+def _tm_xi_eta(lon, lat, lon0: float, a: float, f: float):
+    e = np.sqrt(f * (2.0 - f))
+    lam = np.deg2rad(np.asarray(lon, np.float64)) - np.deg2rad(lon0)
+    phi = np.deg2rad(np.asarray(lat, np.float64))
+    sphi = np.sin(phi)
+    t = np.sinh(np.arctanh(sphi) - e * np.arctanh(e * sphi))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+    A, alpha, _, _ = _kruger_coeffs(f)
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, c in enumerate(alpha, start=1):
+        xi += c * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta += c * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    return xi, eta, A * a
+
+
+def tm_forward(lon, lat, lon0: float, lat0: float, k0: float,
+               x0: float, y0: float, ellipsoid: str = "GRS80"):
+    """General ellipsoidal Transverse Mercator (Krüger series) with
+    arbitrary natural origin / scale / false coords — national TM grids
+    (EPSG method 9807): British National Grid, NH state plane, UTM."""
+    a, f = ELLIPSOIDS[ellipsoid]
+    xi, eta, Acap = _tm_xi_eta(lon, lat, lon0, a, f)
+    if lat0 != 0.0:
+        xi0, _, _ = _tm_xi_eta(np.asarray([lon0]), np.asarray([lat0]), lon0, a, f)
+        xi = xi - xi0[0]
+    return x0 + k0 * Acap * eta, y0 + k0 * Acap * xi
+
+
+def tm_inverse(x, y, lon0: float, lat0: float, k0: float,
+               x0: float, y0: float, ellipsoid: str = "GRS80"):
+    a, f = ELLIPSOIDS[ellipsoid]
+    A, _, beta, delta = _kruger_coeffs(f)
+    Acap = A * a
+    xi = (np.asarray(y, np.float64) - y0) / (k0 * Acap)
+    if lat0 != 0.0:
+        xi0, _, _ = _tm_xi_eta(np.asarray([lon0]), np.asarray([lat0]), lon0, a, f)
+        xi = xi + xi0[0]
+    eta = (np.asarray(x, np.float64) - x0) / (k0 * Acap)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, b in enumerate(beta, start=1):
+        xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    phi = chi.copy()
+    for j, d in enumerate(delta, start=1):
+        phi += d * np.sin(2 * j * chi)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return lon0 + np.rad2deg(lam), np.rad2deg(phi)
+
+
+def oblique_stereo_forward(lon, lat, lon0: float, lat0: float, k0: float,
+                           x0: float, y0: float, ellipsoid: str = "bessel1841"):
+    """Ellipsoidal Oblique Stereographic (EPSG method 9809, via the
+    conformal sphere — the RD New / Amersfoort projection)."""
+    a, f = ELLIPSOIDS[ellipsoid]
+    e2 = f * (2.0 - f)
+    e = np.sqrt(e2)
+    phi0 = np.deg2rad(lat0)
+    lam0 = np.deg2rad(lon0)
+    s0, c0 = np.sin(phi0), np.cos(phi0)
+    rho0 = a * (1.0 - e2) / (1.0 - e2 * s0 * s0) ** 1.5
+    nu0 = a / np.sqrt(1.0 - e2 * s0 * s0)
+    R = np.sqrt(rho0 * nu0)
+    n = np.sqrt(1.0 + (e2 * c0**4) / (1.0 - e2))
+
+    def to_conformal(phi, lam):
+        S1 = (1.0 + np.sin(phi)) / (1.0 - np.sin(phi))
+        S2 = (1.0 - e * np.sin(phi)) / (1.0 + e * np.sin(phi))
+        w = (S1 * S2**e) ** n
+        # solve c so that chi0 corresponds at origin
+        return w
+
+    w0 = to_conformal(phi0, lam0)
+    sin_chi0 = (w0 - 1.0) / (w0 + 1.0)
+    c = (n + s0) * (1.0 - sin_chi0) / ((n - s0) * (1.0 + sin_chi0))
+    w0c = c * w0
+    chi0 = np.arcsin((w0c - 1.0) / (w0c + 1.0))
+
+    phi = np.deg2rad(np.asarray(lat, np.float64))
+    lam = np.deg2rad(np.asarray(lon, np.float64))
+    w = c * to_conformal(phi, lam)
+    chi = np.arcsin((w - 1.0) / (w + 1.0))
+    Lam = n * (lam - lam0) + lam0
+    B = 1.0 + np.sin(chi) * np.sin(chi0) + np.cos(chi) * np.cos(chi0) * np.cos(Lam - lam0)
+    x = x0 + 2.0 * R * k0 * np.cos(chi) * np.sin(Lam - lam0) / B
+    y = y0 + 2.0 * R * k0 * (np.sin(chi) * np.cos(chi0) - np.cos(chi) * np.sin(chi0) * np.cos(Lam - lam0)) / B
+    return x, y
+
+
+def oblique_stereo_inverse(x, y, lon0: float, lat0: float, k0: float,
+                           x0: float, y0: float, ellipsoid: str = "bessel1841",
+                           iters: int = 10):
+    a, f = ELLIPSOIDS[ellipsoid]
+    e2 = f * (2.0 - f)
+    e = np.sqrt(e2)
+    phi0 = np.deg2rad(lat0)
+    lam0 = np.deg2rad(lon0)
+    s0, c0 = np.sin(phi0), np.cos(phi0)
+    rho0 = a * (1.0 - e2) / (1.0 - e2 * s0 * s0) ** 1.5
+    nu0 = a / np.sqrt(1.0 - e2 * s0 * s0)
+    R = np.sqrt(rho0 * nu0)
+    n = np.sqrt(1.0 + (e2 * c0**4) / (1.0 - e2))
+    S1 = (1.0 + s0) / (1.0 - s0)
+    S2 = (1.0 - e * s0) / (1.0 + e * s0)
+    w0 = (S1 * S2**e) ** n
+    sin_chi0 = (w0 - 1.0) / (w0 + 1.0)
+    c = (n + s0) * (1.0 - sin_chi0) / ((n - s0) * (1.0 + sin_chi0))
+    w0c = c * w0
+    chi0 = np.arcsin((w0c - 1.0) / (w0c + 1.0))
+
+    dx = (np.asarray(x, np.float64) - x0) / (2.0 * R * k0)
+    dy = (np.asarray(y, np.float64) - y0) / (2.0 * R * k0)
+    rho = np.hypot(dx, dy)
+    cc = 2.0 * np.arctan(rho)
+    chi = np.where(
+        rho < 1e-12,
+        chi0,
+        np.arcsin(np.clip(np.cos(cc) * np.sin(chi0) + dy * np.sin(cc) / np.where(rho == 0, 1, rho) * np.cos(chi0), -1, 1)),
+    )
+    Lam = np.where(
+        rho < 1e-12,
+        lam0,
+        lam0 + np.arctan2(dx * np.sin(cc), rho * np.cos(chi0) * np.cos(cc) - dy * np.sin(chi0) * np.sin(cc)),
+    )
+    lam = lam0 + (Lam - lam0) / n
+    # iterate geodetic latitude from conformal latitude
+    psi = 0.5 * np.log((1.0 + np.sin(chi)) / (c * (1.0 - np.sin(chi)))) / n
+    phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+    for _ in range(iters):
+        psi_i = np.log(
+            np.tan(phi / 2.0 + np.pi / 4.0)
+            * ((1.0 - e * np.sin(phi)) / (1.0 + e * np.sin(phi))) ** (e / 2.0)
+        )
+        phi = phi - (psi_i - psi) * np.cos(phi) * (1.0 - e2 * np.sin(phi) ** 2) / (1.0 - e2)
+    return np.rad2deg(lam), np.rad2deg(phi)
+
+
 def lcc2sp_forward(lon, lat, lat1: float, lat2: float, lat0: float, lon0: float,
-                   x0: float, y0: float):
+                   x0: float, y0: float, ellipsoid: str = "GRS80"):
     """Ellipsoidal Lambert Conformal Conic, 2 standard parallels
-    (Snyder, Map Projections — A Working Manual, pp. 107-109). GRS80/
-    WGS84 ellipsoid (NAD83's GRS80 differs from WGS84 by <1e-9 in
-    flattening)."""
-    e = WGS84_E
+    (Snyder, Map Projections — A Working Manual, pp. 107-109), on any
+    shipped ellipsoid (NAD83's GRS80 differs from WGS84 by <1e-9 in
+    flattening; ED50-based grids use International 1924)."""
+    a, f = ELLIPSOIDS[ellipsoid]
+    e2 = f * (2.0 - f)
+    e = np.sqrt(e2)
     lam = np.deg2rad(np.asarray(lon, dtype=np.float64))
     phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
     p1, p2, p0 = np.deg2rad(lat1), np.deg2rad(lat2), np.deg2rad(lat0)
 
     def m(p):
-        return np.cos(p) / np.sqrt(1.0 - WGS84_E2 * np.sin(p) ** 2)
+        return np.cos(p) / np.sqrt(1.0 - e2 * np.sin(p) ** 2)
 
     def t(p):
         return np.tan(np.pi / 4.0 - p / 2.0) / (
@@ -250,21 +498,24 @@ def lcc2sp_forward(lon, lat, lat1: float, lat2: float, lat0: float, lon0: float,
 
     n = (np.log(m(p1)) - np.log(m(p2))) / (np.log(t(p1)) - np.log(t(p2)))
     F = m(p1) / (n * t(p1) ** n)
-    rho = WGS84_A * F * t(phi) ** n
-    rho0 = WGS84_A * F * t(p0) ** n
+    rho = a * F * t(phi) ** n
+    rho0 = a * F * t(p0) ** n
     th = n * (lam - np.deg2rad(lon0))
     return rho * np.sin(th) + x0, rho0 - rho * np.cos(th) + y0
 
 
 def lcc2sp_inverse(x, y, lat1: float, lat2: float, lat0: float, lon0: float,
-                   x0: float, y0: float, iters: int = 8):
-    e = WGS84_E
+                   x0: float, y0: float, ellipsoid: str = "GRS80",
+                   iters: int = 8):
+    a, f = ELLIPSOIDS[ellipsoid]
+    e2 = f * (2.0 - f)
+    e = np.sqrt(e2)
     xs = np.asarray(x, dtype=np.float64) - x0
     ys = np.asarray(y, dtype=np.float64) - y0
     p1, p2, p0 = np.deg2rad(lat1), np.deg2rad(lat2), np.deg2rad(lat0)
 
     def m(p):
-        return np.cos(p) / np.sqrt(1.0 - WGS84_E2 * np.sin(p) ** 2)
+        return np.cos(p) / np.sqrt(1.0 - e2 * np.sin(p) ** 2)
 
     def t(p):
         return np.tan(np.pi / 4.0 - p / 2.0) / (
@@ -273,9 +524,9 @@ def lcc2sp_inverse(x, y, lat1: float, lat2: float, lat0: float, lon0: float,
 
     n = (np.log(m(p1)) - np.log(m(p2))) / (np.log(t(p1)) - np.log(t(p2)))
     F = m(p1) / (n * t(p1) ** n)
-    rho0 = WGS84_A * F * t(p0) ** n
+    rho0 = a * F * t(p0) ** n
     rho = np.sign(n) * np.hypot(xs, rho0 - ys)
-    tp = (rho / (WGS84_A * F)) ** (1.0 / n)
+    tp = (rho / (a * F)) ** (1.0 / n)
     th = np.arctan2(xs, rho0 - ys)
     phi = np.pi / 2.0 - 2.0 * np.arctan(tp)
     for _ in range(iters):
@@ -285,18 +536,103 @@ def lcc2sp_inverse(x, y, lat1: float, lat2: float, lat0: float, lon0: float,
     return np.rad2deg(th / n) + lon0, np.rad2deg(phi)
 
 
-# Public EPSG LCC-2SP definitions this engine ships (parameters from the
-# EPSG registry — public facts): lat1, lat2, lat0, lon0, x0_m, y0_m, unit.
-# EPSG:2844 = NAD83(HARN) / Texas North (meters) — the CRS of the
-# reference's CRS-mixed test fixture (tests/fixtures/texas_epsg_2844
-# .geojson: points near Amarillo, x~220 km e., y~1,106 km n.).
-# EPSG:2277 = NAD83 / Texas Central (ftUS) — the PCS-table feet entry.
-LCC_2SP_CODES: dict[int, tuple] = {
-    2844: (34.65, 36.18333333333333, 34.0, -101.5,
-           200_000.0, 1_000_000.0, "m"),
-    2277: (31.883333333333333, 30.116666666666667, 29.666666666666668,
-           -100.33333333333333, 699999.9998983998, 3000000.0000101604, "us-ft"),
+# Public EPSG projected-CRS definitions this engine ships (parameters
+# from the EPSG registry — public facts). x0/y0 are METERS (unit
+# scaling applied on the projected axes per `unit`); datum shifts run
+# through the Helmert sets above. Notable rows:
+#  2844  NAD83(HARN) / Texas North (m) — the reference's CRS-mixed
+#        fixture CRS (tests/fixtures/texas_epsg_2844.geojson)
+#  2277  NAD83 / Texas Central (ftUS)
+#  2229  NAD83 / California zone 5 (ftUS)
+#  2263  NAD83 / New York Long Island (ftUS)
+#  3445  NAD83(HARN) / New Hampshire (ftUS) — TM
+#  27700 OSGB36 / British National Grid — TM + OSGB36 Helmert (~5 m)
+#  25832 ETRS89 / UTM 32N — TM
+#  4796  New Beijing / 3-deg Gauss-Kruger CM 117E — TM + approx shift
+#  28992 Amersfoort / RD New — oblique stereographic + Helmert
+#  5643  ED50 / SPBA LCC — LCC-2SP on International 1924 + ED50 shift
+PROJECTED_CODES: dict[int, dict] = {
+    2844: dict(method="lcc2sp", lat1=34.65, lat2=36.18333333333333,
+               lat0=34.0, lon0=-101.5, x0=200_000.0, y0=1_000_000.0,
+               unit="m", ellipsoid="GRS80", datum="GRS80"),
+    2277: dict(method="lcc2sp", lat1=31.883333333333333,
+               lat2=30.116666666666667, lat0=29.666666666666668,
+               lon0=-100.33333333333333, x0=699999.9998983998,
+               y0=3000000.0000101604, unit="us-ft", ellipsoid="GRS80",
+               datum="GRS80"),
+    2229: dict(method="lcc2sp", lat1=35.46666666666667,
+               lat2=34.03333333333333, lat0=33.5, lon0=-118.0,
+               x0=2000000.0001016, y0=500000.0001016, unit="us-ft",
+               ellipsoid="GRS80", datum="GRS80"),
+    2263: dict(method="lcc2sp", lat1=41.03333333333333,
+               lat2=40.666666666666664, lat0=40.166666666666664,
+               lon0=-74.0, x0=300000.0000000001, y0=0.0, unit="us-ft",
+               ellipsoid="GRS80", datum="GRS80"),
+    5643: dict(method="lcc2sp", lat1=52.666666666666664,
+               lat2=54.333333333333336, lat0=48.0, lon0=10.0,
+               x0=815_000.0, y0=0.0, unit="m", ellipsoid="intl1924",
+               datum="ED50"),
+    3445: dict(method="tm", lat0=42.5, lon0=-71.66666666666667,
+               k0=0.999966667, x0=300_000.0, y0=0.0, unit="us-ft",
+               ellipsoid="GRS80", datum="GRS80"),
+    27700: dict(method="tm", lat0=49.0, lon0=-2.0, k0=0.9996012717,
+                x0=400_000.0, y0=-100_000.0, unit="m",
+                ellipsoid="airy1830", datum="OSGB36"),
+    25832: dict(method="tm", lat0=0.0, lon0=9.0, k0=0.9996,
+                x0=500_000.0, y0=0.0, unit="m", ellipsoid="GRS80",
+                datum="GRS80"),
+    4796: dict(method="tm", lat0=0.0, lon0=117.0, k0=1.0,
+               x0=500_000.0, y0=0.0, unit="m",
+               ellipsoid="krassowsky1940", datum="Beijing1954"),
+    28992: dict(method="stereo", lat0=52.15616055555555,
+                lon0=5.38763888888889, k0=0.9999079, x0=155_000.0,
+                y0=463_000.0, unit="m", ellipsoid="bessel1841",
+                datum="Amersfoort"),
 }
+
+
+def _projected_code_transforms(code: int):
+    """(forward, inverse) WGS84 deg <-> projected coords (in the code's
+    native axis unit) for a PROJECTED_CODES entry."""
+    spec = PROJECTED_CODES[code]
+    ell, datum = spec["ellipsoid"], spec["datum"]
+    a, f = ELLIPSOIDS[ell]
+    unit_scale = _FT_PER_M if spec["unit"] == "us-ft" else 1.0
+    if spec["method"] == "lcc2sp":
+        prj = lambda lo, la: lcc2sp_forward(  # noqa: E731
+            lo, la, spec["lat1"], spec["lat2"], spec["lat0"], spec["lon0"],
+            spec["x0"], spec["y0"], ell)
+        unprj = lambda x, y: lcc2sp_inverse(  # noqa: E731
+            x, y, spec["lat1"], spec["lat2"], spec["lat0"], spec["lon0"],
+            spec["x0"], spec["y0"], ell)
+    elif spec["method"] == "tm":
+        prj = lambda lo, la: tm_forward(  # noqa: E731
+            lo, la, spec["lon0"], spec["lat0"], spec["k0"], spec["x0"],
+            spec["y0"], ell)
+        unprj = lambda x, y: tm_inverse(  # noqa: E731
+            x, y, spec["lon0"], spec["lat0"], spec["k0"], spec["x0"],
+            spec["y0"], ell)
+    else:
+        prj = lambda lo, la: oblique_stereo_forward(  # noqa: E731
+            lo, la, spec["lon0"], spec["lat0"], spec["k0"], spec["x0"],
+            spec["y0"], ell)
+        unprj = lambda x, y: oblique_stereo_inverse(  # noqa: E731
+            x, y, spec["lon0"], spec["lat0"], spec["k0"], spec["x0"],
+            spec["y0"], ell)
+
+    def fwd(lon, lat):
+        lo, la = _datum_from_wgs84(lon, lat, datum, a, f)
+        x, y = prj(lo, la)
+        return np.asarray(x) * unit_scale, np.asarray(y) * unit_scale
+
+    def inv(x, y):
+        lo, la = unprj(
+            np.asarray(x, np.float64) / unit_scale,
+            np.asarray(y, np.float64) / unit_scale,
+        )
+        return _datum_to_wgs84(lo, la, datum, a, f)
+
+    return fwd, inv
 
 
 _FT_PER_M = 3.28083333333333  # matches pcs.FT_PER_M
@@ -351,23 +687,14 @@ def crs_transforms(crs: str, units: str = "meters"):
         )
     if c.startswith(("EPSG:", "ESRI:")):
         code_s = c.split(":")[1]
-        if code_s.isdigit() and int(code_s) in LCC_2SP_CODES:
-            lat1, lat2, lat0, lon0, x0, y0, unit = LCC_2SP_CODES[int(code_s)]
+        if code_s.isdigit() and int(code_s) in PROJECTED_CODES:
             # the registry unit is authoritative for these codes (the
             # EPSG definition fixes the axis unit; us-ft == the
             # FT_PER_M survey foot used engine-wide)
-            scale2 = _FT_PER_M if unit == "us-ft" else 1.0
-            fwd0 = lambda lon, lat: lcc2sp_forward(lon, lat, lat1, lat2, lat0, lon0, x0, y0)  # noqa: E731
-            inv0 = lambda x, y: lcc2sp_inverse(x, y, lat1, lat2, lat0, lon0, x0, y0)  # noqa: E731
-            if scale2 == 1.0:
-                return fwd0, inv0
-            return (
-                lambda lon, lat: tuple(np.asarray(v) * scale2 for v in fwd0(lon, lat)),
-                lambda x, y: inv0(np.asarray(x, np.float64) / scale2, np.asarray(y, np.float64) / scale2),
-            )
+            return _projected_code_transforms(int(code_s))
     raise ValueError(f"unsupported crs {crs!r} (implemented: EPSG:4326, "
                      "EPSG:3857, EPSG:326xx/327xx UTM, ESRI:54009, "
-                     f"LCC-2SP codes {sorted(LCC_2SP_CODES)})")
+                     f"national grids {sorted(PROJECTED_CODES)})")
 
 
 # --- geometry-level transforms -------------------------------------------

@@ -36,11 +36,65 @@ def test_choose_pcs_feet_regional():
     assert got["epsg"] == 2277 and got["units"] == "feet"
 
 
-def test_choose_pcs_netherlands_regional():
-    # reference returns EPSG:5643 here; our synthesized table resolves
-    # the smaller national grid (own golden, same algorithm shape)
-    got = choose_pcs((3.31497114423, 50.803721015, 7.09205325687, 53.5104033474))
-    assert got["epsg"] == 28992 and got["units"] == "meters"
+def test_choose_pcs_netherlands_spba():
+    # reference test_choose_pcs golden #1 (EXACT match): the box spills
+    # past the NL onshore polygon, so RD New is rejected by polygon
+    # containment and the wider SPBA LCC wins
+    assert choose_pcs((3.31497114423, 50.803721015, 7.09205325687, 53.5104033474)) == {
+        "name": "ED50 / SPBA LCC",
+        "epsg": 5643,
+        "crs": "EPSG:5643",
+        "units": "meters",
+    }
+    # a box inside NL onshore still resolves to the national grid
+    got = choose_pcs((4.5, 51.5, 6.0, 52.8))
+    assert got["epsg"] == 28992
+
+
+def test_choose_pcs_madagascar_laborde():
+    # reference test_choose_pcs golden #2 (EXACT match; polygon region)
+    assert choose_pcs((45.2541870461, -18.6014344215, 46.4765368996, -17.0405567359)) == {
+        "name": "Tananarive (Paris) / Laborde Grid",
+        "epsg": 29701,
+        "crs": "EPSG:29701",
+        "units": "meters",
+    }
+    # off-island (Mozambique Channel) falls back to the UTM zone
+    got = choose_pcs((41.0, -18.0, 42.0, -17.0))
+    assert got["epsg"] == 32737  # UTM 37S, not Laborde
+
+
+def test_choose_pcs_beijing_gk():
+    # reference test_choose_pcs golden #4 (EXACT match; note the
+    # reference passes ymin>ymax — containment is on the normalized box)
+    assert choose_pcs((116.383331, 39.116668, 116.783331, 39.916668)) == {
+        "name": "New Beijing / 3-degree Gauss-Kruger CM 117E",
+        "epsg": 4796,
+        "crs": "EPSG:4796",
+        "units": "meters",
+    }
+
+
+def test_pcs_regions_transformable_tags():
+    """Every region row tagged transformable resolves through
+    kernels/proj.crs_transforms and round-trips its bbox center;
+    untransformable rows (Laborde) are explicitly tagged and raise the
+    informative ValueError (ADVICE r02)."""
+    import numpy as np
+
+    from mundipy_spark.kernels import proj
+    from mundipy_spark.pcs import PCS_REGIONS
+
+    for r in PCS_REGIONS:
+        minx, miny, maxx, maxy = r["bbox"]
+        cx, cy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
+        if not r["transformable"]:
+            with pytest.raises(ValueError):
+                proj.crs_transforms(r["crs"])
+            continue
+        fwd, inv = proj.crs_transforms(r["crs"])
+        lon, lat = inv(*fwd(np.array([cx]), np.array([cy])))
+        assert abs(lon[0] - cx) < 1e-7 and abs(lat[0] - cy) < 1e-7, r["crs"]
 
 
 def test_no_pcs_feet_global():
@@ -60,10 +114,9 @@ def test_global_pcs_mollweide():
 
 
 def test_suggest_pcs_ranked():
-    # Netherlands: national grid, then the containing UTM zone, then world
-    got = suggest_pcs((4.0, 51.0, 5.9, 53.0), n=3)
-    assert [g.get("epsg") for g in got[:2]] == [28992, 32631]
-    assert got[2]["crs"] == "ESRI:54009"
+    # Netherlands: national grid, then regional SPBA, then the UTM zone
+    got = suggest_pcs((4.5, 51.2, 5.9, 52.8), n=3)
+    assert [g.get("epsg") for g in got] == [28992, 5643, 32631]
     # feet never silently falls back to a meters CRS
     ft = suggest_pcs((-71.8, 44.2, -71.6, 44.3), units="feet", n=3)
     assert ft and all(g["units"] == "feet" for g in ft)
