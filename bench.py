@@ -109,6 +109,37 @@ def bench_geocode(spark, sf_dir: str, warmup: bool = True) -> tuple[float, int]:
     return dt, n_pages
 
 
+def timed_best(run, warm: int = 1, reps: int = 3) -> float:
+    """Warmed min-of-N timing (the BENCH/scaling.py methodology, now
+    per query): the warm run pays JIT/codegen/Python-fork once; the
+    minimum of `reps` timed runs approximates true capacity under the
+    sandbox host's ~8% CPU steal — single-run numbers could not
+    distinguish a regression from hypervisor noise (VERDICT r02)."""
+    for _ in range(warm):
+        run()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        run()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def bench_gazetteer(spark, sf_dir: str) -> float:
+    """Gazetteer geoparse at replicated scale: the page-level regexp
+    prefilter drops non-mentioning pages before the token explode, so
+    the explode+broadcast-join runs on a sliver of the corpus."""
+    from mundipy_spark.operators import geoparse
+
+    import __spark_entry__ as entry_mod
+
+    pages = replicated_pages(spark, sf_dir, max(REPLICATION // 6, 1))
+    gaz = spark.createDataFrame(
+        entry_mod.GAZETTEER, "place string, glon double, glat double"
+    )
+    return timed_best(lambda: geoparse.parse_gazetteer(pages, gaz).count())
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -135,14 +166,17 @@ def main() -> None:
 
     lp = replicated_pages(spark, sf_dir, max(REPLICATION // 3, 1))
     lregions = _pages_src.synth_regions(spark, step_deg=10.0)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        _pipeline.geocode_pages(lp, lregions).filter(
-            F.col("region").isNotNull()
-        ).count()
-        best = min(best, time.time() - t0)
-    queries["geocode_left"] = round(best, 3)
+    queries["geocode_left"] = round(
+        timed_best(
+            lambda: _pipeline.geocode_pages(lp, lregions)
+            .filter(F.col("region").isNotNull())
+            .count()
+        ),
+        3,
+    )
+
+    # gazetteer geoparse at replicated scale (prefilter + explode + join)
+    queries["gazetteer_scan"] = round(bench_gazetteer(spark, sf_dir), 3)
 
     # operator suite at native SF (count() forces full execution)
     suite = {
@@ -162,12 +196,9 @@ def main() -> None:
         "dissolve_blocks": entry_mod.q_dissolve_blocks,
     }
     for name, fn in suite.items():
-        best = float("inf")
-        for _ in range(2):  # min-of-2: host CPU-steal robustness
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        queries[name] = round(best, 3)
+        queries[name] = round(
+            timed_best(lambda f=fn: f(spark, sf_dir).count()), 3
+        )
 
     total = round(sum(queries.values()), 3)
     print(
@@ -181,6 +212,7 @@ def main() -> None:
                 "docs_per_sec": round(docs_per_sec, 1),
                 "geocode_pages": n_pages,
                 "cpus": cpus,
+                "methodology": "warmed min-of-3 per query",
             }
         )
     )
