@@ -80,6 +80,76 @@ def spatial_cache_footprint(fn=None, maxsize: int = 128):
     return check_cache_first
 
 
+def _item_geom(item):
+    g = getattr(item, "geom", None)  # Feature
+    if g is not None:
+        return g
+    return _as_geom(item)
+
+
+def union_spatial_cache(fn=None, maxsize: int = 128):
+    """Area-containment cache for region-query functions (reference
+    cache/__init__.py:15-98): fn's last positional arg is a query
+    geometry and it returns the list of geometries/Features found
+    inside. Cached regions (same `pcs` kwarg) contribute their items
+    clipped to the overlap; fn runs only on the REMAINING area; results
+    union. One sound deviation from the reference: new results are
+    keyed by the area fn actually ran on (the reference keys by the
+    full query geometry, which can serve later queries an incomplete
+    list for the already-covered part). `wrapped.cache_info` counts a
+    hit per cached region used and a miss per fn invocation."""
+    if fn is None:
+        return lambda f: union_spatial_cache(f, maxsize=maxsize)
+
+    from mundipy_spark.kernels import measure, overlay
+
+    cache: list[tuple[tuple, list]] = []  # ((geom, pcs), items) area-desc
+    cache_info = {"hits": 0, "misses": 0, "maxsize": maxsize, "currsize": 0}
+
+    def check_cache_first(*args, **kwargs):
+        nonlocal cache
+        if len(args) == 0:
+            raise TypeError("union_spatial_cache fn must be passed >= 1 argument")
+        geom = args[-1]
+        if geom is None:  # pass through (reference cache/__init__.py:41-42)
+            return fn(*args, **kwargs)
+        g = _as_geom(geom)
+        pcs = kwargs.get("pcs", "EPSG:4326")
+
+        remaining = g
+        all_items: list = []
+        for (cg, cpcs), items in cache:
+            if remaining is None:
+                break
+            if cpcs != pcs or not predicates.intersects(cg, remaining):
+                continue
+            if predicates.covers(remaining, cg):
+                all_items.extend(items)
+            else:
+                inter = overlay.intersection(cg, remaining)
+                if inter is None or measure.geom_area_planar(inter) == 0.0:
+                    continue
+                all_items.extend(
+                    it for it in items if predicates.intersects(_item_geom(it), inter)
+                )
+            cache_info["hits"] += 1
+            remaining = overlay.overlay_op(remaining, cg, "difference")
+
+        if remaining is not None and measure.geom_area_planar(remaining) > 0.0:
+            cache_info["misses"] += 1
+            result = fn(*args[:-1], remaining, **kwargs)
+            all_items.extend(result)
+            cache = sorted(
+                [((remaining, pcs), list(result))] + cache[: maxsize - 1],
+                key=lambda c: -measure.geom_area_planar(c[0][0]),
+            )
+            cache_info["currsize"] = len(cache)
+        return all_items
+
+    check_cache_first.cache_info = cache_info
+    return check_cache_first
+
+
 class DistCacheCounters:
     """Hit/miss counters an executor-side memo reports into, readable
     from the driver after any action. Accumulators are add-only from

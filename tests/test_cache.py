@@ -77,3 +77,60 @@ def test_simhash_memo_counters_distributed(spark):
     # warm memo: the second pass adds mostly hits (local-mode workers
     # are reused; some new-worker forks may add a few misses)
     assert second["hits"] > first["hits"]
+
+
+def test_union_spatial_cache_reduces_fn_area():
+    """K1 decorator parity (reference cache/__init__.py:15-98): cached
+    regions serve their part of an overlapping query; fn runs only on
+    the remaining area; the union equals a cold full-area call."""
+    from mundipy_spark.cache import union_spatial_cache
+
+    calls = []
+
+    def find_points(region):
+        # "database": integer grid points; returns those inside region
+        if region is None:  # None passes through to fn (reference)
+            return []
+        calls.append(region)
+        from mundipy_spark.kernels import predicates, wkb as w
+
+        minx, miny, maxx, maxy = w.bounds(region)
+        out = []
+        for x in range(int(np.floor(minx)), int(np.ceil(maxx)) + 1):
+            for y in range(int(np.floor(miny)), int(np.ceil(maxy)) + 1):
+                p = ("Point", np.array([float(x), float(y)]))
+                if predicates.intersects(region, p):
+                    out.append(p)
+        return out
+
+    cached = union_spatial_cache(find_points)
+
+    a = _box(0, 0, 10, 10)
+    r1 = cached(a)
+    assert len(calls) == 1
+    assert len(r1) == 11 * 11
+
+    # overlapping query: fn must only see the remaining (uncovered) area
+    b = _box(5, 0, 15, 10)
+    r2 = cached(b)
+    assert len(calls) == 2
+    from mundipy_spark.kernels import measure
+
+    # b is 100 deg^2, half covered by the cached region: fn ran on ~50
+    assert measure.geom_area_planar(calls[1]) < 60.0
+    # union equals the cold answer (grid points in b; boundary points
+    # may appear from both sides — the reference has the same
+    # "TODO drop duplicates" semantics — so compare unique coords)
+    uniq = {tuple(np.asarray(p[1]).tolist()) for p in r2}
+    assert uniq == {(float(x), float(y)) for x in range(5, 16) for y in range(0, 11)}
+    assert cached.cache_info["hits"] >= 1
+    assert cached.cache_info["misses"] == 2
+
+    # fully-covered query: no fn call at all
+    c = _box(1, 1, 4, 4)
+    r3 = cached(c)
+    assert len(calls) == 2
+    assert len(r3) == 4 * 4
+
+    # None passes through (reference behavior)
+    assert cached(None) == []

@@ -552,3 +552,22 @@ def test_local_index_within_high_latitude_lon_pad():
     hits = ix.within(500.0, probe)
     assert len(hits) == 1  # true distance ~432 m < 500 m
     assert len(ix.within(300.0, probe)) == 0  # exact refine still prunes
+
+
+def test_projected_codes_property_roundtrip():
+    """Property: every transformable PROJECTED_CODES entry round-trips
+    random in-area points to <1e-6 deg (~10 cm) through forward+inverse,
+    including the datum-shifted codes (OSGB36/Amersfoort/ED50/Beijing)."""
+    from mundipy_spark.kernels import proj
+    from mundipy_spark.pcs import PCS_REGIONS
+
+    rng = np.random.default_rng(17)
+    regions = {r["epsg"]: r["bbox"] for r in PCS_REGIONS if r["transformable"]}
+    for code in sorted(proj.PROJECTED_CODES):
+        minx, miny, maxx, maxy = regions.get(code, (-5.0, 45.0, 5.0, 55.0))
+        lons = rng.uniform(minx, maxx, 50)
+        lats = rng.uniform(miny, maxy, 50)
+        fwd, inv = proj.crs_transforms(f"EPSG:{code}")
+        lo, la = inv(*fwd(lons, lats))
+        assert np.abs(lo - lons).max() < 1e-6, code
+        assert np.abs(la - lats).max() < 1e-6, code
