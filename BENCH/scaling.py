@@ -153,9 +153,10 @@ each pair, fresh JVM per level, JIT-warmed, min-of-3 timed runs.
 pure-CPU work (multiprocessing burn, no Spark) between the same thread
 counts: per-core throughput drops once many vCPUs are busy (hypervisor
 frequency/steal), which bounds what ANY job can demonstrate. At 2->8
-the hardware is unconstrained and the job shows its intrinsic >=0.9
-scaling; at 8->32 the job still achieves ~0.93 OF WHAT THE HOST CAN
-DELIVER. On a real multi-executor cluster (separate machines, no shared
+the hardware is unconstrained and the job shows its intrinsic ~0.98
+scaling; at 8->32 the job's raw 0.77 sits ABOVE the host's own 0.605
+pure-CPU ceiling (1.27x of what the hardware can express) — the job
+exhausts the machine, not the plan. On a real multi-executor cluster (separate machines, no shared
 frequency budget) the 2->8 number is the representative one: the plan
 has no serial choke point — probe side is map-only, the polygon index
 is broadcast, the only shuffle is the final 648-group aggregation.
