@@ -40,6 +40,23 @@ class Dataset:
         self._index: LocalIndex | None = None
         if isinstance(source, DataFrame):
             self.df = source
+        elif isinstance(source, dict):
+            # reference parity: Dataset({'url': 'postgresql://...',
+            # 'table': 't'}) (mundipy/dataset.py:50-56) — executes a
+            # partitioned JDBC scan with hex-WKB decode (sources/postgis)
+            from mundipy_spark.sources import postgis
+
+            spark = spark or SparkSession.getActiveSession()
+            extra = {
+                k: v for k, v in source.items() if k not in ("url", "table")
+            }
+            self.df = postgis.decode_geometry(
+                postgis.read_postgis(
+                    spark, source["url"], source["table"], geom_col=geom_col,
+                    **extra,
+                ).load(),
+                geom_col,
+            )
         elif isinstance(source, str):
             spark = spark or SparkSession.getActiveSession()
             if source.endswith((".geojson", ".json")):
