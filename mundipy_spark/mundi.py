@@ -45,6 +45,8 @@ class Mundi:
         self.units = units
         self.scale = unit_scale(units)
         self._cache = None
+        self._progress_acc = None
+        self._input_total = 0
 
     # --- parameter-name injection (reference mundi.py:35-50) ---
     def _resolve_layers(self, fn) -> list[str]:
@@ -65,13 +67,41 @@ class Mundi:
 
     def q(self, fn, n_start: int | None = None, n_end: int | None = None,
           progress: bool = False, keys: dict[str, str] | None = None) -> dict:
+        """progress=True meters rows processed (U6, the reference's tqdm
+        role, mundi.py:124-135): an accumulator incremented per Arrow
+        batch inside the executors, polled by a driver thread that
+        writes `done/total` to stderr while the job runs."""
         try:
-            return {
-                "type": "FeatureCollection",
-                "features": self._collect_features(self.q_df(fn, n_start, n_end, keys=keys)),
-            }
+            df = self.q_df(fn, n_start, n_end, keys=keys, progress=progress)
+            if progress:
+                feats = self._collect_with_progress(df)
+            else:
+                feats = self._collect_features(df)
+            return {"type": "FeatureCollection", "features": feats}
         finally:
             self.release()
+
+    def _collect_with_progress(self, df) -> list[dict]:
+        import sys
+        import threading
+
+        acc, total = self._progress_acc, self._input_total
+        stop = threading.Event()
+
+        def mon():
+            while not stop.wait(0.5):
+                sys.stderr.write(f"\rmundi.q: {acc.value}/{total} features")
+                sys.stderr.flush()
+            sys.stderr.write(f"\rmundi.q: {acc.value}/{total} features\n")
+            sys.stderr.flush()
+
+        th = threading.Thread(target=mon, daemon=True)
+        th.start()
+        try:
+            return self._collect_features(df)
+        finally:
+            stop.set()
+            th.join(timeout=2.0)
 
     def release(self) -> None:
         """Drop the cached ordinal-stamped main layer left by q_df (the
@@ -97,7 +127,7 @@ class Mundi:
         return feats
 
     def q_df(self, fn, n_start: int | None = None, n_end: int | None = None,
-             keys: dict[str, str] | None = None):
+             keys: dict[str, str] | None = None, progress: bool = False):
         """The distributed run; returns DataFrame(geometry, <keys>, _stdout, _id).
 
         ONE scan of the main layer: the `_mid`-stamped frame is persisted
@@ -121,12 +151,20 @@ class Mundi:
             if c not in ("minx", "miny", "maxx", "maxy")
         ]
         self.release()
-        main_df, cache = _stamp_ordinal(main_ds.df.select(base_cols))
+        main_df, cache, total = _stamp_ordinal(main_ds.df.select(base_cols))
         self._cache = cache
+        self._input_total = total
+        self._progress_acc = (
+            main_ds.df.sparkSession.sparkContext.accumulator(0) if progress else None
+        )
         if n_start is not None:
             main_df = main_df.filter(F.col("_id") >= n_start)
         if n_end is not None:
             main_df = main_df.filter(F.col("_id") < n_end)
+        if n_start is not None or n_end is not None:
+            lo = max(n_start or 0, 0)
+            hi = min(n_end if n_end is not None else total, total)
+            self._input_total = max(hi - lo, 0)
 
         # side layers -> broadcast local indexes (carrying session units)
         sc = main_ds.df.sparkSession.sparkContext
@@ -170,10 +208,13 @@ class Mundi:
         schema_fields += [f"`{k}` {key_types[k]}" for k in key_fields]
         schema_fields += ["_stdout string", "_id long"]
         schema = ", ".join(schema_fields)
+        progress_acc = self._progress_acc
 
         def run(batches):
             keyset: list[str] | None = None
             for pdf in batches:
+                if progress_acc is not None:
+                    progress_acc.add(len(pdf))
                 out_rows = []
                 for _, row in pdf.iterrows():
                     feat = _row_to_feature(row, geom_col, uscale)
@@ -259,7 +300,7 @@ def _stamp_ordinal(df, persist: bool = True, out: str = "_id"):
     reads the cache, giving ONE source scan total. The main layer never
     shuffles and no stage runs single-task over the data.
 
-    Returns (stamped_df, cache_handle_or_None)."""
+    Returns (stamped_df, cache_handle_or_None, total_rows)."""
     mask = (1 << 33) - 1
     with_mid = df.withColumn("_mid", F.monotonically_increasing_id())
     if persist:
@@ -284,14 +325,14 @@ def _stamp_ordinal(df, persist: bool = True, out: str = "_id"):
         )
         .drop("_pid", "_off", "_mid")
     )
-    return stamped, (with_mid if persist else None)
+    return stamped, (with_mid if persist else None), acc
 
 
 def _with_input_ordinal(df, out: str = "_id"):
     """Uncached form of _stamp_ordinal (two passes of the source: the
     counts job + the consumer) for callers that must not leave a cache
     behind; Mundi.q uses the persisted form."""
-    stamped, _ = _stamp_ordinal(df, persist=False, out=out)
+    stamped, _, _ = _stamp_ordinal(df, persist=False, out=out)
     return stamped
 
 

@@ -515,3 +515,31 @@ def test_mundi_q_keys_escape_hatch(spark):
     assert len(feats) == 1
     assert feats[0]["properties"]["rare"] == 5.5
     assert feats[0]["properties"]["i"] == 5
+
+
+def test_mundi_q_progress_metering(spark, capsys):
+    """U6: progress=True meters processed rows via an accumulator and
+    writes done/total to stderr; results are unchanged."""
+    import numpy as np
+
+    from mundipy_spark.dataset import Dataset, Map
+    from mundipy_spark.kernels import wkb as wkb_mod
+    from mundipy_spark.mundi import Mundi
+
+    rows = [
+        (wkb_mod.dumps(("Point", np.array([float(i), 0.0]))), i) for i in range(50)
+    ]
+    m = Map({"pts": Dataset(spark.createDataFrame(rows, "geometry binary, i long"))},
+            spark=spark)
+    mundi = Mundi(m, "pts")
+
+    def proc(p):
+        p["j"] = p["i"] + 1
+        return p
+
+    feats = mundi.q(proc, progress=True)["features"]
+    assert len(feats) == 50
+    err = capsys.readouterr().err
+    assert "mundi.q:" in err and "/50 features" in err
+    # the final line reports every row processed
+    assert "50/50 features" in err
