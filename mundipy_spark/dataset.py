@@ -63,6 +63,14 @@ class Dataset:
                 from mundipy_spark.sources.geojson import read_geojson
 
                 self.df = read_geojson(spark, source, geom_col=geom_col)
+            elif source.endswith(".shp"):
+                from mundipy_spark.sources.shapefile import read_shapefile
+
+                self.df = read_shapefile(spark, source, geom_col=geom_col)
+            elif source.endswith(".kml"):
+                from mundipy_spark.sources.kml import read_kml
+
+                self.df = read_kml(spark, source, geom_col=geom_col)
             else:
                 self.df = spark.read.parquet(source)
         else:

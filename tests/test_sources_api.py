@@ -136,3 +136,110 @@ def test_isochrones_df_set_scale(spark):
     # argument validation happens driver-side before any job runs
     with pytest.raises(ValueError):
         api.isochrones_df(pts, 10, "minutes", accessToken=None, opener=opener)
+
+
+# --- shapefile ---------------------------------------------------------
+
+
+def test_shapefile_roundtrip_points_attrs(spark, tmp_path):
+    """From-scratch SHP/DBF writer+reader round-trip: geometry, C/N/L
+    attribute typing, and Spark ingest (S1 formats breadth)."""
+    from mundipy_spark.kernels import wkb as w
+    from mundipy_spark.sources import shapefile as shp
+
+    rows = [
+        {"geometry": ("Point", np.array([2.35, 48.86])), "name": "paris", "popk": 2148, "cap": True},
+        {"geometry": ("Point", np.array([-0.13, 51.51])), "name": "london", "popk": 8982, "cap": True},
+        {"geometry": ("Point", np.array([13.4, 52.52])), "name": "berlin", "popk": 3769, "cap": False},
+    ]
+    path = str(tmp_path / "cities.shp")
+    shp.write_shapefile(rows, path)
+    df = shp.read_shapefile(spark, path)
+    got = {r.name: r for r in df.collect()}
+    assert set(got) == {"paris", "london", "berlin"}
+    g = w.loads(bytes(got["paris"].geometry))
+    assert g[0] == "Point" and abs(g[1][0] - 2.35) < 1e-9
+    assert got["london"].popk == 8982
+    assert bool(got["berlin"].cap) is False
+
+    # reads into the Dataset/Map surface like any layer
+    from mundipy_spark.dataset import Dataset
+
+    ds = Dataset(df, spark=spark)
+    assert len(ds) == 3
+
+
+def test_shapefile_polygon_hole_and_lines(tmp_path):
+    """Polygon winding (outer CW / hole CCW per spec) survives the
+    round trip and holes reattach to their outer ring."""
+    from mundipy_spark.kernels import measure
+    from mundipy_spark.sources import shapefile as shp
+
+    outer = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    hole = np.array([[3.0, 3], [6, 3], [6, 6], [3, 6], [3, 3]])
+    line = np.array([[0.0, 0], [5, 5], [10, 0]])
+    shp.write_shapefile(
+        [{"geometry": ("Polygon", [outer, hole]), "tag": "sq"}],
+        str(tmp_path / "poly.shp"),
+    )
+    g = shp.read_shp(str(tmp_path / "poly.shp"))[0]
+    assert g[0] == "Polygon" and len(g[1]) == 2
+    assert abs(measure.geom_area_planar(g) - (100 - 9)) < 1e-9
+
+    shp.write_shapefile(
+        [{"geometry": ("MultiLineString", [line, line + 20])}],
+        str(tmp_path / "lines.shp"),
+    )
+    g2 = shp.read_shp(str(tmp_path / "lines.shp"))[0]
+    assert g2[0] == "MultiLineString" and len(g2[1]) == 2
+
+
+# --- KML ---------------------------------------------------------------
+
+KML_DOC = """<?xml version="1.0" encoding="UTF-8"?>
+<kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+  <Placemark>
+    <name>eiffel</name>
+    <ExtendedData><Data name="height"><value>330</value></Data></ExtendedData>
+    <Point><coordinates>2.2945,48.8584,0</coordinates></Point>
+  </Placemark>
+  <Placemark>
+    <name>park</name>
+    <Polygon><outerBoundaryIs><LinearRing><coordinates>
+      0,0 4,0 4,4 0,4 0,0
+    </coordinates></LinearRing></outerBoundaryIs>
+    <innerBoundaryIs><LinearRing><coordinates>
+      1,1 2,1 2,2 1,2 1,1
+    </coordinates></LinearRing></innerBoundaryIs></Polygon>
+  </Placemark>
+  <Placemark>
+    <name>route</name>
+    <LineString><coordinates>0,0 1,1 2,0</coordinates></LineString>
+  </Placemark>
+  <Placemark>
+    <name>pair</name>
+    <MultiGeometry>
+      <Point><coordinates>5,5</coordinates></Point>
+      <Point><coordinates>6,6</coordinates></Point>
+    </MultiGeometry>
+  </Placemark>
+</Document></kml>"""
+
+
+def test_kml_reader(spark, tmp_path):
+    from mundipy_spark.kernels import measure, wkb as w
+    from mundipy_spark.sources import kml
+
+    p = tmp_path / "doc.kml"
+    p.write_text(KML_DOC)
+    df = kml.read_kml(spark, str(p))
+    got = {r.name: r for r in df.collect()}
+    assert set(got) == {"eiffel", "park", "route", "pair"}
+    gp = w.loads(bytes(got["eiffel"].geometry))
+    assert gp[0] == "Point" and abs(gp[1][1] - 48.8584) < 1e-9
+    assert got["eiffel"].height == "330"
+    poly = w.loads(bytes(got["park"].geometry))
+    assert poly[0] == "Polygon" and len(poly[1]) == 2
+    assert abs(measure.geom_area_planar(poly) - 15.0) < 1e-9
+    assert w.loads(bytes(got["route"].geometry))[0] == "LineString"
+    assert w.loads(bytes(got["pair"].geometry))[0] == "MultiPoint"
