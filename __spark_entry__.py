@@ -23,6 +23,7 @@ from mundipy_spark.functions import text as tx
 from mundipy_spark.operators import (
     curation,
     dedup,
+    fingerprint as fpx,
     geoparse,
     graph,
     joins,
@@ -443,6 +444,14 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash + window-min) document
+    fingerprints — the MOSS candidate index; md5-56 hashes make the
+    DuckDB oracle bit-exact."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fpx.winnow_fingerprints(docs)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs. max_hamming=7 keeps the 8-block pigeonhole
     guarantee exact; the md5-based 56-bit signature is reproduced by the
@@ -654,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_weighted": q_overlap_weighted,
         "dissolve_blocks": q_dissolve_blocks,
         "simhash_pairs": q_simhash_pairs,
+        "winnow_fp": q_winnow_fp,
         "lang_profile": q_lang_profile,
         "multimodal_features": q_multimodal_features,
         "audio_features": q_audio_features,
@@ -906,6 +916,7 @@ SELECT doc_id,
 FROM documents
 """,
         "simhash_pairs": dedup.simhash_pairs_sql(max_hamming=7),
+        "winnow_fp": fpx.winnow_fingerprints_sql(),
         "lang_profile": textstats.lang_profile_sql(),
         "multimodal_features": """
 WITH dims AS (

@@ -239,3 +239,33 @@ def test_audio_features_closed_form(spark, docs):
         assert abs(r.rms - amp / np.sqrt(2.0)) < 1e-6
         assert r.dominant_hz == f
         assert abs(r.zcr - 2.0 * f / multimodal.AUDIO_SR) < 0.01
+
+
+def test_winnowing_guarantee_and_pairs(spark):
+    """Winnowing's core guarantee (Schleimer et al. 2003): any shared
+    substring of length >= k + w - 1 yields a shared fingerprint; and
+    disjoint texts share none. Candidate pairs rank true overlaps
+    first."""
+    from mundipy_spark.operators import fingerprint as fpx
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            (0, "AAA " + shared + " BBB unrelated tail text goes here"),
+            (1, "CCC prefix words then " + shared + " DDD"),
+            (2, "completely different content about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = fpx.winnow_fingerprints(docs, k=16, w=8)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1]  # shared substring -> shared fingerprint
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
+
+    pairs = {(r.a, r.b): r.n_shared for r in
+             fpx.fingerprint_candidate_pairs(fps).collect()}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] >= 1
