@@ -320,6 +320,24 @@ def q_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (md5 bucket of doc_id —
+    stable under repartitioning and corpus growth), profiled by source."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        curation.assign_split(docs)
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword-count estimate per doc (token budgets without a
+    tokenizer model) — all JVM regex, SQL-reproducible."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", tx.bpe_token_count_expr(F.col("text")).alias("n_bpe"))
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -649,6 +667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "sample_stats": q_sample_stats,
         "source_topk": q_source_topk,
+        "splits": q_splits,
+        "bpe_tokens": q_bpe_tokens,
         "ann_topk": q_ann_topk,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
@@ -917,6 +937,13 @@ FROM documents
 """,
         "simhash_pairs": dedup.simhash_pairs_sql(max_hamming=7),
         "winnow_fp": fpx.winnow_fingerprints_sql(),
+        "splits": f"""
+SELECT {curation.assign_split_sql()} AS split, source, count(*) AS n
+FROM documents GROUP BY 1, 2
+""",
+        "bpe_tokens": f"""
+SELECT doc_id, {tx.bpe_token_count_sql('text')} AS n_bpe FROM documents
+""",
         "lang_profile": textstats.lang_profile_sql(),
         "multimodal_features": """
 WITH dims AS (

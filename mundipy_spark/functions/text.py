@@ -33,6 +33,34 @@ def token_count_sql(text: str) -> str:
     )
 
 
+def bpe_token_count_expr(text: Column) -> Column:
+    """BPE-ish subword-count estimate, all JVM regex: alpha runs
+    contribute ceil(len/4) subwords (the empirical ~4-chars-per-token
+    density of English BPE vocabularies), digits and punctuation chars
+    count one token each (BPE splits numbers and symbols fine). The
+    estimator is deterministic and SQL-reproducible — the curation role
+    of a token budget without shipping a tokenizer model."""
+    pieces = F.regexp_extract_all(text, F.lit(r"[A-Za-z]+"), 0)
+    alpha = F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + F.ceil(F.length(p) / F.lit(4.0)).cast("long"),
+    )
+    digits = F.regexp_count(text, F.lit(r"[0-9]"))
+    punct = F.regexp_count(text, F.lit(r"[^\sA-Za-z0-9]"))
+    return (alpha + digits + punct).cast("long")
+
+
+def bpe_token_count_sql(text: str) -> str:
+    return (
+        "(coalesce(list_sum(list_transform("
+        f"regexp_extract_all({text}, '[A-Za-z]+'), "
+        "p -> CAST(ceil(length(p) / 4.0) AS BIGINT))), 0) "
+        f"+ length(regexp_replace({text}, '[^0-9]', '', 'g')) "
+        f"+ length(regexp_replace({text}, '[\\sA-Za-z0-9]', '', 'g')))"
+    )
+
+
 def md5_int_expr(s: Column) -> Column:
     """First 14 hex chars of md5 as a bigint — a portable 56-bit hash both
     Spark (`conv`) and DuckDB (`CAST('0x'||... AS BIGINT)`) compute

@@ -36,6 +36,50 @@ def sample_by_hash_sql(rate: float, key_col: str = "doc_id", salt: str = "") -> 
     return f"(({h}) % {_SAMPLE_MOD}) < {int(rate * _SAMPLE_MOD)}"
 
 
+def assign_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5 bucket of the
+    row key picks the split, so membership is stable across runs,
+    partitionings, and cluster sizes, and train/val never leak into
+    each other when the corpus grows (a row's split never changes).
+    weights default to 98/1/1."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    h = tx.md5_int_expr(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    bucket = F.pmod(h, F.lit(_SAMPLE_MOD))
+    expr = None
+    acc = 0.0
+    for name, wt in weights.items():
+        acc += wt / total
+        cond = bucket < int(round(acc * _SAMPLE_MOD))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = list(weights)[-1]
+    return df.withColumn(out, expr.otherwise(last))
+
+
+def assign_split_sql(
+    weights: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> str:
+    """CASE-expression twin of assign_split."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    h = tx.md5_int_sql(f"(CAST({key_col} AS VARCHAR) || '{salt}')")
+    bucket = f"(({h}) % {_SAMPLE_MOD})"
+    parts, acc = [], 0.0
+    for name, wt in weights.items():
+        acc += wt / total
+        parts.append(f"WHEN {bucket} < {int(round(acc * _SAMPLE_MOD))} THEN '{name}'")
+    last = list(weights)[-1]
+    return "CASE " + " ".join(parts) + f" ELSE '{last}' END"
+
+
 def top_k_per_group(
     df: DataFrame,
     group_col: str,

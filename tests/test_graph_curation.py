@@ -104,3 +104,47 @@ def test_ivf_probe_udf_no_centroid_literals(spark):
     rows = out.collect()
     assert len(rows) == 50
     assert {r.qid for r in rows} == set(range(10))
+
+
+def test_assign_split_deterministic_and_proportional(spark):
+    """Split membership is a pure function of the key: identical across
+    partitionings, roughly proportional, and stable when the corpus
+    grows (old rows keep their split)."""
+    from mundipy_spark.operators import curation
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id: r.split for r in curation.assign_split(df).collect()}
+    s2 = {r.doc_id: r.split
+          for r in curation.assign_split(df.repartition(13)).collect()}
+    assert s1 == s2
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert c["train"] > 4700 and 10 < c["val"] < 120 and 10 < c["test"] < 120
+    # growth stability: the first 1000 rows keep their assignment
+    s3 = {r.doc_id: r.split
+          for r in curation.assign_split(df.filter("doc_id < 1000")).collect()}
+    assert all(s1[k] == v for k, v in s3.items())
+    # custom weights cover all rows
+    s4 = curation.assign_split(df, {"a": 0.5, "b": 0.5}).groupBy("split").count()
+    got = {r.split: r["count"] for r in s4.collect()}
+    assert set(got) == {"a", "b"} and abs(got["a"] - got["b"]) < 500
+
+
+def test_bpe_token_count_shapes(spark):
+    """BPE-ish estimator: alpha runs ~len/4, digits and punctuation one
+    each, whitespace free."""
+    from pyspark.sql import functions as F
+
+    from mundipy_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [("internationalization",), ("a b c",), ("42!",), ("",), ("hello, world 99",)],
+        "text string",
+    )
+    got = [r.n for r in df.select(tx.bpe_token_count_expr(F.col("text")).alias("n")).collect()]
+    assert got[0] == 5   # ceil(20/4)
+    assert got[1] == 3   # three 1-char words
+    assert got[2] == 3   # 2 digits + '!'
+    assert got[3] == 0
+    assert got[4] == 2 + 1 + 2 + 2  # hello(2) ','(1) world(2) 99(2)
