@@ -72,6 +72,10 @@ def parse_gazetteer(
 
     prefilter_cap: above this many places the alternation pattern stops
     paying for itself (regex state blowup) — fall back to explode-only.
+    On a corpus where most pages DO mention a gazetteer term (dense
+    boilerplate), the prefilter is a pure extra regex pass — pass
+    prefilter=False there; on web text with sparse mentions it is a
+    ~4.5x win (measured at 5M pages, 1% mention rate — BENCH r03).
     """
     toks = pages
     if prefilter:
