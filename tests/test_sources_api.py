@@ -8,6 +8,7 @@ import json
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from mundipy_spark import api
 from mundipy_spark.sources import postgis
@@ -243,3 +244,41 @@ def test_kml_reader(spark, tmp_path):
     assert abs(measure.geom_area_planar(poly) - 15.0) < 1e-9
     assert w.loads(bytes(got["route"].geometry))[0] == "LineString"
     assert w.loads(bytes(got["pair"].geometry))[0] == "MultiPoint"
+
+
+# --- tiled layout --------------------------------------------------------
+
+
+def test_tiled_layout_partition_pruning(spark, tmp_path):
+    """write_tiled + tiled_bbox_scan: results equal the brute-force bbox
+    filter AND the scan is partition-pruned at planning time (the plan's
+    partition count drops to the candidate tiles)."""
+    from mundipy_spark.dataset import Dataset
+    from mundipy_spark.kernels import wkb as w
+    from mundipy_spark.sources import pages as pages_src, tiled
+
+    regions = pages_src.synth_regions(spark, step_deg=10.0)
+    ds = Dataset(regions)  # adds minx..maxy
+    path = str(tmp_path / "regions_tiled")
+    meta = tiled.write_tiled(ds.df, path, res=3)
+    assert meta["max_half_extent_deg"] == 5.0  # 10-deg rects
+
+    bbox = (-9.0, 36.0, 28.0, 58.0)  # Europe-ish
+    got = {r.region for r in tiled.tiled_bbox_scan(spark, path, bbox).collect()}
+    expect = {
+        r.region
+        for r in ds.df.filter(
+            (F.col("maxx") >= bbox[0]) & (F.col("minx") <= bbox[2])
+            & (F.col("maxy") >= bbox[1]) & (F.col("miny") <= bbox[3])
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
+
+    # pruning is visible in the physical plan: the tile IN (...) filter
+    # lands in PartitionFilters, and far fewer files are read
+    pruned = tiled.tiled_bbox_scan(spark, path, bbox)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tile" in plan.split("PartitionFilters")[1][:200]
+    n_all = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    n_read = pruned.select(F.input_file_name()).distinct().count()
+    assert n_read < n_all / 2, (n_read, n_all)  # reads only surviving tiles
