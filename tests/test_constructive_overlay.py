@@ -524,3 +524,42 @@ def test_mixed_dim_union_symdiff_no_fallthrough():
     pt = ("Point", np.array([1.0, 1.0]))
     with _pytest.raises(NotImplementedError):
         overlay.overlay_op(pt, line, "union")
+
+
+def test_line_clip_length_conservation_randomized():
+    """Property hunt over the mixed-dim machinery: for random rects and
+    random segments, the inside part (intersection) and outside part
+    (difference) partition the line — lengths sum to the original
+    (length is the right invariant: the clip may split either side into
+    multiple pieces)."""
+    from mundipy_spark.kernels import measure
+
+    rng = np.random.default_rng(23)
+    checked = 0
+    for _ in range(300):
+        x0, y0 = rng.uniform(-5, 5, 2)
+        wdt, hgt = rng.uniform(1, 8, 2)
+        rect = ("Polygon", [np.array(
+            [[x0, y0], [x0 + wdt, y0], [x0 + wdt, y0 + hgt], [x0, y0 + hgt], [x0, y0]]
+        )])
+        a = rng.uniform(-10, 15, 2)
+        b = rng.uniform(-10, 15, 2)
+        if np.allclose(a, b):
+            continue
+        line = ("LineString", np.vstack([a, b]))
+        total = measure.geom_length_planar(line)
+        inside = overlay.overlay_op(line, rect, "intersection")
+        outside = overlay.overlay_op(line, rect, "difference")
+        li = measure.geom_length_planar(inside) if inside is not None else 0.0
+        lo = measure.geom_length_planar(outside) if outside is not None else 0.0
+        assert abs((li + lo) - total) < 1e-6 * max(total, 1.0), (rect, line, li, lo)
+        # union GeometryCollection conserves both operands
+        u = overlay.overlay_op(rect, line, "union")
+        if u[0] == "GeometryCollection":
+            area = sum(measure.geom_area_planar(g) for g in u[1] if g[0].endswith("Polygon"))
+            ulen = sum(measure.geom_length_planar(g) for g in u[1]
+                       if "LineString" in g[0])
+            assert abs(area - wdt * hgt) < 1e-9
+            assert abs(ulen - lo) < 1e-6 * max(total, 1.0)
+        checked += 1
+    assert checked > 250
