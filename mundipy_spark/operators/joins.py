@@ -666,28 +666,32 @@ def overlap_weighted_join(
     numerator and denominator in one space, and mixing the pairwise
     local-PCS of the intersection with the region's own PCS would skew
     it; planar=False keeps the old meters-based behavior."""
+    ia_fn = st.st_intersection_area_planar if planar else st.st_intersection_area
+    ra_fn = st.st_area_planar if planar else st.st_area
     zidx = tile_index(
         zones, geom_col=zone_geom, res=res, null_interior_geom=False
     ).withColumnRenamed(zone_geom, "_zgeom")
-    ridx = tile_index(
-        regions, geom_col=region_geom, res=res, null_interior_geom=False
-    ).select(
-        F.col("cell"),
-        F.col(region_geom).alias("_rgeom"),
-        # compact region identity for the (zone, region) dedup — keying
-        # the dedup shuffle on the full WKB payload would hash-compare
-        # megabyte keys at scale
-        F.xxhash64(F.col(region_geom)).alias("_rid"),
+    # region area + compact id computed BEFORE the tile explode: once
+    # per region, not once per (zone, region) candidate pair — the area
+    # kernel is Python work, and pairs outnumber regions by the average
+    # overlap fan-out. (The compact _rid keys the dedup shuffle; keying
+    # on the full WKB payload would hash-compare megabyte keys at scale.)
+    regs = regions.select(
+        F.col(region_geom),
         F.col(weight_col).alias("_w"),
+        ra_fn(F.col(region_geom)).alias("_ra"),
+        F.xxhash64(F.col(region_geom)).alias("_rid"),
     )
-    ia_fn = st.st_intersection_area_planar if planar else st.st_intersection_area
-    ra_fn = st.st_area_planar if planar else st.st_area
+    ridx = tile_index(
+        regs, geom_col=region_geom, res=res, null_interior_geom=False
+    ).select(
+        F.col("cell"), F.col(region_geom).alias("_rgeom"), "_rid", "_w", "_ra"
+    )
     cand = (
         zidx.join(ridx, "cell")
         .dropDuplicates([zone_id, "_rid"])
         .withColumn("_ia", ia_fn(F.col("_zgeom"), F.col("_rgeom")))
         .filter(F.col("_ia") > 0)
-        .withColumn("_ra", ra_fn(F.col("_rgeom")))
     )
     return cand.groupBy(zone_id).agg(
         F.sum(F.col("_w") * F.col("_ia") / F.col("_ra")).alias("weighted_" + weight_col)
