@@ -27,6 +27,7 @@ from mundipy_spark.operators import (
     geoparse,
     graph,
     joins,
+    scrub,
     sessions,
     similarity,
     textstats,
@@ -643,6 +644,103 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "nid", "rank")
 
 
+def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: every non-purchase event is tagged
+    with the user's most recent purchase value at that instant.
+    Spark lacks ASOF JOIN, so this is the union-and-window plan
+    (operators/temporal.py) — exactly ONE shuffle on user_id; the
+    oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, an independent
+    implementation of the same public semantics. The right stream is
+    pre-aggregated to one row per (user_id, ts) for determinism."""
+    from mundipy_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probe = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    ref = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase"))
+    )
+    out = temporal.asof_join(probe, ref, by="user_id", ts_col="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce(F.col("last_purchase"), F.lit(-1.0)), 2).alias(
+            "last_purchase"
+        ),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    """Oracle for q_pii_scrub: identical PII injection, then the
+    engine-portable redaction fragments from operators/scrub.py."""
+    frags = scrub.scrub_pii_sql("text")
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 3 = 0 THEN ' mail a.b@example.com now' ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567 ok' ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.0.1 up' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST({frags['n_email']} AS INT) AS n_email,
+       CAST({frags['n_phone']} AS INT) AS n_phone,
+       CAST({frags['n_ip']} AS INT) AS n_ip,
+       md5({frags['text_redacted']}) AS red_md5
+FROM inj
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (map-only redaction): deterministic email/phone/IP
+    snippets are appended per doc_id residue, then counted and
+    redacted with engine-portable (lookaround-free) regexps; the
+    redacted text is md5'd so the check is character-exact."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(m % 3 == 0, F.lit(" mail a.b@example.com now")).otherwise(F.lit("")),
+            F.when(m % 5 == 0, F.lit(" call 555-123-4567 ok")).otherwise(F.lit("")),
+            F.when(m % 7 == 0, F.lit(" host 10.0.0.1 up")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = scrub.scrub_pii(injected)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ip",
+        F.md5(F.col("text_redacted").cast("binary")).alias("red_md5"),
+    )
+
+
+def q_rep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals, computed WITHIN each
+    row via array higher-order functions (no (doc, ngram) shuffle)."""
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return scrub.repetition_signals(docs)
+
+
+def q_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: new batch (doc_id%4==0) vs corpus
+    snapshot (rest). Bloom bitmap prefilters map-side; the exact
+    anti-join removes Bloom false positives, so the result is
+    VALUE-EXACT (oracle: plain NOT EXISTS)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    newb = docs.filter(F.col("doc_id") % 4 == 0)
+    snap = docs.filter(F.col("doc_id") % 4 != 0)
+    out = dedup.incremental_dedup(newb, snap)
+    return out.select("doc_id", "fingerprint")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_geocode_regions(spark, "/root/testdata/sf0.001")
@@ -689,6 +787,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
+        "asof_events": q_asof_events,
+        "pii_scrub": q_pii_scrub,
+        "rep_signals": q_rep_signals,
+        "incr_dedup": q_incr_dedup,
     }
 
 
@@ -958,6 +1060,32 @@ SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        round(sqrt((w * w - 1) / 12.0 + (h * h - 1) / 3.0), 6) AS std_intensity,
        round(CAST(w AS DOUBLE) / h, 6) AS aspect
 FROM dims
+""",
+        "asof_events": """
+WITH probe AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'
+), ref AS (
+  SELECT user_id, ts, max(value) AS last_purchase
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id,
+       round(coalesce(r.last_purchase, -1.0), 2) AS last_purchase
+FROM probe p ASOF LEFT JOIN ref r
+  ON p.user_id = r.user_id AND p.ts >= r.ts
+""",
+        "pii_scrub": _pii_scrub_sql(),
+        "rep_signals": scrub.repetition_signals_sql(),
+        "incr_dedup": f"""
+WITH fp AS (
+  SELECT doc_id, {tx.fingerprint_sql('text')} AS fingerprint FROM documents
+)
+SELECT n.doc_id, n.fingerprint
+FROM fp n
+WHERE n.doc_id % 4 = 0
+  AND NOT EXISTS (
+    SELECT 1 FROM fp s
+    WHERE s.doc_id % 4 <> 0 AND s.fingerprint = n.fingerprint
+  )
 """,
         # lsh_ann / ivf_ann: approximate float-rank ties —
         # intentionally rows-only checks.

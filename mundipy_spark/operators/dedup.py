@@ -19,6 +19,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -277,3 +279,101 @@ FROM capped x JOIN capped y ON x.blk = y.blk AND x.bval = y.bval
 WHERE x.{id_col} < y.{id_col}
   AND bit_count(xor(x.sig, y.sig)) <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a corpus snapshot (Bloom prefilter + exact
+# anti-join confirm)
+# ---------------------------------------------------------------------------
+
+def build_bloom56(df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 4) -> bytes:
+    """Distributed Bloom filter over a 56-bit integer column.
+
+    Each partition builds its own m_bits/8-byte bitmap in one numpy
+    pass (mapInPandas); the driver ORs the per-batch bitmaps. The
+    collect is O(n_batches * m_bits/8) bytes — independent of row
+    count, so at 10^12 snapshot rows the driver still receives only
+    bitmaps (on a real cluster you would treeAggregate the OR; the OR
+    is associative so the plan is identical).
+
+    Hash family: the same ANSI-safe affine permutations as MinHash
+    ((h % P) * a + b) % P % m — h % P < 2^30 and a < 2^31 keep every
+    product below 2^62 (no int64 overflow).
+    """
+    ab = _HASH_AB[:k]
+    nbytes = m_bits // 8
+
+    def _bitmaps(it):
+        for pdf in it:
+            arr = np.zeros(nbytes, dtype=np.uint8)
+            h = pdf[col].to_numpy(dtype=np.int64) % HASH_P
+            for a, b in ab:
+                pos = (h * a + b) % HASH_P % m_bits
+                np.bitwise_or.at(arr, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+            yield pd.DataFrame({"bitmap": [arr.tobytes()]})
+
+    parts = df.select(col).mapInPandas(_bitmaps, schema="bitmap binary").collect()
+    acc = np.zeros(nbytes, dtype=np.uint8)
+    for row in parts:
+        acc |= np.frombuffer(row.bitmap, dtype=np.uint8)
+    return acc.tobytes()
+
+
+def bloom_might_contain(spark, bloom: bytes, m_bits: int = 1 << 20, k: int = 4):
+    """Returns a pandas-UDF Column factory: col -> boolean 'possibly in
+    the snapshot'. False is a GUARANTEE of absence (no false
+    negatives); True may be a false positive — callers must confirm
+    exactly. The bitmap ships to executors once via a Spark broadcast."""
+    from pyspark.sql import types as T
+
+    bc = spark.sparkContext.broadcast(bloom)
+    ab = _HASH_AB[:k]
+
+    @F.pandas_udf(T.BooleanType())
+    def _mc(col: pd.Series) -> pd.Series:
+        arr = np.frombuffer(bc.value, dtype=np.uint8)
+        h = col.to_numpy(dtype=np.int64) % HASH_P
+        hit = np.ones(len(h), dtype=bool)
+        for a, b in ab:
+            pos = (h * a + b) % HASH_P % m_bits
+            hit &= (arr[pos // 8] >> (pos % 8) & 1).astype(bool)
+        return pd.Series(hit)
+
+    return _mc
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    snapshot_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Docs in new_df whose normalized-text fingerprint does NOT occur
+    in snapshot_df — the incremental-crawl dedup pass.
+
+    Scale shape: the snapshot (10^12 rows) is reduced to an m-bit
+    Bloom bitmap ONCE; the new batch is filtered map-side — bloom-
+    negative rows are definitely new and never enter a join, only
+    bloom-positive rows (true dups + ~(1-e^-kn/m)^k false positives)
+    reach the exact left_anti join against the snapshot fingerprints.
+    Result is VALUE-EXACT (the anti-join removes Bloom false
+    positives), so the DuckDB oracle is a plain NOT EXISTS.
+    """
+    spark = new_df.sparkSession
+    fp = tx.fingerprint_expr(F.col(text_col))
+    snap_fp = snapshot_df.select(fp.alias("fingerprint"))
+    new_fp = new_df.withColumn("fingerprint", fp)
+
+    bloom = build_bloom56(snap_fp, "fingerprint", m_bits=m_bits, k=k)
+    mc = bloom_might_contain(spark, bloom, m_bits=m_bits, k=k)
+    flagged = new_fp.withColumn("_maybe_dup", mc(F.col("fingerprint")))
+
+    definite_new = flagged.filter(~F.col("_maybe_dup")).drop("_maybe_dup")
+    survivors = (
+        flagged.filter(F.col("_maybe_dup"))
+        .drop("_maybe_dup")
+        .join(snap_fp, on="fingerprint", how="left_anti")
+    )
+    return definite_new.unionByName(survivors)

@@ -18,3 +18,8 @@ def spark():
 
 REFERENCE_FIXTURES = "/root/reference/tests/fixtures"
 TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return TESTDATA
