@@ -27,10 +27,12 @@ from mundipy_spark.operators import (
     geoparse,
     graph,
     joins,
+    paragraphs,
     scrub,
     sessions,
     similarity,
     textstats,
+    weburl,
 )
 from mundipy_spark.plans import pipeline
 from mundipy_spark.sources import pages as pages_src
@@ -741,6 +743,50 @@ def q_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "fingerprint")
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl collapse: each page is crawled twice — once at the clean
+    URL, once 2 h later under a messy variant (scheme/host case, :443,
+    www., trailing slash, tracking params, fragment). Canonicalization
+    (map-only, engine-portable regexps) must collapse both forms; the
+    single window shuffle keeps the LATEST crawl."""
+    pages = _pages(spark, sf_dir).select("doc_id", "url", "warc_ts")
+    m = F.col("doc_id")
+    messy = F.concat(
+        F.regexp_replace(
+            F.col("url"), r"^https://example\.org/", "HTTPS://WWW.Example.ORG:443/"
+        ),
+        F.when(m % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(m % 5 == 0, F.lit("?utm_source=feed&b=2&a=1")).otherwise(F.lit("")),
+        F.when(m % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    recrawl = pages.select(
+        "doc_id",
+        messy.alias("url"),
+        (F.col("warc_ts") + F.make_interval(secs=F.lit(7200))).alias("warc_ts"),
+    )
+    out = weburl.recrawl_dedup(pages.unionByName(recrawl))
+    return out.select(
+        "doc_id",
+        "canon_url",
+        "n_forms",
+        F.unix_timestamp("warc_ts").alias("kept_epoch"),
+    )
+
+
+def q_par_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup (12-token windows,
+    global first-occurrence rule); kept text md5'd for a compact
+    character-exact check."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = paragraphs.dedup_paragraphs(docs, chunk_tokens=12)
+    return out.select(
+        "doc_id",
+        "n_pars",
+        "n_kept",
+        F.md5(F.col("kept_text").cast("binary")).alias("kept_md5"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_geocode_regions(spark, "/root/testdata/sf0.001")
@@ -791,6 +837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "rep_signals": q_rep_signals,
         "incr_dedup": q_incr_dedup,
+        "url_dedup": q_url_dedup,
+        "par_dedup": q_par_dedup,
     }
 
 
@@ -1086,6 +1134,41 @@ WHERE n.doc_id % 4 = 0
     SELECT 1 FROM fp s
     WHERE s.doc_id % 4 <> 0 AND s.fingerprint = n.fingerprint
   )
+""",
+        "url_dedup": f"""
+WITH {pages_src.PAGES_SQL_CTE.strip()},
+crawls AS (
+  SELECT doc_id, url AS u, 1704067200 + doc_id * 3600 AS ep FROM pages
+  UNION ALL
+  SELECT doc_id,
+         regexp_replace(url, '^https://example\\.org/',
+                        'HTTPS://WWW.Example.ORG:443/')
+         || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&b=2&a=1' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END,
+         1704067200 + doc_id * 3600 + 7200
+  FROM pages
+),
+canon AS (
+  SELECT doc_id, {weburl.canonical_url_sql('u')} AS canon_url, ep FROM crawls
+),
+ranked AS (
+  SELECT doc_id, canon_url, ep,
+         count(*) OVER (PARTITION BY canon_url) AS n_forms,
+         row_number() OVER (PARTITION BY canon_url
+                            ORDER BY ep DESC, doc_id ASC) AS rn
+  FROM canon
+)
+SELECT doc_id, canon_url, CAST(n_forms AS BIGINT) AS n_forms,
+       CAST(ep AS BIGINT) AS kept_epoch
+FROM ranked WHERE rn = 1
+""",
+        "par_dedup": f"""
+WITH base AS ({paragraphs.dedup_paragraphs_sql()})
+SELECT doc_id, CAST(n_pars AS BIGINT) AS n_pars,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       md5(kept_text) AS kept_md5
+FROM base
 """,
         # lsh_ann / ivf_ann: approximate float-rank ties —
         # intentionally rows-only checks.

@@ -203,6 +203,7 @@ def main() -> None:
         "within_radius": entry_mod.q_within_radius,
         "events_hourly": entry_mod.q_events_hourly,
         "sessions": entry_mod.q_sessions,
+        "asof_events": entry_mod.q_asof_events,
         "tpch_q1": entry_mod.q_tpch_q1,
         "simhash_pairs": entry_mod.q_simhash_pairs,
         "geocode_triangles": entry_mod.q_geocode_triangles,

@@ -1,0 +1,103 @@
+"""URL canonicalization + recrawl dedup for web-crawl pipelines.
+
+Canonicalization is the standard crawl-frontier normal form:
+lowercase scheme and host, strip a leading `www.`, drop the scheme's
+default port (:80 http / :443 https), drop the fragment, strip one
+trailing slash from the path, remove tracking query params
+(utm_*, gclid, fbclid) and SORT the surviving params.
+
+Everything is engine-portable regexp_extract / split / filter /
+sort — no lookarounds, no Python — so the DuckDB oracle reproduces
+the canonical string byte-for-byte, and on Spark the whole transform
+is map-only inside whole-stage codegen (at 10^12 pages the only
+shuffle in recrawl_dedup is the one window on the canonical key).
+
+URLs without a `scheme://` prefix pass through unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+# path+query = everything after host up to the fragment
+_PATHQ_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+_TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid)="
+
+
+def canonical_url_expr(url: Column) -> Column:
+    """Column expression: canonical form of `url` (see module doc)."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    host = F.regexp_replace(
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport),
+        r"^www\.",
+        "",
+    )
+    pathq = F.regexp_extract(url, _PATHQ_RE, 1)
+    path = F.regexp_replace(F.regexp_extract(pathq, r"^([^?]*)", 1), r"/$", "")
+    query = F.regexp_extract(pathq, r"^[^?]*\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    canon_q = F.array_join(params, "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", url).otherwise(rebuilt)
+
+
+def canonical_url_sql(url: str) -> str:
+    """DuckDB twin of canonical_url_expr over the SQL expression `url`."""
+    scheme = f"lower(regexp_extract({url}, '{_SCHEME_RE}', 1))"
+    hostport = f"lower(regexp_extract({url}, '{_HOST_RE}', 1))"
+    host = f"""regexp_replace(
+        CASE WHEN {scheme} = 'http' THEN regexp_replace({hostport}, ':80$', '')
+             WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '')
+             ELSE {hostport} END,
+        '^www\\.', '')"""
+    pathq = f"regexp_extract({url}, '{_PATHQ_RE}', 1)"
+    path = f"regexp_replace(regexp_extract({pathq}, '^([^?]*)', 1), '/$', '')"
+    query = f"regexp_extract({pathq}, '^[^?]*\\?(.*)$', 1)"
+    params = f"""list_sort(list_filter(string_split({query}, '&'),
+        p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_RE}')))"""
+    canon_q = f"array_to_string({params}, '&')"
+    return f"""CASE WHEN {scheme} = '' THEN {url} ELSE
+        {scheme} || '://' || {host} || {path} ||
+        CASE WHEN {canon_q} <> '' THEN '?' || {canon_q} ELSE '' END END"""
+
+
+def recrawl_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the LATEST crawl per canonical URL (ties -> min id):
+    the recrawl-collapse pass every Common-Crawl-style pipeline runs
+    before content dedup. Adds `canon_url` and `n_forms` (how many
+    raw rows collapsed into the survivor). Exactly one shuffle, keyed
+    by the canonical URL (uniform — no skew beyond genuinely
+    hot URLs, which AQE skew-join handling covers)."""
+    canon = df.withColumn("canon_url", canonical_url_expr(F.col(url_col)))
+    w = Window.partitionBy("canon_url")
+    ordered = Window.partitionBy("canon_url").orderBy(
+        F.col(ts_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        canon.withColumn("n_forms", F.count("*").over(w))
+        .withColumn("_rn", F.row_number().over(ordered))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

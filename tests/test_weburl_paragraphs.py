@@ -1,0 +1,100 @@
+"""Tests for URL canonicalization / recrawl dedup and CCNet-style
+paragraph dedup."""
+
+from pyspark.sql import functions as F
+
+from mundipy_spark.operators import paragraphs, weburl
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r.c for r in df.select(weburl.canonical_url_expr(F.col("url")).alias("c")).collect()
+    ]
+
+
+def test_canonical_url_forms(spark):
+    got = _canon(
+        spark,
+        [
+            "HTTPS://WWW.Example.ORG:443/a/b/",
+            "http://example.org:80/a",
+            "http://example.org:8080/a",
+            "https://example.org/p?utm_source=x&b=2&a=1#frag",
+            "https://example.org/p?gclid=1&fbclid=2",
+            "https://example.org/",
+            "relative/path/only",
+            "ftp://Files.Example.org:443/x",
+        ],
+    )
+    assert got == [
+        "https://example.org/a/b",
+        "http://example.org/a",
+        "http://example.org:8080/a",   # non-default port kept
+        "https://example.org/p?a=1&b=2",  # sorted, tracking + frag gone
+        "https://example.org/p",
+        "https://example.org",
+        "relative/path/only",          # schemeless passthrough
+        "ftp://files.example.org:443/x",  # :443 only default for https
+    ]
+
+
+def test_recrawl_dedup_keeps_latest(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.org/p", 100),
+            (2, "HTTPS://WWW.example.org/p/", 200),
+            (3, "https://example.org/p?utm_source=x", 150),
+            (4, "https://example.org/other", 50),
+        ],
+        "doc_id long, url string, warc_ts long",
+    )
+    out = {r.canon_url: r for r in weburl.recrawl_dedup(df).collect()}
+    assert set(out) == {"https://example.org/p", "https://example.org/other"}
+    surv = out["https://example.org/p"]
+    assert (surv.doc_id, surv.n_forms) == (2, 3)
+    assert out["https://example.org/other"].n_forms == 1
+
+
+def test_split_paragraphs_chunking(spark):
+    text = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(0, text), (1, "a b"), (2, "   ")], "doc_id long, text string"
+    )
+    rows = paragraphs.split_paragraphs(df, chunk_tokens=12).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.idx, r.par))
+    assert len(by_doc[0]) == 3  # 12 + 12 + 1
+    assert by_doc[0][0][1].split() == [f"w{i}" for i in range(12)]
+    assert by_doc[0][2][1] == "w24"
+    assert by_doc[1] == [(0, "a b")]
+    assert 2 not in by_doc  # whitespace-only -> no paragraphs
+
+
+def test_dedup_paragraphs_first_occurrence(spark):
+    # P tokens repeated across docs: doc 0 owns chunk A and B;
+    # doc 1 repeats A then adds C; doc 2 is A+B again entirely.
+    A = " ".join(["a"] * 12)
+    B = " ".join(["b"] * 12)
+    C = " ".join(["c"] * 12)
+    df = spark.createDataFrame(
+        [(0, f"{A} {B}"), (1, f"{A} {C}"), (2, f"{A} {B}"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in paragraphs.dedup_paragraphs(df, chunk_tokens=12).collect()}
+    assert (got[0].n_pars, got[0].n_kept) == (2, 2)
+    assert got[0].kept_text == f"{A} {B}"
+    assert (got[1].n_pars, got[1].n_kept) == (2, 1)
+    assert got[1].kept_text == C
+    assert (got[2].n_pars, got[2].n_kept) == (2, 0)
+    assert got[2].kept_text == ""
+    assert (got[3].n_pars, got[3].n_kept, got[3].kept_text) == (0, 0, "")
+
+
+def test_dedup_paragraphs_within_doc_repeat(spark):
+    # a paragraph repeated INSIDE one doc is kept once (first idx)
+    A = " ".join(["x"] * 12)
+    df = spark.createDataFrame([(7, f"{A} {A}")], "doc_id long, text string")
+    r = paragraphs.dedup_paragraphs(df, chunk_tokens=12).collect()[0]
+    assert (r.n_pars, r.n_kept, r.kept_text) == (2, 1, A)
