@@ -24,6 +24,7 @@ from mundipy_spark.operators import (
     curation,
     dedup,
     fingerprint as fpx,
+    decontam,
     geoparse,
     graph,
     joins,
@@ -787,6 +788,17 @@ def q_par_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 97 == 0 stand in
+    for the eval set; any doc sharing an 8-gram with them is flagged.
+    Eval fingerprints broadcast; one doc_id shuffle total."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontam.decontaminate(docs, eval_set, n=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_geocode_regions(spark, "/root/testdata/sf0.001")
@@ -839,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_dedup": q_incr_dedup,
         "url_dedup": q_url_dedup,
         "par_dedup": q_par_dedup,
+        "decontam": q_decontam,
     }
 
 
@@ -1170,6 +1183,9 @@ SELECT doc_id, CAST(n_pars AS BIGINT) AS n_pars,
        md5(kept_text) AS kept_md5
 FROM base
 """,
+        "decontam": decontam.decontaminate_sql(
+            "documents", "d.doc_id % 97 = 0", n=8
+        ),
         # lsh_ann / ivf_ann: approximate float-rank ties —
         # intentionally rows-only checks.
     }
