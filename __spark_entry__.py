@@ -25,6 +25,7 @@ from mundipy_spark.operators import (
     dedup,
     fingerprint as fpx,
     decontam,
+    domains,
     geoparse,
     graph,
     joins,
@@ -788,6 +789,40 @@ def q_par_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOMAIN_HOSTS = [
+    "example.org",
+    "news.example.org",
+    "a.b.example.org",
+    "bbc.co.uk",
+    "media.bbc.co.uk",
+    "shop.example.com.au",
+    "192.168.0.1",
+    "cdn.example.org",
+]
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-reputation rollup: pages rehosted across 8 deterministic
+    hosts (subdomains, a co.uk suffix, an IP), bbc.co.uk blocklisted
+    via broadcast anti-join, then ONE partial-agg shuffle keyed by the
+    registrable domain."""
+    pages = _pages(spark, sf_dir).select("doc_id", "text")
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in _DOMAIN_HOSTS]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    rehosted = pages.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"), F.col("doc_id")
+        ).alias("url"),
+        "text",
+    )
+    blocked = spark.createDataFrame([("bbc.co.uk",)], "domain string")
+    kept = domains.filter_blocklist(rehosted, blocked)
+    return domains.domain_stats(kept)
+
+
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with doc_id % 97 == 0 stand in
     for the eval set; any doc sharing an 8-gram with them is flagged.
@@ -852,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "par_dedup": q_par_dedup,
         "decontam": q_decontam,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -1186,6 +1222,30 @@ FROM base
         "decontam": decontam.decontaminate_sql(
             "documents", "d.doc_id % 97 = 0", n=8
         ),
+        "domain_stats": f"""
+WITH {pages_src.PAGES_SQL_CTE.strip()},
+rehosted AS (
+  SELECT doc_id,
+         'https://' ||
+         (['{"', '".join(_DOMAIN_HOSTS)}'])[CAST(doc_id % 8 AS INT) + 1]
+           || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+         text
+  FROM pages
+),
+tagged AS (
+  SELECT {domains.registrable_domain_sql('url')} AS domain,
+         CAST(round({tx.quality_score_sql('text')}, 6) AS DECIMAL(18,6)) AS q,
+         {tx.token_count_sql('text')} AS t
+  FROM rehosted
+)
+SELECT domain,
+       count(*) AS n_pages,
+       CAST(round(sum(q), 2) AS DOUBLE) AS sum_quality,
+       CAST(sum(t) AS BIGINT) AS total_tokens
+FROM tagged
+WHERE domain <> 'bbc.co.uk'
+GROUP BY domain
+""",
         # lsh_ann / ivf_ann: approximate float-rank ties —
         # intentionally rows-only checks.
     }
