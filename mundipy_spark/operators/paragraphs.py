@@ -10,16 +10,21 @@ splitter expression, and the 56-bit md5 fingerprint is the same
 portable primitive as MinHash, so the DuckDB oracle reproduces the
 kept text byte-for-byte.
 
-Scale shape (10^12 docs):
+Scale shape (10^12 docs): ONE scan of the corpus, two shuffles.
 - paragraph explode is map-side (arrays staged as real columns — see
-  operators/scrub.py on lambda re-evaluation);
+  operators/scrub.py on lambda re-evaluation); empty docs survive as
+  a single null-paragraph row (posexplode_outer), fingerprinted with
+  a per-doc unique sentinel so they never pile into one hot window
+  partition;
 - first-occurrence selection is ONE window shuffle keyed by the
   uniform fingerprint (row_number over (fp) ordered by (doc_id, idx)
-  — no groupBy+join-back round trip);
-- reassembly is one shuffle back on doc_id with a partial-agg
-  collect_list. Both keys are uniform; boilerplate paragraphs make
-  hot fingerprint groups, but the window only ranks them (no
-  quadratic pairing), so skew degrades one task's sort, not the plan.
+  — no groupBy+join-back round trip). The survivor is FLAGGED, not
+  filtered, so totals ride along instead of forcing a second scan;
+- reassembly + totals are one shuffle back on doc_id with a
+  partial-agg collect_list. Both keys are uniform; boilerplate
+  paragraphs make hot fingerprint groups, but the window only ranks
+  them (no quadratic pairing), so skew degrades one task's sort, not
+  the plan.
 """
 
 from __future__ import annotations
@@ -66,37 +71,57 @@ def dedup_paragraphs(
     (id, n_pars, n_kept, kept_text) where kept_text joins the
     surviving paragraphs with a single space ('' when every paragraph
     of the doc occurred earlier in the corpus)."""
-    pars = split_paragraphs(df, text_col, id_col, chunk_tokens)
-    fp = pars.withColumn("_fp", tx.md5_int_expr(F.col("par")))
+    c = chunk_tokens
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.when(
+        F.length(F.trim(F.col(text_col))) > 0,
+        F.ceil(F.size(toks) / F.lit(float(c))).cast("int"),
+    ).otherwise(F.lit(0))
+    staged = df.select(F.col(id_col), toks.alias("_toks"), n_chunks.alias("_nc"))
+    pars = staged.select(
+        id_col,
+        F.posexplode_outer(
+            F.when(
+                F.col("_nc") > 0,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_nc") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_toks"), i * c + 1, c)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("idx", "par"),
+    )
+    # empty docs carry a null paragraph; give each a UNIQUE sentinel
+    # fingerprint (negative, outside md5's 56-bit range) so the null
+    # rows don't all land in one window partition.
+    fp = pars.withColumn(
+        "_fp",
+        F.coalesce(
+            tx.md5_int_expr(F.col("par")), -F.col(id_col) - F.lit(1)
+        ),
+    )
     first = Window.partitionBy("_fp").orderBy(
         F.col(id_col).asc(), F.col("idx").asc()
     )
-    kept = (
-        fp.withColumn("_rn", F.row_number().over(first))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "idx", "par")
+    flagged = fp.withColumn(
+        "_kept",
+        (F.row_number().over(first) == 1) & F.col("par").isNotNull(),
     )
-    kept_per_doc = kept.groupBy(id_col).agg(
-        F.count("*").alias("n_kept"),
+    return flagged.groupBy(id_col).agg(
+        F.sum(F.col("par").isNotNull().cast("long")).alias("n_pars"),
+        F.sum(F.col("_kept").cast("long")).alias("n_kept"),
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "par"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_kept"), F.struct("idx", "par"))
+                    )
+                ),
                 lambda s: s["par"],
             ),
         ).alias("kept_text"),
-    )
-    totals = pars.groupBy(id_col).agg(F.count("*").alias("n_pars"))
-    all_docs = df.select(id_col).distinct()
-    return (
-        all_docs.join(totals, on=id_col, how="left")
-        .join(kept_per_doc, on=id_col, how="left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_pars"), F.lit(0)).alias("n_pars"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
-        )
     )
 
 

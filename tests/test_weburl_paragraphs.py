@@ -92,6 +92,25 @@ def test_dedup_paragraphs_first_occurrence(spark):
     assert (got[3].n_pars, got[3].n_kept, got[3].kept_text) == (0, 0, "")
 
 
+def test_dedup_paragraphs_single_scan(spark, tmp_path):
+    """Corpus is scanned ONCE: totals ride through the kept-flag window
+    instead of separate totals/all_docs subtrees (the Mundi.q
+    multi-scan class of bug)."""
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, " ".join(f"t{i % 3}_{j}" for j in range(30))) for i in range(12)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = (
+        paragraphs.dedup_paragraphs(df, chunk_tokens=12)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+
+
 def test_dedup_paragraphs_within_doc_repeat(spark):
     # a paragraph repeated INSIDE one doc is kept once (first idx)
     A = " ".join(["x"] * 12)
