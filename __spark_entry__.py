@@ -29,6 +29,7 @@ from mundipy_spark.operators import (
     geoparse,
     graph,
     joins,
+    lm,
     paragraphs,
     scrub,
     sessions,
@@ -834,6 +835,20 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.decontaminate(docs, eval_set, n=8)
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM familiarity: bigram model trained on the
+    doc_id % 7 == 0 reference slice (broadcast after min_count prune),
+    every doc scored map-only; integer-log2 quantization keeps every
+    emitted value an exact long."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    model = lm.train_bigram_counts(
+        docs.filter(F.col("doc_id") % 7 == 0), min_count=2
+    )
+    return lm.lm_score(docs, model)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_geocode_regions(spark, "/root/testdata/sf0.001")
@@ -888,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "par_dedup": q_par_dedup,
         "decontam": q_decontam,
         "domain_stats": q_domain_stats,
+        "lm_score": q_lm_score,
     }
 
 
@@ -1221,6 +1237,9 @@ FROM base
 """,
         "decontam": decontam.decontaminate_sql(
             "documents", "d.doc_id % 97 = 0", n=8
+        ),
+        "lm_score": lm.lm_score_sql(
+            "documents", "d.doc_id % 7 = 0", min_count=2
         ),
         "domain_stats": f"""
 WITH {pages_src.PAGES_SQL_CTE.strip()},
