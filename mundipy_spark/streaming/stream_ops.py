@@ -139,3 +139,26 @@ def dedup_stream(
     evicted). Key defaults to the url; recrawls inside the horizon drop."""
     keys = list(key_cols or ["url"])
     return pages_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def canon_dedup_stream(
+    pages_stream: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming recrawl collapse on the CANONICAL url (the streaming
+    twin of operators/weburl.recrawl_dedup): canonicalization is
+    stateless map-side codegen, so the only state is the
+    dropDuplicatesWithinWatermark store keyed by canon_url — bounded
+    by the watermark horizon exactly like dedup_stream. Messy variants
+    (case, :443, www., tracking params, fragments) of an already-seen
+    url drop inside the horizon."""
+    from mundipy_spark.operators.weburl import canonical_url_expr
+
+    canon = pages_stream.withColumn(
+        "canon_url", canonical_url_expr(F.col(url_col))
+    )
+    return canon.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["canon_url"]
+    )

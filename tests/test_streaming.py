@@ -149,3 +149,43 @@ def test_dedup_stream_drops_recrawls(spark):
         assert n_urls == n
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_canon_dedup_stream_collapses_messy_variants(spark):
+    from mundipy_spark.streaming.stream_ops import canon_dedup_stream
+
+    pages = pages_src.synth_pages(spark, SF).drop("html")
+    messy = pages.limit(100).withColumn(
+        "url",
+        F.concat(
+            F.regexp_replace(
+                F.col("url"),
+                r"^https://example\.org/",
+                "HTTPS://WWW.Example.ORG:443/",
+            ),
+            F.lit("?utm_source=x#frag"),
+        ),
+    ).withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 2 SECONDS"))
+    both = pages.unionByName(messy)
+    tmp = tempfile.mkdtemp(prefix="canon_dedup_stream_")
+    try:
+        both.write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(both.schema).parquet(f"{tmp}/in")
+        out = canon_dedup_stream(stream)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("canon_dedup_out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        n = spark.sql("SELECT count(*) AS n FROM canon_dedup_out").collect()[0].n
+        nc = spark.sql(
+            "SELECT count(DISTINCT canon_url) AS n FROM canon_dedup_out"
+        ).collect()[0].n
+        assert n == pages.count()  # every messy variant collapsed
+        assert nc == n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
