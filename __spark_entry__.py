@@ -37,6 +37,7 @@ from mundipy_spark.operators import (
     textstats,
     weburl,
 )
+from mundipy_spark.plans import curate as curate_plan
 from mundipy_spark.plans import pipeline
 from mundipy_spark.sources import pages as pages_src
 
@@ -849,6 +850,14 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.lm_score(docs, model)
 
 
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4/CCNet curation pipeline: lang+quality gate ->
+    corpus paragraph dedup -> keep-ratio select -> decontamination.
+    One corpus scan feeds everything before the decontam stage."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate_plan.curate(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_geocode_regions(spark, "/root/testdata/sf0.001")
@@ -904,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "domain_stats": q_domain_stats,
         "lm_score": q_lm_score,
+        "curate": q_curate,
     }
 
 
@@ -1241,6 +1251,7 @@ FROM base
         "lm_score": lm.lm_score_sql(
             "documents", "d.doc_id % 7 = 0", min_count=2
         ),
+        "curate": curate_plan.curate_sql("documents"),
         "domain_stats": f"""
 WITH {pages_src.PAGES_SQL_CTE.strip()},
 rehosted AS (
