@@ -30,6 +30,7 @@ from mundipy_spark.operators import (
     graph,
     joins,
     lm,
+    pagerank,
     paragraphs,
     scrub,
     sessions,
@@ -858,6 +859,24 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_plan.curate(docs)
 
 
+_PR_LINKS = [(7, 1), (13, 3), (31, 11)]  # deterministic outlink arithmetic
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (integer fixed-point, 10 rounds) over a
+    deterministic 3-outlinks-per-doc graph; value-exact because every
+    step is order-independent integer arithmetic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    dsts = F.array(
+        *[(F.col("doc_id") * a + b) % n for a, b in _PR_LINKS]
+    )
+    edges = docs.select(
+        F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+    )
+    return pagerank.pagerank(edges, iterations=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_geocode_regions(spark, "/root/testdata/sf0.001")
@@ -914,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "lm_score": q_lm_score,
         "curate": q_curate,
+        "pagerank": q_pagerank,
     }
 
 
@@ -1252,6 +1272,14 @@ FROM base
             "documents", "d.doc_id % 7 = 0", min_count=2
         ),
         "curate": curate_plan.curate_sql("documents"),
+        "pagerank": pagerank.pagerank_sql(
+            " UNION ALL ".join(
+                f"SELECT doc_id AS src, (doc_id * {a} + {b}) %"
+                " (SELECT count(*) FROM documents) AS dst FROM documents"
+                for a, b in _PR_LINKS
+            ),
+            iterations=10,
+        ),
         "domain_stats": f"""
 WITH {pages_src.PAGES_SQL_CTE.strip()},
 rehosted AS (
