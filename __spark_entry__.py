@@ -36,6 +36,7 @@ from mundipy_spark.operators import (
     sessions,
     similarity,
     textstats,
+    weblinks,
     weburl,
 )
 from mundipy_spark.plans import curate as curate_plan
@@ -877,6 +878,31 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank.pagerank(edges, iterations=10)
 
 
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph edge extraction: synthetic html carrying one
+    cross-host link + one root-relative self-link per page; map-only
+    href extraction/resolution, one (src,dst) partial-agg shuffle."""
+    hosts = F.array(*[F.lit(h) for h in _DOMAIN_HOSTS])
+    src_host = F.element_at(hosts, (F.col("doc_id") % 8 + 1).cast("int"))
+    dst_host = F.element_at(hosts, (F.col("doc_id") * 3 % 8 + 1).cast("int"))
+    pages = _pages(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), src_host, F.lit("/p/"), F.col("doc_id")
+        ).alias("url"),
+        F.concat(
+            F.lit('<a href="https://'),
+            dst_host,
+            F.lit("/x/"),
+            (F.col("doc_id") * 7 + 1).cast("string"),
+            F.lit('">l</a><a href="/self/'),
+            F.col("doc_id"),
+            F.lit('">s</a>'),
+        ).alias("html_text"),
+    )
+    return weblinks.host_edges(pages)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_geocode_regions(spark, "/root/testdata/sf0.001")
@@ -934,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "curate": q_curate,
         "pagerank": q_pagerank,
+        "host_graph": q_host_graph,
     }
 
 
@@ -1272,6 +1299,34 @@ FROM base
             "documents", "d.doc_id % 7 = 0", min_count=2
         ),
         "curate": curate_plan.curate_sql("documents"),
+        "host_graph": f"""
+WITH pages AS (
+  SELECT doc_id,
+         'https://' ||
+         (['{"', '".join(_DOMAIN_HOSTS)}'])[CAST(doc_id % 8 AS INT) + 1]
+           || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+         '<a href="https://' ||
+         (['{"', '".join(_DOMAIN_HOSTS)}'])[CAST(doc_id * 3 % 8 AS INT) + 1]
+           || '/x/' || CAST(doc_id * 7 + 1 AS VARCHAR)
+           || '">l</a><a href="/self/' || CAST(doc_id AS VARCHAR)
+           || '">s</a>' AS html_text
+  FROM documents
+),
+links AS (
+  SELECT {domains.registrable_domain_sql('url')} AS src_domain,
+         unnest({weblinks.extract_links_sql('html_text', 'url')}) AS link
+  FROM pages
+),
+edges AS (
+  SELECT src_domain,
+         {domains.registrable_domain_sql('link')} AS dst_domain
+  FROM links
+)
+SELECT src_domain, dst_domain, count(*) AS n_links
+FROM edges
+WHERE dst_domain <> '' AND dst_domain <> src_domain
+GROUP BY src_domain, dst_domain
+""",
         "pagerank": pagerank.pagerank_sql(
             " UNION ALL ".join(
                 f"SELECT doc_id AS src, (doc_id * {a} + {b}) %"
