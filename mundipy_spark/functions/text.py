@@ -52,12 +52,16 @@ def bpe_token_count_expr(text: Column) -> Column:
 
 
 def bpe_token_count_sql(text: str) -> str:
+    # outer CAST matters: list_sum over a BIGINT list yields HUGEINT,
+    # which pandas materializes as float64 — the value-hash gate then
+    # sees '64.0' vs Spark's '64'
     return (
-        "(coalesce(list_sum(list_transform("
+        "CAST(coalesce(list_sum(list_transform("
         f"regexp_extract_all({text}, '[A-Za-z]+'), "
         "p -> CAST(ceil(length(p) / 4.0) AS BIGINT))), 0) "
         f"+ length(regexp_replace({text}, '[^0-9]', '', 'g')) "
-        f"+ length(regexp_replace({text}, '[\\sA-Za-z0-9]', '', 'g')))"
+        f"+ length(regexp_replace({text}, '[\\sA-Za-z0-9]', '', 'g')) "
+        "AS BIGINT)"
     )
 
 
