@@ -192,6 +192,22 @@ def main() -> None:
     # gazetteer geoparse at replicated scale (prefilter + explode + join)
     queries["gazetteer_scan"] = round(bench_gazetteer(spark, sf_dir), 3)
 
+    # corpus-wide paragraph dedup at replicated scale: explode + the
+    # fingerprint window + reassembly agg are the three webtext-side
+    # stages that must survive 10^12 docs (replication makes every
+    # paragraph ~factor-hot, a WORST-case window skew shape)
+    from mundipy_spark.operators import paragraphs as _paragraphs
+
+    pd_pages = replicated_pages(spark, sf_dir, max(REPLICATION // 30, 1))
+    queries["pardedup_scan"] = round(
+        timed_best(
+            lambda: _paragraphs.dedup_paragraphs(
+                pd_pages.select("doc_id", "text"), chunk_tokens=12
+            ).count()
+        ),
+        3,
+    )
+
     # operator suite at native SF (count() forces full execution)
     suite = {
         "tile_cells": entry_mod.q_tile_cells,
@@ -209,6 +225,13 @@ def main() -> None:
         "geocode_triangles": entry_mod.q_geocode_triangles,
         "overlap_weighted": entry_mod.q_overlap_weighted,
         "dissolve_blocks": entry_mod.q_dissolve_blocks,
+        "url_dedup": entry_mod.q_url_dedup,
+        "decontam": entry_mod.q_decontam,
+        "domain_stats": entry_mod.q_domain_stats,
+        "lm_score": entry_mod.q_lm_score,
+        "curate": entry_mod.q_curate,
+        "pagerank": entry_mod.q_pagerank,
+        "host_graph": entry_mod.q_host_graph,
     }
     for name, fn in suite.items():
         queries[name] = round(
