@@ -28,8 +28,11 @@ from mundipy_spark.operators import (
     domains,
     geoparse,
     graph,
+    html as html_ops,
+    importance,
     joins,
     lm,
+    spandedup,
     pagerank,
     paragraphs,
     scrub,
@@ -903,6 +906,93 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weblinks.host_edges(pages)
 
 
+_HTML_WRAP_PARTS = [
+    "<html><head><title>doc ",
+    '</title><script>var x = "',
+    "\";</script><style>h1 {color:red}</style></head><body><!-- crawl"
+    " noise --><h1>Doc &amp; ",
+    "</h1><p>",
+    "</p><div>footer&nbsp;",
+    "</div></body></html>",
+]
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML->text extraction (operators/html.py): every doc's text is
+    wrapped in deterministic markup (title, script, style, comment,
+    entities, blocks) and extracted back map-only; `body_ok` pins the
+    per-url invariant — the <p> body line must round-trip
+    byte-identically to the authored text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    i = F.col("doc_id").cast("string")
+    p = _HTML_WRAP_PARTS
+    raw = F.concat(
+        F.lit(p[0]), i, F.lit(p[1]), i, F.lit(p[2]), i, F.lit(p[3]),
+        F.col("text"), F.lit(p[4]), i, F.lit(p[5]),
+    )
+    out = html_ops.extract_text(
+        docs.withColumn("html", raw), html_col="html", out_col="extracted"
+    )
+    return out.select(
+        "doc_id",
+        F.length("extracted").cast("long").alias("n_chars"),
+        F.md5(F.col("extracted").cast("binary")).alias("extracted_md5"),
+        (
+            F.element_at(F.split("extracted", "\n"), 3) == F.col("text")
+        ).alias("body_ok"),
+    )
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-SPAN detection (stride-1 12-token windows,
+    Lee et al. 2022 shape): one fp-window shuffle marks repeated
+    windows; dup_tokens is the span mass a trim pass would cut."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return spandedup.duplicate_spans(docs, n=12)
+
+
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: hashed-bigram bucket counts for the
+    target slice (doc_id % 13 == 0) vs the whole corpus, merged into a
+    broadcast <=997-row model; scoring is map-only + one doc_id agg."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    target = docs.filter(F.col("doc_id") % 13 == 0)
+    return importance.importance_weights(
+        docs, target, n=2, n_buckets=997
+    )
+
+
+def _extract_text_oracle() -> str:
+    """DuckDB twin of q_extract_text: identical wrapper built from the
+    SAME _HTML_WRAP_PARTS literals, extracted with the same regexp
+    chain (operators/html.extract_text_sql)."""
+    p = [s.replace("'", "''") for s in _HTML_WRAP_PARTS]
+    i = "CAST(doc_id AS VARCHAR)"
+    wrap = (
+        f"'{p[0]}' || {i} || '{p[1]}' || {i} || '{p[2]}' || {i} || "
+        f"'{p[3]}' || text || '{p[4]}' || {i} || '{p[5]}'"
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, text, {wrap} AS html FROM documents
+), e AS (
+  SELECT doc_id, text, {html_ops.extract_text_sql('html')} AS extracted
+  FROM h
+)
+SELECT doc_id,
+       CAST(length(extracted) AS BIGINT) AS n_chars,
+       md5(extracted) AS extracted_md5,
+       string_split(extracted, chr(10))[3] = text AS body_ok
+FROM e
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_geocode_regions(spark, "/root/testdata/sf0.001")
@@ -961,6 +1051,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "pagerank": q_pagerank,
         "host_graph": q_host_graph,
+        "extract_text": q_extract_text,
+        "span_dedup": q_span_dedup,
+        "dsir": q_dsir,
     }
 
 
@@ -1359,6 +1452,11 @@ FROM tagged
 WHERE domain <> 'bbc.co.uk'
 GROUP BY domain
 """,
+        "extract_text": _extract_text_oracle(),
+        "span_dedup": spandedup.duplicate_spans_sql("documents", n=12),
+        "dsir": importance.importance_weights_sql(
+            "documents", "d.doc_id % 13 = 0", n=2, n_buckets=997
+        ),
         # lsh_ann / ivf_ann: approximate float-rank ties —
         # intentionally rows-only checks.
     }

@@ -1,0 +1,135 @@
+"""HTML->text extraction, duplicate-span detection, DSIR importance
+weights — the three late-round-3 webtext operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mundipy_spark.operators import html as H
+from mundipy_spark.operators import importance, spandedup
+
+
+def test_extract_text_full_markup(spark):
+    doc = (
+        '<html><head><title>My Title</title><script>var x="<p>";</script>'
+        "<style>p {color:red}</style></head><body><!-- note -->"
+        '<h1 class="big">Header &amp; more</h1>\n'
+        "<p>first   para with &lt;tags&gt; and &quot;quotes&quot;</p>"
+        "<div>second\tdiv&nbsp;here</div><ul><li>item one</li>"
+        '<li>item two</li></ul><br/><a href="/x">link text</a> tail</body>'
+    )
+    df = spark.createDataFrame([(doc,)], "html string")
+    out = df.select(H.extract_text_expr(F.col("html")).alias("t")).first().t
+    assert out == (
+        "My Title\nHeader & more\n"
+        'first para with <tags> and "quotes"\n'
+        "second div here\nitem one\nitem two\nlink text tail"
+    )
+
+
+def test_extract_text_binary_column_and_passthrough(spark):
+    """The per-url invariant: body text with no markup round-trips
+    byte-identically through encode -> extract."""
+    texts = ["plain words only", "a  b", "x"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string").withColumn(
+        "html", F.encode(F.concat(F.lit("<p>"), F.col("t"), F.lit("</p>")), "UTF-8")
+    )
+    rows = H.extract_text(df, html_col="html", out_col="e").collect()
+    for r in rows:
+        # whitespace collapse is part of the canonical form; single-space
+        # text is untouched
+        expect = " ".join(r.t.split())
+        assert r.e == expect
+
+
+def test_extract_text_is_map_only(spark):
+    """Zero exchanges: extraction must stay embarrassingly parallel."""
+    df = spark.range(10).withColumn(
+        "html", F.concat(F.lit("<p>x "), F.col("id"), F.lit("</p>"))
+    )
+    plan = (
+        H.extract_text(df, html_col="html")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_duplicate_spans_cross_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x b c d y")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in spandedup.duplicate_spans(docs, n=3).collect()
+    }
+    for i in (1, 2):
+        assert rows[i].n_tokens == 5
+        assert rows[i].n_grams == 3
+        # only "b c d" repeats; it covers token positions 2..4
+        assert rows[i].n_dup_grams == 1
+        assert rows[i].dup_tokens == 3
+
+
+def test_duplicate_spans_self_repeat_and_short_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "p q p q p q"), (2, "solo")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in spandedup.duplicate_spans(docs, n=2).collect()
+    }
+    # grams: "p q" x3, "q p" x2 -> all 5 window positions duplicated,
+    # all 6 tokens covered
+    assert rows[1].n_dup_grams == 5
+    assert rows[1].dup_tokens == 6
+    assert rows[2].n_grams == 0
+    assert rows[2].n_dup_grams == 0
+    assert rows[2].dup_tokens == 0
+
+
+def test_dsir_exact_tiny_case(spark):
+    raw = spark.createDataFrame(
+        [(1, "a b"), (2, "z z")], "doc_id long, text string"
+    )
+    target = raw.filter(F.col("doc_id") == 1)
+    rows = {
+        r.doc_id: r
+        for r in importance.importance_weights(
+            raw, target, n=2, n_buckets=997
+        ).collect()
+    }
+    # doc1's bigram bucket: t_cnt=1, r_cnt=1 -> ilog2(2)-ilog2(2)=0
+    # doc2's bigram bucket: t_cnt=0, r_cnt=1 -> ilog2(1)-ilog2(2)=-1
+    assert rows[1].n_grams == 1 and rows[1].dsir_sum == 0
+    assert rows[2].n_grams == 1 and rows[2].dsir_sum == -1
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    target_like = "the quick brown fox jumps over the lazy dog " * 3
+    off_domain = "zzz qqq vvv kkk jjj www eee rrr ttt yyy " * 3
+    raw = spark.createDataFrame(
+        [(i, target_like) for i in range(5)]
+        + [(i + 10, off_domain) for i in range(5)],
+        "doc_id long, text string",
+    )
+    target = raw.filter(F.col("doc_id") < 5)
+    rows = importance.importance_weights(raw, target).collect()
+    mean = {
+        True: [r.dsir_sum for r in rows if r.doc_id < 5],
+        False: [r.dsir_sum for r in rows if r.doc_id >= 10],
+    }
+    assert min(mean[True]) > max(mean[False])
+
+
+def test_dsir_model_is_bounded_and_broadcast(spark):
+    """The merged model can never exceed n_buckets rows, and the scoring
+    join is a broadcast."""
+    raw = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} common tail") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = importance.importance_weights(raw, raw.limit(10), n_buckets=31)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == 40
