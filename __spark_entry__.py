@@ -968,6 +968,29 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact baseline: every 10th vector
+    gains a perturbed twin (first coordinate sign-flipped, cosine
+    ~0.97 for 64-dim), and the all-pairs brute force must recover
+    exactly the twin pairs at threshold 0.9 (synthetic cosines top out
+    ~0.51, so the cut has a huge margin on both sides)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    twins = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x, i: F.when(i == 0, -x).otherwise(x)
+        ).alias("embedding"),
+    )
+    return similarity.brute_force_near_dup(
+        emb.unionByName(twins), threshold=0.9
+    )
+
+
 def _extract_text_oracle() -> str:
     """DuckDB twin of q_extract_text: identical wrapper built from the
     SAME _HTML_WRAP_PARTS literals, extracted with the same regexp
@@ -1054,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": q_extract_text,
         "span_dedup": q_span_dedup,
         "dsir": q_dsir,
+        "embed_neardup": q_embed_neardup,
     }
 
 
@@ -1457,6 +1481,20 @@ GROUP BY domain
         "dsir": importance.importance_weights_sql(
             "documents", "d.doc_id % 13 = 0", n=2, n_buckets=997
         ),
+        "embed_neardup": """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), aug AS (
+  SELECT vec_id, e FROM emb
+  UNION ALL
+  SELECT vec_id + 100000, [-e[1]] || e[2:] FROM emb WHERE vec_id % 10 = 0
+), pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round(list_cosine_similarity(a.e, b.e), 6) AS cos_r6
+  FROM aug a, aug b WHERE a.vec_id < b.vec_id
+)
+SELECT a, b, cos_r6 FROM pairs WHERE cos_r6 >= 0.9
+""",
         # lsh_ann / ivf_ann: approximate float-rank ties —
         # intentionally rows-only checks.
     }

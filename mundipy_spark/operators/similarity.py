@@ -274,6 +274,30 @@ def ivf_topk(
     )
 
 
+def brute_force_near_dup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs near-duplicate baseline: (a, b, cos_r6) for every
+    unordered pair with round(cosine, 6) >= threshold — the exactness
+    yardstick for embedding_near_dup, the same role brute_force_topk
+    plays for the ANN paths. O(n^2): evaluation-scale inputs only (the
+    scale path is the LSH-bucketed variant below). One side broadcasts;
+    comparison happens on the ROUNDED value so the threshold cut is
+    reproducible across float summation orders."""
+    a = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm("va") * _norm("vb"))
+    return (
+        pairs.withColumn("cos_r6", F.round(cos, 6))
+        .filter(F.col("cos_r6") >= threshold)
+        .select("a", "b", "cos_r6")
+    )
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     threshold: float = 0.98,

@@ -269,3 +269,34 @@ def test_winnowing_guarantee_and_pairs(spark):
              fpx.fingerprint_candidate_pairs(fps).collect()}
     assert set(pairs) == {(0, 1)}
     assert pairs[(0, 1)] >= 1
+
+
+def test_brute_force_near_dup_exact_baseline(spark):
+    """brute_force_near_dup recovers exactly the planted twin pairs and
+    nothing else; the LSH path's pairs are a subset of it (it is the
+    exactness yardstick)."""
+    import numpy as np
+
+    from mundipy_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 64))
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    # twins: sign-flip one SMALL coordinate -> cosine just under 1
+    for i in range(0, 30, 10):
+        v = base[i].copy()
+        j = int(np.argmin(np.abs(v)))
+        v[j] = -v[j]
+        rows.append((100 + i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.a, r.b)
+        for r in similarity.brute_force_near_dup(df, threshold=0.9).collect()
+    }
+    assert got == {(0, 100), (10, 110), (20, 120)}
+
+    lsh = {
+        (r.a, r.b)
+        for r in similarity.embedding_near_dup(df, threshold=0.9).collect()
+    }
+    assert lsh <= got
