@@ -17,8 +17,12 @@ Scale shape (10^12 docs):
   merged into a single <=B-row table -> BROADCAST;
 - scoring is map-only: grams staged + exploded, bucket = fp % B
   computed in codegen, broadcast-LEFT-joined, one uniform doc_id agg
-  shuffle. Nothing text-sized crosses the wire; the raw corpus is
-  scanned exactly once for scoring.
+  shuffle. Nothing text-sized crosses the wire;
+- the raw corpus is scanned TWICE by default (once to count buckets,
+  once to score) — aggregate-then-join can't pipeline. At 10^12 docs
+  pass `raw_counts=` built from a deterministic sample
+  (operators/curation.sample), which is exactly the paper's fit-on-
+  held-out-sample shape and drops the second full scan.
 """
 
 from __future__ import annotations
@@ -74,16 +78,19 @@ def importance_weights(
     id_col: str = "doc_id",
     n: int = 2,
     n_buckets: int = 10007,
+    raw_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per raw doc: (id, n_grams, dsir_sum) with dsir_sum =
     sum over grams of ilog2(target_cnt[b]+1) - ilog2(raw_cnt[b]+1).
-    Consumers resample by dsir_sum / n_grams; both stay exact longs."""
+    Consumers resample by dsir_sum / n_grams; both stay exact longs.
+    `raw_counts` substitutes a precomputed/sampled (bucket, cnt) table
+    for the raw side (see module docstring on the 10^12-doc shape)."""
     t_cnt = bucket_counts(target, text_col, n, n_buckets).withColumnRenamed(
         "cnt", "t_cnt"
     )
-    r_cnt = bucket_counts(raw, text_col, n, n_buckets).withColumnRenamed(
-        "cnt", "r_cnt"
-    )
+    if raw_counts is None:
+        raw_counts = bucket_counts(raw, text_col, n, n_buckets)
+    r_cnt = raw_counts.withColumnRenamed("cnt", "r_cnt")
     model = t_cnt.join(r_cnt, on="bucket", how="full").select(
         "bucket",
         F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),

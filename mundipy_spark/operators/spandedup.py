@@ -28,9 +28,10 @@ Scale shape (10^12 docs):
   Spark's window count streams the buffered partition; if a single
   fp ever exceeds a partition's disk, pre-aggregate per (fp, doc_id)
   first (noted, not needed at tested scales);
-- coverage explode is bounded by n per gram and collapses immediately
-  in a distinct + doc_id agg (two more uniform-key shuffles of
-  two-long rows).
+- coverage explode is bounded by n per marked gram and collapses
+  immediately into ONE doc_id agg computing both countDistincts
+  (Expand doubles the agg input rows — three-long rows, one uniform
+  shuffle); the window subtree executes exactly once.
 """
 
 from __future__ import annotations
@@ -80,30 +81,31 @@ def duplicate_spans(
     marked = grams.withColumn(
         "_occ", F.count("*").over(Window.partitionBy("_fp"))
     ).filter(F.col("_occ") > 1)
-    dup_counts = marked.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_dup_grams")
-    )
-    covered = (
+    # BOTH per-doc stats come out of one pass over `marked` (start
+    # positions are unique per doc, so countDistinct(start) recovers the
+    # dup-gram count after the coverage explode) — the naive two-agg
+    # shape re-executed the whole scan+explode+window subtree twice
+    # (plan-asserted single Window in tests).
+    dup = (
         marked.select(
             id_col,
+            "start",
             F.explode(
                 F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
             ).alias("_tok"),
         )
-        .distinct()
         .groupBy(id_col)
-        .agg(F.count("*").cast("long").alias("dup_tokens"))
-    )
-    return (
-        totals.join(dup_counts, on=id_col, how="left")
-        .join(covered, on=id_col, how="left")
-        .select(
-            id_col,
-            "n_tokens",
-            "n_grams",
-            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
-            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        .agg(
+            F.countDistinct("start").cast("long").alias("n_dup_grams"),
+            F.countDistinct("_tok").cast("long").alias("dup_tokens"),
         )
+    )
+    return totals.join(dup, on=id_col, how="left").select(
+        id_col,
+        "n_tokens",
+        "n_grams",
+        F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
     )
 
 

@@ -133,3 +133,40 @@ def test_dsir_model_is_bounded_and_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert out.count() == 40
+
+
+def test_duplicate_spans_single_window_pass(spark, tmp_path):
+    """The fp-window subtree must execute once: the naive two-agg shape
+    re-ran scan+explode+window for the coverage count."""
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"w{i % 4} common words here w{i % 3}") for i in range(50)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = (
+        spandedup.duplicate_spans(docs, n=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") == 1
+    assert plan.count("Scan parquet") <= 2  # totals + grams
+
+
+def test_dsir_raw_counts_injection(spark):
+    """Precomputed raw_counts (the 10^12-doc sampled-fit path) gives
+    identical results when built from the full raw side."""
+    raw = spark.createDataFrame(
+        [(i, f"a{i % 5} b{i % 3} c common") for i in range(20)],
+        "doc_id long, text string",
+    )
+    target = raw.filter(F.col("doc_id") % 4 == 0)
+    full = importance.importance_weights(raw, target, n_buckets=97)
+    pre = importance.bucket_counts(raw, n=2, n_buckets=97)
+    inj = importance.importance_weights(
+        raw, target, n_buckets=97, raw_counts=pre
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, inj.collect())
+    )
