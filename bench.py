@@ -208,6 +208,30 @@ def main() -> None:
         3,
     )
 
+    # HTML->text extraction at replicated scale: the map-only first
+    # stage of the real pipeline (regexp chain in codegen; throughput
+    # here is the byte-bound extraction rate the 100 TB job pays per
+    # WARC payload). sum(length) forces every extracted byte.
+    from mundipy_spark.operators import html as _html
+
+    ex_pages = replicated_pages(spark, sf_dir, max(REPLICATION // 6, 1))
+    i = F.col("doc_id").cast("string")
+    p = entry_mod._HTML_WRAP_PARTS
+    ex_html = ex_pages.select(
+        F.concat(
+            F.lit(p[0]), i, F.lit(p[1]), i, F.lit(p[2]), i, F.lit(p[3]),
+            F.col("text"), F.lit(p[4]), i, F.lit(p[5]),
+        ).alias("html")
+    )
+    queries["extract_scan"] = round(
+        timed_best(
+            lambda: _html.extract_text(ex_html, html_col="html")
+            .agg(F.sum(F.length("text")))
+            .collect()[0][0]
+        ),
+        3,
+    )
+
     # operator suite at native SF (count() forces full execution)
     suite = {
         "tile_cells": entry_mod.q_tile_cells,
@@ -232,6 +256,11 @@ def main() -> None:
         "curate": entry_mod.q_curate,
         "pagerank": entry_mod.q_pagerank,
         "host_graph": entry_mod.q_host_graph,
+        "span_dedup": entry_mod.q_span_dedup,
+        "dsir": entry_mod.q_dsir,
+        # embed_neardup is the intentionally-quadratic exactness
+        # baseline — not a throughput query; the scale path
+        # (embedding_near_dup LSH) is recall-tested in pytest.
     }
     for name, fn in suite.items():
         queries[name] = round(
