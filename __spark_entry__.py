@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from mundipy_spark.functions import st
 from mundipy_spark.functions import text as tx
 from mundipy_spark.operators import (
+    classifier,
     curation,
     dedup,
     fingerprint as fpx,
@@ -968,6 +969,21 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language classifier (multinomial NB, integer-log2
+    scoring): model fit on the doc_id % 3 == 0 labeled slice, every
+    doc scored map-only against the broadcast model; prediction and
+    exact quantized log-posterior per doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    labeled = docs.filter(F.col("doc_id") % 3 == 0).withColumnRenamed(
+        "lang", "label"
+    )
+    token_model, class_stats = classifier.train_nb(labeled, min_count=2)
+    return classifier.nb_score(docs, token_model, class_stats)
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, exact baseline: every 10th vector
     gains a perturbed twin (first coordinate sign-flipped, cosine
@@ -1078,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "dsir": q_dsir,
         "embed_neardup": q_embed_neardup,
+        "nb_lang": q_nb_lang,
     }
 
 
@@ -1495,6 +1512,9 @@ WITH emb AS (
 )
 SELECT a, b, cos_r6 FROM pairs WHERE cos_r6 >= 0.9
 """,
+        "nb_lang": classifier.nb_classify_sql(
+            "documents", "d.doc_id % 3 = 0", min_count=2
+        ),
         # lsh_ann / ivf_ann: approximate float-rank ties —
         # intentionally rows-only checks.
     }

@@ -258,6 +258,7 @@ def main() -> None:
         "host_graph": entry_mod.q_host_graph,
         "span_dedup": entry_mod.q_span_dedup,
         "dsir": entry_mod.q_dsir,
+        "nb_lang": entry_mod.q_nb_lang,
         # embed_neardup is the intentionally-quadratic exactness
         # baseline — not a throughput query; the scale path
         # (embedding_near_dup LSH) is recall-tested in pytest.
