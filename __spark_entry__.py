@@ -969,6 +969,34 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl change detection between two crawl snapshots: the new
+    crawl drops every 11th URL, rewrites every 5th page's content,
+    and adds a /v2 page for every 7th — one full-outer shuffle on the
+    compact 56-bit URL key classifies added/removed/changed/
+    unchanged."""
+    pages = _pages(spark, sf_dir).select("doc_id", "url", "text")
+    old = pages.select(
+        F.col("url").alias("canon_url"),
+        tx.md5_int_expr(F.col("text")).alias("fingerprint"),
+    )
+    kept = pages.filter(F.col("doc_id") % 11 != 0)
+    changed = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" updated"))
+    ).otherwise(F.col("text"))
+    added = pages.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(F.col("url"), F.lit("/v2")).alias("canon_url"),
+        tx.md5_int_expr(F.concat(F.col("text"), F.lit(" v2"))).alias(
+            "fingerprint"
+        ),
+    )
+    new = kept.select(
+        F.col("url").alias("canon_url"),
+        tx.md5_int_expr(changed).alias("fingerprint"),
+    ).unionByName(added)
+    return weburl.snapshot_diff(old, new)
+
+
 def q_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained language classifier (multinomial NB, integer-log2
     scoring): model fit on the doc_id % 3 == 0 labeled slice, every
@@ -1095,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "embed_neardup": q_embed_neardup,
         "nb_lang": q_nb_lang,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -1515,6 +1544,33 @@ SELECT a, b, cos_r6 FROM pairs WHERE cos_r6 >= 0.9
         "nb_lang": classifier.nb_classify_sql(
             "documents", "d.doc_id % 3 = 0", min_count=2
         ),
+        "snapshot_diff": f"""
+WITH {pages_src.PAGES_SQL_CTE.strip()},
+o AS (
+  SELECT url AS canon_url, {tx.md5_int_sql('text')} AS fingerprint
+  FROM pages
+), n AS (
+  SELECT url AS canon_url,
+         {tx.md5_int_sql(
+             "CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END"
+         )} AS fingerprint
+  FROM pages WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT url || '/v2', {tx.md5_int_sql("text || ' v2'")}
+  FROM pages WHERE doc_id % 7 = 0
+), j AS (
+  SELECT o.canon_url AS ourl, n.canon_url AS nurl,
+         o.fingerprint AS old_fp, n.fingerprint AS new_fp
+  FROM o FULL OUTER JOIN n ON n.canon_url = o.canon_url
+)
+SELECT coalesce(ourl, nurl) AS canon_url,
+       CASE WHEN ourl IS NULL THEN 'added'
+            WHEN nurl IS NULL THEN 'removed'
+            WHEN old_fp <> new_fp THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       old_fp, new_fp
+FROM j
+""",
         # lsh_ann / ivf_ann: approximate float-rank ties —
         # intentionally rows-only checks.
     }

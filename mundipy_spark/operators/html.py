@@ -5,7 +5,8 @@ already-extracted text (mundipy operates on properties/geometries);
 this operator supplies the step that PRODUCES that text column from
 `html: binary`, keeping the per-url invariant: for well-formed body
 content the extracted text is byte-identical to the authored text
-(pinned by tests/test_html.py and the q_extract_text oracle).
+(pinned by tests/test_html_spandedup_dsir.py and the q_extract_text
+oracle).
 
 Pure-expression design (no UDF): a fixed chain of regexp_replace
 steps, every pattern written in the common subset of Java regex
@@ -111,3 +112,35 @@ def extract_text_sql(html_expr: str) -> str:
         s = f"regexp_replace({s}, {_sql_str(pat)}, {_sql_str(repl)}, 'g')"
     trim_pat = _sql_str(_TRIM_PAT)
     return f"regexp_replace({s}, {trim_pat}, '', 'g')"
+
+
+# <meta name=robots content=...noindex...> in either attribute order;
+# written without lookaround (RE2-safe) as two alternates.
+_NOINDEX_PAT = (
+    r"(?is)<meta\s[^>]*(?:"
+    r"name\s*=\s*[\"']?robots[\"']?[^>]*content\s*=\s*[\"']?[^\"'>]*noindex"
+    r"|"
+    r"content\s*=\s*[\"']?[^\"'>]*noindex[^>]*name\s*=\s*[\"']?robots"
+    r")"
+)
+
+
+def robots_noindex_expr(html: Column) -> Column:
+    """True when the page opts out of indexing via a robots meta tag —
+    the polite-corpus rule (REP, RFC 9309 family) every crawl-derived
+    training set applies before keeping a page."""
+    return html.rlike(_NOINDEX_PAT)
+
+
+def drop_noindex(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Map-only filter removing noindex pages (binary html decoded on
+    the fly; the predicate stays in codegen)."""
+    src = F.col(html_col)
+    if dict(pages.dtypes)[html_col] == "binary":
+        src = F.decode(src, "UTF-8")
+    return pages.filter(~robots_noindex_expr(src))
+
+
+def robots_noindex_sql(html_expr: str) -> str:
+    """DuckDB twin of robots_noindex_expr."""
+    return f"regexp_matches({html_expr}, {_sql_str(_NOINDEX_PAT)})"

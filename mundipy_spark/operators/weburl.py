@@ -101,3 +101,66 @@ def recrawl_dedup(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "canon_url",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Recrawl change detection between two crawl snapshots (already
+    collapsed per canonical URL, e.g. by recrawl_dedup): one row per
+    URL present in either snapshot with status 'added' / 'removed' /
+    'changed' / 'unchanged' plus both content fingerprints.
+
+    Scale shape: ONE full-outer shuffle join keyed by the compact
+    56-bit hash of the canonical URL (functions/text.md5_int_expr) —
+    the string key never becomes the shuffle key (the r01 text-keyed-
+    join lesson); each side carries (key, url, fp) only. Freshness
+    dashboards and selective-recrawl schedulers are the consumers."""
+    from mundipy_spark.functions import text as tx
+
+    o = old.select(
+        tx.md5_int_expr(F.col(url_col)).alias("_k"),
+        F.col(url_col).alias("_ourl"),
+        F.col(fp_col).alias("old_fp"),
+    )
+    n = new.select(
+        tx.md5_int_expr(F.col(url_col)).alias("_k"),
+        F.col(url_col).alias("_nurl"),
+        F.col(fp_col).alias("new_fp"),
+    )
+    joined = o.join(n, on="_k", how="full")
+    status = (
+        F.when(F.col("_ourl").isNull(), F.lit("added"))
+        .when(F.col("_nurl").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.coalesce("_ourl", "_nurl").alias(url_col),
+        status.alias("status"),
+        "old_fp",
+        "new_fp",
+    )
+
+
+def snapshot_diff_sql(old_sql: str, new_sql: str, url_col: str = "canon_url") -> str:
+    """DuckDB twin: `old_sql` / `new_sql` are subqueries yielding
+    (canon_url, fingerprint)."""
+    return f"""
+WITH o AS ({old_sql}), n AS ({new_sql}),
+j AS (
+  SELECT o.{url_col} AS ourl, n.{url_col} AS nurl,
+         o.fingerprint AS old_fp, n.fingerprint AS new_fp
+  FROM o FULL OUTER JOIN n ON n.{url_col} = o.{url_col}
+)
+SELECT coalesce(ourl, nurl) AS {url_col},
+       CASE WHEN ourl IS NULL THEN 'added'
+            WHEN nurl IS NULL THEN 'removed'
+            WHEN old_fp <> new_fp THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       old_fp, new_fp
+FROM j
+"""

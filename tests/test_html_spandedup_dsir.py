@@ -170,3 +170,60 @@ def test_dsir_raw_counts_injection(spark):
     assert sorted(map(tuple, full.collect())) == sorted(
         map(tuple, inj.collect())
     )
+
+
+def test_robots_noindex_both_attribute_orders(spark):
+    samples = [
+        ('<meta name="robots" content="noindex, nofollow">', True),
+        ("<META CONTENT='NOINDEX' NAME='ROBOTS'>", True),
+        ('<meta name="robots" content="index, follow">', False),
+        ('<meta name="viewport" content="noindex-like">', False),
+        ("no meta at all", False),
+        ('<meta name=robots content=noindex>', True),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(samples)], "i int, html string"
+    )
+    got = {
+        r.i: r.f
+        for r in df.select(
+            "i", H.robots_noindex_expr(F.col("html")).alias("f")
+        ).collect()
+    }
+    assert got == {i: want for i, (_, want) in enumerate(samples)}
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s(i int, html varchar)")
+    con.executemany(
+        "INSERT INTO s VALUES (?, ?)", [(i, s) for i, (s, _) in enumerate(samples)]
+    )
+    dk = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT i, {H.robots_noindex_sql('html')} FROM s"
+        ).fetchall()
+    }
+    assert dk == got
+
+
+def test_snapshot_diff_statuses(spark):
+    from mundipy_spark.operators import weburl
+
+    old = spark.createDataFrame(
+        [("u1", 10), ("u2", 20), ("u3", 30)], "canon_url string, fingerprint long"
+    )
+    new = spark.createDataFrame(
+        [("u1", 10), ("u2", 99), ("u4", 40)], "canon_url string, fingerprint long"
+    )
+    got = {
+        r.canon_url: r.status
+        for r in weburl.snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        "u1": "unchanged",
+        "u2": "changed",
+        "u3": "removed",
+        "u4": "added",
+    }
