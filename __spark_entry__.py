@@ -969,6 +969,34 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text vocabulary per linked-to domain: synthetic pages
+    carry one cross-host anchor ("read <word> now", word varying per
+    page) and one root-relative self anchor; map-only extraction +
+    ONE (domain, term) partial-agg shuffle."""
+    hosts = F.array(*[F.lit(h) for h in _DOMAIN_HOSTS])
+    src_host = F.element_at(hosts, (F.col("doc_id") % 8 + 1).cast("int"))
+    dst_host = F.element_at(hosts, (F.col("doc_id") * 3 % 8 + 1).cast("int"))
+    word = F.element_at(F.split(F.col("text"), " "), 1)
+    pages = _pages(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://"), src_host, F.lit("/p/"), F.col("doc_id")
+        ).alias("url"),
+        F.concat(
+            F.lit('<a href="https://'),
+            dst_host,
+            F.lit("/x/"),
+            (F.col("doc_id") * 7 + 1).cast("string"),
+            F.lit('">read '),
+            word,
+            F.lit(' now</a><a href="/self/'),
+            F.col("doc_id"),
+            F.lit('">home page</a>'),
+        ).alias("html_text"),
+    )
+    return weblinks.anchor_terms(pages)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl change detection between two crawl snapshots: the new
     crawl drops every 11th URL, rewrites every 5th page's content,
@@ -1124,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "nb_lang": q_nb_lang,
         "snapshot_diff": q_snapshot_diff,
+        "anchor_text": q_anchor_text,
     }
 
 
@@ -1543,6 +1572,21 @@ SELECT a, b, cos_r6 FROM pairs WHERE cos_r6 >= 0.9
 """,
         "nb_lang": classifier.nb_classify_sql(
             "documents", "d.doc_id % 3 = 0", min_count=2
+        ),
+        "anchor_text": weblinks.anchor_terms_sql(
+            f"""
+WITH {pages_src.PAGES_SQL_CTE.strip()}
+SELECT 'https://' ||
+       (['{"', '".join(_DOMAIN_HOSTS)}'])[CAST(doc_id % 8 AS INT) + 1]
+         || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+       '<a href="https://' ||
+       (['{"', '".join(_DOMAIN_HOSTS)}'])[CAST(doc_id * 3 % 8 AS INT) + 1]
+         || '/x/' || CAST(doc_id * 7 + 1 AS VARCHAR)
+         || '">read ' || string_split(text, ' ')[1]
+         || ' now</a><a href="/self/' || CAST(doc_id AS VARCHAR)
+         || '">home page</a>' AS html_text
+FROM pages
+"""
         ),
         "snapshot_diff": f"""
 WITH {pages_src.PAGES_SQL_CTE.strip()},

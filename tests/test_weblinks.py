@@ -42,3 +42,34 @@ def test_host_edges_weights_and_self_drop(spark):
         for r in weblinks.host_edges(df).collect()
     }
     assert got == {("a.org", "b.org"): 2, ("b.org", "a.org"): 1}
+
+
+def test_anchor_terms_resolution_and_cleanup(spark):
+    """Anchors resolve like links (absolute / protocol-relative /
+    root-relative; path-relative dropped); inner markup is stripped,
+    case folded, whitespace collapsed."""
+    from mundipy_spark.operators import weblinks
+
+    html = (
+        '<a href="https://other.example.com/a">Read <b>This</b>  Now</a>'
+        '<a href="//cdn.example.net/b">CDN   page</a>'
+        '<a href="/local/c">Local Page</a>'
+        '<a href="relative/d">dropped anchor</a>'
+        '<a href="https://other.example.com/e"><img src="x"></a>'
+    )
+    pages = spark.createDataFrame(
+        [("https://www.site.org/p/1", html)], "url string, html_text string"
+    )
+    got = {
+        (r.dst_domain, r.term): r.n
+        for r in weblinks.anchor_terms(pages).collect()
+    }
+    assert got == {
+        ("example.com", "read"): 1,
+        ("example.com", "this"): 1,
+        ("example.com", "now"): 1,
+        ("example.net", "cdn"): 1,
+        ("example.net", "page"): 1,
+        ("site.org", "local"): 1,
+        ("site.org", "page"): 1,
+    }
