@@ -162,3 +162,28 @@ def canon_dedup_stream(
     return canon.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["canon_url"]
     )
+
+
+def ingest_stream(
+    pages_stream: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming crawl ingestion — the arrival path of a continuously
+    updated corpus: meta-robots opt-outs drop, text is extracted from
+    the html payload (both stateless map-side codegen,
+    operators/html.py), and recrawls collapse on the canonical URL.
+    The ONLY state is the dropDuplicatesWithinWatermark store keyed by
+    canon_url, bounded by the watermark horizon; html dies at the
+    extraction projection and never enters state."""
+    from mundipy_spark.operators import html as html_ops
+
+    kept = html_ops.drop_noindex(pages_stream, html_col=html_col)
+    extracted = html_ops.extract_text(
+        kept, html_col=html_col, out_col="text"
+    ).drop(html_col)
+    return canon_dedup_stream(
+        extracted, url_col=url_col, ts_col=ts_col, watermark=watermark
+    )

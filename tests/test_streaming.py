@@ -189,3 +189,59 @@ def test_canon_dedup_stream_collapses_messy_variants(spark):
         assert nc == n
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ingest_stream_extracts_filters_and_collapses(spark):
+    """Streaming ingestion: noindex pages drop, text extracts
+    byte-identically from the html payload, recrawl variants collapse
+    on the canonical url."""
+    from mundipy_spark.streaming.stream_ops import ingest_stream
+
+    base = pages_src.synth_pages(spark, SF).limit(200).select(
+        "doc_id", "url", "warc_ts", "text"
+    )
+    wrapped = base.withColumn(
+        "html",
+        F.encode(
+            F.concat(
+                F.when(
+                    F.col("doc_id") % 10 == 0,
+                    F.lit('<meta name="robots" content="noindex">'),
+                ).otherwise(F.lit("")),
+                F.lit("<h1>t</h1><p>"),
+                F.col("text"),
+                F.lit("</p>"),
+            ),
+            "UTF-8",
+        ),
+    )
+    messy = wrapped.withColumn(
+        "url",
+        F.regexp_replace(
+            F.col("url"), r"^https://example\.org/", "HTTPS://WWW.Example.ORG:443/"
+        ),
+    ).withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 3 SECONDS"))
+    both = wrapped.unionByName(messy).withColumnRenamed("text", "authored")
+    tmp = tempfile.mkdtemp(prefix="ingest_stream_")
+    try:
+        both.write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(both.schema).parquet(f"{tmp}/in")
+        out = ingest_stream(stream)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ingest_out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("SELECT * FROM ingest_out").collect()
+        n_docs = {r.doc_id for r in rows}
+        # noindex pages gone, each surviving doc exactly once
+        assert all(d % 10 != 0 for d in n_docs)
+        assert len(rows) == len(n_docs) == 180
+        # per-url invariant holds through the stream
+        assert all(r.text == "t\n" + r.authored for r in rows)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
