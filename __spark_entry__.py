@@ -36,6 +36,7 @@ from mundipy_spark.operators import (
     spandedup,
     pagerank,
     paragraphs,
+    quality,
     scrub,
     sessions,
     similarity,
@@ -969,6 +970,22 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule gate (Rae et al. 2021 thresholds) — every 4th doc
+    is expanded 4x so the word-count rule splits the corpus; all seven
+    signals computed within the row, zero shuffles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.repeat(F.concat(F.col("text"), F.lit(" ")), 4),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return quality.gopher_rules(docs)
+
+
 def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text vocabulary per linked-to domain: synthetic pages
     carry one cross-host anchor ("read <word> now", word varying per
@@ -1153,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang": q_nb_lang,
         "snapshot_diff": q_snapshot_diff,
         "anchor_text": q_anchor_text,
+        "gopher": q_gopher,
     }
 
 
@@ -1572,6 +1590,11 @@ SELECT a, b, cos_r6 FROM pairs WHERE cos_r6 >= 0.9
 """,
         "nb_lang": classifier.nb_classify_sql(
             "documents", "d.doc_id % 3 = 0", min_count=2
+        ),
+        "gopher": quality.gopher_rules_sql(
+            "(SELECT doc_id, CASE WHEN doc_id % 4 = 0"
+            " THEN repeat(text || ' ', 4) ELSE text END AS text"
+            " FROM documents)"
         ),
         "anchor_text": weblinks.anchor_terms_sql(
             f"""
