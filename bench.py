@@ -259,6 +259,10 @@ def main() -> None:
         "span_dedup": entry_mod.q_span_dedup,
         "dsir": entry_mod.q_dsir,
         "nb_lang": entry_mod.q_nb_lang,
+        "gopher": entry_mod.q_gopher,
+        "snapshot_diff": entry_mod.q_snapshot_diff,
+        "anchor_text": entry_mod.q_anchor_text,
+        "extract_text": entry_mod.q_extract_text,
         # embed_neardup is the intentionally-quadratic exactness
         # baseline — not a throughput query; the scale path
         # (embedding_near_dup LSH) is recall-tested in pytest.
