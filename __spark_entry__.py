@@ -986,6 +986,29 @@ def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.gopher_rules(docs)
 
 
+def q_curate_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline with the Gopher rule gate prepended (still
+    one corpus scan — the gate is a carry-through projection); same 4x
+    expansion as q_gopher so the word-count rule bites."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.repeat(F.concat(F.col("text"), F.lit(" ")), 4),
+                F.lit("and of the"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    # keep_ratio 0.2: the 4x self-repetition leaves ~1/4 of each
+    # surviving doc's windows as first occurrences; the stop-word tail
+    # satisfies the n_stop >= 2 rule the synthetic vocab lacks
+    return curate_plan.curate(docs, gopher=True, keep_ratio_tenths=2)
+
+
 def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text vocabulary per linked-to domain: synthetic pages
     carry one cross-host anchor ("read <word> now", word varying per
@@ -1171,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "anchor_text": q_anchor_text,
         "gopher": q_gopher,
+        "curate_gopher": q_curate_gopher,
     }
 
 
@@ -1590,6 +1614,13 @@ SELECT a, b, cos_r6 FROM pairs WHERE cos_r6 >= 0.9
 """,
         "nb_lang": classifier.nb_classify_sql(
             "documents", "d.doc_id % 3 = 0", min_count=2
+        ),
+        "curate_gopher": curate_plan.curate_sql(
+            "(SELECT doc_id, CASE WHEN doc_id % 4 = 0"
+            " THEN repeat(text || ' ', 4) || 'and of the' ELSE text END"
+            " AS text, lang FROM documents)",
+            gopher=True,
+            keep_ratio_tenths=2,
         ),
         "gopher": quality.gopher_rules_sql(
             "(SELECT doc_id, CASE WHEN doc_id % 4 = 0"

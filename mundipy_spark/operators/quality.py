@@ -28,13 +28,19 @@ BULLETS = ["-", "*", "•"]
 
 
 def gopher_rules(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per doc: the seven signals, each rule's boolean, and `keep` =
-    AND of all rules."""
+    AND of all rules. `carry` columns pass through untouched so the
+    gate composes into pipelines as a pure projection (no join-back
+    needed to recover the text)."""
     text = F.col(text_col)
     staged = docs.select(
         id_col,
+        *carry,
         F.split(F.trim(text), r"\s+").alias("_toks"),
         F.split(text, r"\n").alias("_lines"),
         (
@@ -65,6 +71,7 @@ def gopher_rules(
     sym_ratio = F.col("_symbols") / n
     out = staged.select(
         id_col,
+        *carry,
         n.cast("long").alias("n_words"),
         F.round(mean_len, 6).alias("mean_word_len"),
         F.round(sym_ratio, 6).alias("symbol_ratio"),
@@ -91,21 +98,25 @@ def gopher_rules(
 
 
 def gopher_rules_sql(
-    docs_table: str, text_col: str = "text", id_col: str = "doc_id"
+    docs_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
 ) -> str:
     """DuckDB twin (same tokenizer, same thresholds, same rounding)."""
     stops = ", ".join(f"'{w}'" for w in STOP_WORDS)
     bullets = ", ".join(f"'{b}'" for b in BULLETS)
+    cq = "".join(f"{c}, " for c in carry)
     return f"""
 WITH s AS (
-  SELECT {id_col},
+  SELECT {id_col}, {cq}
          regexp_split_to_array(trim({text_col}), '\\s+') AS t,
          string_split({text_col}, chr(10)) AS l,
          len(regexp_extract_all({text_col}, '#'))
            + len(regexp_extract_all({text_col}, '\\.\\.\\.')) AS symbols
   FROM {docs_table}
 ), m AS (
-  SELECT {id_col},
+  SELECT {id_col}, {cq}
          CAST(len(t) AS BIGINT) AS n_words,
          round(length(array_to_string(t, '')) * 1.0 / len(t), 6) AS mean_word_len,
          round(symbols * 1.0 / len(t), 6) AS symbol_ratio,

@@ -32,11 +32,21 @@ def curate(
     keep_ratio_tenths: int = 3,
     eval_mod: int = 97,
     ngram: int = 8,
+    gopher: bool = False,
 ) -> DataFrame:
     """Per surviving doc: (id, n_grams, n_hits, selected) where
     selected = passed every gate AND not contaminated. Docs failing
     the language/quality/keep-ratio gates are absent from the output
-    (they were filtered before decontamination, the expensive stage)."""
+    (they were filtered before decontamination, the expensive stage).
+    `gopher=True` prepends the Rae et al. rule gate — a pure
+    projection (quality.gopher_rules carry-through), so the pipeline
+    stays one corpus scan."""
+    if gopher:
+        from mundipy_spark.operators.quality import gopher_rules
+
+        docs = gopher_rules(
+            docs, text_col=text_col, id_col=id_col, carry=(text_col, "lang")
+        ).filter(F.col("keep"))
     qual = docs.filter(
         F.col("lang").isin(*langs)
         & (tx.quality_score_expr(F.col(text_col)) >= min_quality)
@@ -73,9 +83,20 @@ def curate_sql(
     keep_ratio_tenths: int = 3,
     eval_mod: int = 97,
     ngram: int = 8,
+    gopher: bool = False,
 ) -> str:
     """DuckDB twin: the same stages composed from each operator's own
     SQL builder (nested WITH subqueries reference the outer CTEs)."""
+    if gopher:
+        from mundipy_spark.operators.quality import gopher_rules_sql
+
+        table = (
+            f"(SELECT {id_col}, {text_col}, lang FROM ("
+            + gopher_rules_sql(
+                table, text_col=text_col, id_col=id_col, carry=(text_col, "lang")
+            )
+            + ") WHERE keep)"
+        )
     lang_list = ", ".join(f"'{l}'" for l in langs)
     inner = decontam.decontaminate_sql(
         "sel",

@@ -227,3 +227,55 @@ def test_snapshot_diff_statuses(spark):
         "u3": "removed",
         "u4": "added",
     }
+
+
+def test_extract_text_cross_engine_fuzz(spark):
+    """Randomized Spark-vs-DuckDB parity over adversarial html-ish
+    strings: tags, partial tags, entities, script/style/comment
+    fragments, mixed whitespace. Guards the Java-regex/RE2
+    common-subset claim the value-exact oracle rests on."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(1234)
+    frags = [
+        "<p>", "</p>", "<div >", "</div>", "<br/>", "<br >", "<BR>",
+        "<script>", "</script>", "<style>", "</style>", "<!--", "-->",
+        "<a href='x'>", "</a>", "<h1 class='t'>", "</h1>", "<li>", "</li>",
+        "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;", "&amp;lt;",
+        "word", "two words", "  ", "\t", "\n", "\r\n", "...", "#", "<",
+        ">", "x<y", "a&b", "<p", "p>", "<>", "</>", "<!---->",
+        '<meta name="robots" content="noindex">',
+        "<meta content='noindex' name='robots'>",
+    ]
+    samples = []
+    for _ in range(300):
+        k = rng.randint(0, 12)
+        samples.append("".join(rng.choice(frags) for _ in range(k)))
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i int, html string"
+    )
+    srows = {
+        r.i: (r.t, r.n)
+        for r in df.select(
+            "i",
+            H.extract_text_expr(F.col("html")).alias("t"),
+            H.robots_noindex_expr(F.col("html")).alias("n"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s(i int, html varchar)")
+    con.executemany("INSERT INTO s VALUES (?, ?)", list(enumerate(samples)))
+    drows = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT i, {H.extract_text_sql('html')}, {H.robots_noindex_sql('html')} FROM s"
+        ).fetchall()
+    }
+    bad = [
+        (i, samples[i], srows[i], drows[i])
+        for i in range(len(samples))
+        if srows[i] != drows[i]
+    ]
+    assert not bad, bad[:3]
