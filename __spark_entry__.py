@@ -37,6 +37,7 @@ from mundipy_spark.operators import (
     pagerank,
     paragraphs,
     quality,
+    robots,
     scrub,
     sessions,
     similarity,
@@ -986,6 +987,33 @@ def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.gopher_rules(docs)
 
 
+def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt gate over rehosted URLs: each of the 8 hosts
+    publishes a deterministic policy (Disallow /p/1, Allow /p/1<i> —
+    longest match reprieves one decade per host); broadcast rules,
+    zero shuffles on the URL stream."""
+    hosts = F.array(*[F.lit(h) for h in _DOMAIN_HOSTS])
+    urls = _pages(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.element_at(hosts, (F.col("doc_id") % 8 + 1).cast("int")),
+            F.lit("/p/"),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    robots_df = spark.range(8).select(
+        F.element_at(hosts, (F.col("id") + 1).cast("int")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /p/1\nAllow: /p/1"),
+            F.col("id").cast("string"),
+            F.lit("\nUser-agent: other\nDisallow: /\n"),
+        ).alias("body"),
+    )
+    rules = robots.parse_robots(robots_df)
+    return robots.robots_allowed(urls, rules)
+
+
 def q_curate_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipeline with the Gopher rule gate prepended (still
     one corpus scan — the gate is a carry-through projection); same 4x
@@ -1195,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,
         "gopher": q_gopher,
         "curate_gopher": q_curate_gopher,
+        "robots": q_robots,
     }
 
 
@@ -1614,6 +1643,19 @@ SELECT a, b, cos_r6 FROM pairs WHERE cos_r6 >= 0.9
 """,
         "nb_lang": classifier.nb_classify_sql(
             "documents", "d.doc_id % 3 = 0", min_count=2
+        ),
+        "robots": robots.robots_allowed_sql(
+            f"""WITH {pages_src.PAGES_SQL_CTE.strip()}
+SELECT doc_id,
+       'https://' ||
+       (['{"', '".join(_DOMAIN_HOSTS)}'])[CAST(doc_id % 8 AS INT) + 1]
+         || '/p/' || CAST(doc_id AS VARCHAR) AS url
+FROM pages""",
+            f"""SELECT (['{"', '".join(_DOMAIN_HOSTS)}'])[CAST(i AS INT) + 1] AS host,
+       'User-agent: *' || chr(10) || 'Disallow: /p/1' || chr(10)
+         || 'Allow: /p/1' || CAST(i AS VARCHAR) || chr(10)
+         || 'User-agent: other' || chr(10) || 'Disallow: /' || chr(10) AS body
+FROM range(8) t(i)""",
         ),
         "curate_gopher": curate_plan.curate_sql(
             "(SELECT doc_id, CASE WHEN doc_id % 4 = 0"

@@ -1,0 +1,84 @@
+"""RFC 9309 robots.txt parsing + longest-match URL evaluation."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from mundipy_spark.operators import robots as R
+
+ROBOTS = """# corpus crawler policy
+User-agent: googlebot
+Disallow: /
+
+User-agent: *
+Disallow: /private/
+Allow: /private/pub/
+Disallow: /tmp
+Disallow:
+Allow: /private/pub/deep/  # trailing comment
+"""
+
+URLS = [
+    ("https://site.org/", True),            # no matching rule
+    ("https://site.org/private/a", False),  # disallow /private/
+    ("https://site.org/private/pub/x", True),   # longer allow wins
+    ("https://site.org/private/pub/deep/y", True),
+    ("https://site.org/tmpfile", False),    # prefix match, no slash needed
+    ("https://site.org/public", True),
+    ("https://other.org/private/a", True),  # host without robots
+    ("https://SITE.org/private/b", False),  # host case-folded
+]
+
+
+def _frames(spark):
+    robots = spark.createDataFrame(
+        [("site.org", ROBOTS)], "host string, body string"
+    )
+    urls = spark.createDataFrame([(u,) for u, _ in URLS], "url string")
+    return robots, urls
+
+
+def test_parse_robots_star_group_only(spark):
+    robots, _ = _frames(spark)
+    rules = {
+        (r.allow, r.prefix) for r in R.parse_robots(robots).collect()
+    }
+    assert rules == {
+        (False, "/private/"),
+        (True, "/private/pub/"),
+        (False, "/tmp"),
+        (True, "/private/pub/deep/"),
+    }
+
+
+def test_robots_allowed_longest_match(spark):
+    robots, urls = _frames(spark)
+    rules = R.parse_robots(robots)
+    got = {r.url: r.allowed for r in R.robots_allowed(urls, rules).collect()}
+    assert got == {u: want for u, want in URLS}
+
+
+def test_robots_url_stream_never_shuffles(spark):
+    robots, urls = _frames(spark)
+    rules = R.parse_robots(robots)
+    plan = (
+        R.robots_allowed(urls, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_robots_cross_engine_parity(spark):
+    robots, urls = _frames(spark)
+    sdf = R.robots_allowed(urls, R.parse_robots(robots))
+    srows = {r.url: (r.host, r.path, r.allowed) for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r(host varchar, body varchar)")
+    con.execute("INSERT INTO r VALUES (?, ?)", ["site.org", ROBOTS])
+    con.execute("CREATE TABLE u(url varchar)")
+    con.executemany("INSERT INTO u VALUES (?)", [(u,) for u, _ in URLS])
+    q = R.robots_allowed_sql("SELECT url FROM u", "SELECT host, body FROM r")
+    drows = {r[0]: (r[1], r[2], r[3]) for r in con.execute(q).fetchall()}
+    assert srows == drows
