@@ -36,6 +36,7 @@ from mundipy_spark.operators import (
     spandedup,
     pagerank,
     paragraphs,
+    frontier,
     quality,
     robots,
     scrub,
@@ -1014,6 +1015,26 @@ def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots.robots_allowed(urls, rules)
 
 
+def q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-sharded crawl frontier: 8 hosts, 3 fetches per host
+    per round, 15-round queue-depth cap; one host-keyed window
+    shuffle."""
+    hosts = F.array(*[F.lit(h) for h in _DOMAIN_HOSTS])
+    urls = _pages(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.element_at(hosts, (F.col("doc_id") % 8 + 1).cast("int")),
+            F.lit("/p/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        ((F.col("doc_id") * 37) % 101).cast("long").alias("priority"),
+    )
+    return frontier.schedule_frontier(
+        urls, k_per_round=3, max_rounds=15
+    )
+
+
 def q_curate_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipeline with the Gopher rule gate prepended (still
     one corpus scan — the gate is a carry-through projection); same 4x
@@ -1224,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher": q_gopher,
         "curate_gopher": q_curate_gopher,
         "robots": q_robots,
+        "frontier": q_frontier,
     }
 
 
@@ -1643,6 +1665,17 @@ SELECT a, b, cos_r6 FROM pairs WHERE cos_r6 >= 0.9
 """,
         "nb_lang": classifier.nb_classify_sql(
             "documents", "d.doc_id % 3 = 0", min_count=2
+        ),
+        "frontier": frontier.schedule_frontier_sql(
+            f"""WITH {pages_src.PAGES_SQL_CTE.strip()}
+SELECT doc_id,
+       'https://' ||
+       (['{"', '".join(_DOMAIN_HOSTS)}'])[CAST(doc_id % 8 AS INT) + 1]
+         || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST((doc_id * 37) % 101 AS BIGINT) AS priority
+FROM pages""",
+            k_per_round=3,
+            max_rounds=15,
         ),
         "robots": robots.robots_allowed_sql(
             f"""WITH {pages_src.PAGES_SQL_CTE.strip()}

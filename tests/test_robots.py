@@ -82,3 +82,28 @@ def test_robots_cross_engine_parity(spark):
     q = R.robots_allowed_sql("SELECT url FROM u", "SELECT host, body FROM r")
     drows = {r[0]: (r[1], r[2], r[3]) for r in con.execute(q).fetchall()}
     assert srows == drows
+
+
+def test_frontier_politeness_rounds(spark):
+    """k URLs per host per round, priority-ordered, cap drops the
+    tail."""
+    from mundipy_spark.operators import frontier
+
+    rows = [
+        (f"https://h{i % 2}.org/p/{i}", float(100 - i)) for i in range(10)
+    ]
+    urls = spark.createDataFrame(rows, "url string, priority double")
+    out = frontier.schedule_frontier(urls, k_per_round=2, max_rounds=2).collect()
+    by_host_round = {}
+    for r in out:
+        by_host_round.setdefault((r.host, r.round), []).append(r)
+    # cap: at most 2 rounds of 2 per host -> 8 rows total
+    assert len(out) == 8
+    for (_, rnd), grp in by_host_round.items():
+        assert rnd <= 2 and len(grp) <= 2
+    # within a host, earlier rounds hold strictly higher-or-equal
+    # priority than later rounds
+    for host in ("h0.org", "h1.org"):
+        r1 = [r.priority for r in by_host_round[(host, 1)]]
+        r2 = [r.priority for r in by_host_round[(host, 2)]]
+        assert min(r1) >= max(r2)
