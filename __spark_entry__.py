@@ -49,6 +49,7 @@ from mundipy_spark.operators import (
 from mundipy_spark.plans import curate as curate_plan
 from mundipy_spark.plans import pipeline
 from mundipy_spark.sources import pages as pages_src
+from mundipy_spark.sources import zorder
 
 # deterministic probe cities for the kNN query
 CITIES = [
@@ -1015,6 +1016,17 @@ def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots.robots_allowed(urls, rules)
 
 
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton locality codes for every geoparsed page — the sort key
+    of the Z-ordered layout (sources/zorder.py); pure bit arithmetic,
+    value-exact across engines."""
+    geo = _geo_pages(spark, sf_dir)
+    return geo.select(
+        "doc_id",
+        zorder.morton_expr(F.col("lon"), F.col("lat")).alias("z"),
+    )
+
+
 def q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-sharded crawl frontier: 8 hosts, 3 fetches per host
     per round, 15-round queue-depth cap; one host-keyed window
@@ -1246,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_gopher": q_curate_gopher,
         "robots": q_robots,
         "frontier": q_frontier,
+        "zorder": q_zorder,
     }
 
 
@@ -1666,6 +1679,10 @@ SELECT a, b, cos_r6 FROM pairs WHERE cos_r6 >= 0.9
         "nb_lang": classifier.nb_classify_sql(
             "documents", "d.doc_id % 3 = 0", min_count=2
         ),
+        "zorder": f"""
+{GEO_SQL_CTE}
+SELECT doc_id, {zorder.morton_sql('lon', 'lat')} AS z FROM geo
+""",
         "frontier": frontier.schedule_frontier_sql(
             f"""WITH {pages_src.PAGES_SQL_CTE.strip()}
 SELECT doc_id,
