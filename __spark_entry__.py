@@ -1016,6 +1016,28 @@ def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots.robots_allowed(urls, rules)
 
 
+def q_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source token-count quartiles (corpus length
+    distribution — the curation dashboard every pipeline keeps).
+    EXACT percentile (sort-based, linear interpolation — identical
+    definition in Spark `percentile` and DuckDB `quantile_cont`), one
+    shuffle keyed by source; at 10^12 docs swap in approx_percentile
+    for the sketch path (documented tradeoff)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tx.token_count_expr(F.col("text")).cast("double")
+    return (
+        docs.select("source", toks.alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.percentile(F.col("t"), F.lit(0.25)), 6).alias("q25"),
+            F.round(F.percentile(F.col("t"), F.lit(0.5)), 6).alias("q50"),
+            F.round(F.percentile(F.col("t"), F.lit(0.75)), 6).alias("q75"),
+            F.max(F.col("t")).cast("long").alias("t_max"),
+        )
+    )
+
+
 def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton locality codes for every geoparsed page — the sort key
     of the Z-ordered layout (sources/zorder.py); pure bit arithmetic,
@@ -1259,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots": q_robots,
         "frontier": q_frontier,
         "zorder": q_zorder,
+        "len_quantiles": q_len_quantiles,
     }
 
 
@@ -1679,6 +1702,19 @@ SELECT a, b, cos_r6 FROM pairs WHERE cos_r6 >= 0.9
         "nb_lang": classifier.nb_classify_sql(
             "documents", "d.doc_id % 3 = 0", min_count=2
         ),
+        "len_quantiles": f"""
+WITH t AS (
+  SELECT source, CAST({tx.token_count_sql('text')} AS DOUBLE) AS t
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(t, 0.25), 6) AS q25,
+       round(quantile_cont(t, 0.5), 6) AS q50,
+       round(quantile_cont(t, 0.75), 6) AS q75,
+       CAST(max(t) AS BIGINT) AS t_max
+FROM t GROUP BY source
+""",
         "zorder": f"""
 {GEO_SQL_CTE}
 SELECT doc_id, {zorder.morton_sql('lon', 'lat')} AS z FROM geo
