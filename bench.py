@@ -263,6 +263,11 @@ def main() -> None:
         "snapshot_diff": entry_mod.q_snapshot_diff,
         "anchor_text": entry_mod.q_anchor_text,
         "extract_text": entry_mod.q_extract_text,
+        "robots": entry_mod.q_robots,
+        "frontier": entry_mod.q_frontier,
+        "zorder": entry_mod.q_zorder,
+        "len_quantiles": entry_mod.q_len_quantiles,
+        "curate_gopher": entry_mod.q_curate_gopher,
         # embed_neardup is the intentionally-quadratic exactness
         # baseline — not a throughput query; the scale path
         # (embedding_near_dup LSH) is recall-tested in pytest.
