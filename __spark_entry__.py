@@ -32,6 +32,7 @@ from mundipy_spark.operators import (
     html as html_ops,
     importance,
     joins,
+    kmeans,
     lm,
     spandedup,
     pagerank,
@@ -1016,6 +1017,15 @@ def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots.robots_allowed(urls, rules)
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer k-means over the embeddings (SemDeDup's
+    clustering stage): 3 Lloyd rounds, k=4, assignments value-exact
+    vs the unrolled-CTE DuckDB twin (the second ITERATIVE exact
+    operator next to pagerank)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans.kmeans_assign(emb, k=4, iterations=3)
+
+
 def q_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-source token-count quartiles (corpus length
     distribution — the curation dashboard every pipeline keeps).
@@ -1282,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier": q_frontier,
         "zorder": q_zorder,
         "len_quantiles": q_len_quantiles,
+        "kmeans": q_kmeans,
     }
 
 
@@ -1701,6 +1712,9 @@ SELECT a, b, cos_r6 FROM pairs WHERE cos_r6 >= 0.9
 """,
         "nb_lang": classifier.nb_classify_sql(
             "documents", "d.doc_id % 3 = 0", min_count=2
+        ),
+        "kmeans": kmeans.kmeans_assign_sql(
+            "SELECT vec_id, embedding FROM embeddings", k=4, iterations=3
         ),
         "len_quantiles": f"""
 WITH t AS (
