@@ -1026,6 +1026,46 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.kmeans_assign(emb, k=4, iterations=3)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end: exact-integer k-means partitions the
+    (twin-planted) embedding space, then near-dup pairs are found
+    ONLY within clusters — the cluster-bounded quadratic that makes
+    semantic dedup tractable (Abbas et al. 2023). At production scale
+    k grows ~sqrt(n) so each cluster stays small; here k=4 documents
+    the composition. Both stages are value-exact, so the composed
+    pairs are too; cross-cluster dups are missed BY DESIGN (the
+    published method's known tradeoff)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    twins = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x, i: F.when(i == 0, -x).otherwise(x)
+        ).alias("embedding"),
+    )
+    aug = emb.unionByName(twins)
+    assigned = kmeans.kmeans_assign(aug, k=4, iterations=3).join(
+        aug, on="vec_id"
+    )
+    a = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("a"), F.col("embedding").alias("va")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, on="cluster").filter(F.col("a") < F.col("b"))
+    cos = similarity.cosine_expr(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("cos_r6", F.round(cos, 6))
+        .filter(F.col("cos_r6") >= 0.9)
+        .select("cluster", "a", "b", "cos_r6")
+    )
+
+
 def q_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-source token-count quartiles (corpus length
     distribution — the curation dashboard every pipeline keeps).
@@ -1293,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder": q_zorder,
         "len_quantiles": q_len_quantiles,
         "kmeans": q_kmeans,
+        "semdedup": q_semdedup,
     }
 
 
@@ -1716,6 +1757,24 @@ SELECT a, b, cos_r6 FROM pairs WHERE cos_r6 >= 0.9
         "kmeans": kmeans.kmeans_assign_sql(
             "SELECT vec_id, embedding FROM embeddings", k=4, iterations=3
         ),
+        "semdedup": f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), aug AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 100000, [-e[1]] || e[2:] FROM base WHERE vec_id % 10 = 0
+), ks AS (
+  {kmeans.kmeans_assign_sql("SELECT vec_id, e AS embedding FROM aug", k=4, iterations=3)}
+), j AS (
+  SELECT k.cluster, a.vec_id, a.e FROM ks k JOIN aug a ON a.vec_id = k.vec_id
+), pairs AS (
+  SELECT x.cluster, x.vec_id AS a, y.vec_id AS b,
+         round(list_cosine_similarity(x.e, y.e), 6) AS cos_r6
+  FROM j x JOIN j y ON y.cluster = x.cluster AND x.vec_id < y.vec_id
+)
+SELECT cluster, a, b, cos_r6 FROM pairs WHERE cos_r6 >= 0.9
+""",
         "len_quantiles": f"""
 WITH t AS (
   SELECT source, CAST({tx.token_count_sql('text')} AS DOUBLE) AS t
