@@ -268,6 +268,7 @@ def main() -> None:
         "zorder": entry_mod.q_zorder,
         "len_quantiles": entry_mod.q_len_quantiles,
         "curate_gopher": entry_mod.q_curate_gopher,
+        "kmeans": entry_mod.q_kmeans,
         # embed_neardup is the intentionally-quadratic exactness
         # baseline — not a throughput query; the scale path
         # (embedding_near_dup LSH) is recall-tested in pytest.
