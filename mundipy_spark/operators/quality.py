@@ -20,7 +20,7 @@ rule booleans and the final `keep` are exact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
