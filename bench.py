@@ -258,6 +258,7 @@ def main() -> None:
         "host_graph": entry_mod.q_host_graph,
         "span_dedup": entry_mod.q_span_dedup,
         "dsir": entry_mod.q_dsir,
+        "embed_neardup": entry_mod.q_embed_neardup,
         "nb_lang": entry_mod.q_nb_lang,
         "gopher": entry_mod.q_gopher,
         "snapshot_diff": entry_mod.q_snapshot_diff,
@@ -269,9 +270,6 @@ def main() -> None:
         "len_quantiles": entry_mod.q_len_quantiles,
         "curate_gopher": entry_mod.q_curate_gopher,
         "kmeans": entry_mod.q_kmeans,
-        # embed_neardup is the intentionally-quadratic exactness
-        # baseline — not a throughput query; the scale path
-        # (embedding_near_dup LSH) is recall-tested in pytest.
     }
     for name, fn in suite.items():
         queries[name] = round(

@@ -279,14 +279,59 @@ def brute_force_near_dup(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    arrow: bool = True,
 ) -> DataFrame:
     """Exact all-pairs near-duplicate baseline: (a, b, cos_r6) for every
     unordered pair with round(cosine, 6) >= threshold — the exactness
     yardstick for embedding_near_dup, the same role brute_force_topk
     plays for the ANN paths. O(n^2): evaluation-scale inputs only (the
-    scale path is the LSH-bucketed variant below). One side broadcasts;
-    comparison happens on the ROUNDED value so the threshold cut is
-    reproducible across float summation orders."""
+    scale path is the LSH-bucketed variant below).
+
+    arrow=True (default): one numpy matmul per Arrow batch against the
+    broadcast corpus matrix — ~10x the fold-expression path. The UDF
+    pre-filters with a 1e-6 guard band; the FINAL cut happens on
+    Spark's round(cos, 6) expression, so the threshold semantics (and
+    oracle parity) are identical to the pure-Catalyst path
+    (arrow=False, kept as the no-numpy reference)."""
+    if arrow:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        rows = corpus.select(id_col, vec_col).collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        B = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        guard = threshold - 1e-6
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+                S = (A / np.linalg.norm(A, axis=1, keepdims=True)) @ Bn.T
+                # raw cosine out; Spark's round() applies the cut
+                ii, jj = np.nonzero((S >= guard) & (a_ids[:, None] < ids[None, :]))
+                yield pd.DataFrame(
+                    {"a": a_ids[ii], "b": ids[jj], "cos": S[ii, jj]}
+                )
+
+        schema = T.StructType(
+            [
+                T.StructField("a", T.LongType()),
+                T.StructField("b", T.LongType()),
+                T.StructField("cos", T.DoubleType()),
+            ]
+        )
+        out = corpus.mapInPandas(gen, schema=schema)
+        return (
+            out.withColumn("cos_r6", F.round(F.col("cos"), 6))
+            .filter(F.col("cos_r6") >= threshold)
+            .select("a", "b", "cos_r6")
+        )
     a = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     pairs = a.join(F.broadcast(b), F.col("a") < F.col("b"))

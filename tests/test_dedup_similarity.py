@@ -300,3 +300,25 @@ def test_brute_force_near_dup_exact_baseline(spark):
         for r in similarity.embedding_near_dup(df, threshold=0.9).collect()
     }
     assert lsh <= got
+
+
+def test_brute_force_near_dup_arrow_matches_catalyst(spark):
+    """The Arrow matmul path and the pure-Catalyst fold path agree
+    pair-for-pair on the round-6 values."""
+    import numpy as np
+
+    from mundipy_spark.operators import similarity
+
+    rng = np.random.default_rng(23)
+    rows = [(i, rng.normal(size=32).tolist()) for i in range(40)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # exact dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {
+        (r.a, r.b): r.cos_r6
+        for r in similarity.brute_force_near_dup(df, 0.9, arrow=True).collect()
+    }
+    c = {
+        (r.a, r.b): r.cos_r6
+        for r in similarity.brute_force_near_dup(df, 0.9, arrow=False).collect()
+    }
+    assert a == c and len(a) == 5
