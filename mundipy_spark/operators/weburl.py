@@ -2,8 +2,9 @@
 
 Canonicalization is the standard crawl-frontier normal form:
 lowercase scheme and host, strip a leading `www.`, drop the scheme's
-default port (:80 http / :443 https), drop the fragment, strip one
-trailing slash from the path, remove tracking query params
+default port (:80 http / :443 https), drop the fragment, strip all
+trailing slashes from the path (one-pass idempotent — the property
+tests caught that '/$' left '//' non-idempotent), remove tracking query params
 (utm_*, gclid, fbclid) and SORT the surviving params.
 
 Everything is engine-portable regexp_extract / split / filter /
@@ -39,7 +40,7 @@ def canonical_url_expr(url: Column) -> Column:
         "",
     )
     pathq = F.regexp_extract(url, _PATHQ_RE, 1)
-    path = F.regexp_replace(F.regexp_extract(pathq, r"^([^?]*)", 1), r"/$", "")
+    path = F.regexp_replace(F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", "")
     query = F.regexp_extract(pathq, r"^[^?]*\?(.*)$", 1)
     params = F.array_sort(
         F.filter(
@@ -68,7 +69,7 @@ def canonical_url_sql(url: str) -> str:
              ELSE {hostport} END,
         '^www\\.', '')"""
     pathq = f"regexp_extract({url}, '{_PATHQ_RE}', 1)"
-    path = f"regexp_replace(regexp_extract({pathq}, '^([^?]*)', 1), '/$', '')"
+    path = f"regexp_replace(regexp_extract({pathq}, '^([^?]*)', 1), '/+$', '')"
     query = f"regexp_extract({pathq}, '^[^?]*\\?(.*)$', 1)"
     params = f"""list_sort(list_filter(string_split({query}, '&'),
         p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_RE}')))"""
