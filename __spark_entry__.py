@@ -884,7 +884,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = docs.select(
         F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
     )
-    return pagerank.pagerank(edges, iterations=10)
+    # checkpoint_every=5: exercises the mid-run lineage cut (rounds 5
+    # and 10) without paying a materialization every 3 rounds — the
+    # cadence is an ops knob (failure economics), not semantics; the
+    # fixed-point values are identical at any setting
+    return pagerank.pagerank(edges, iterations=10, checkpoint_every=5)
 
 
 def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
