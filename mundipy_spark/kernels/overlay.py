@@ -999,6 +999,42 @@ def _mixed_dim_op(a, b, op: str):
     raise ValueError(f"mixed-dimension {op} not supported")
 
 
+def _point_line_op(a, b, op: str, da: int):
+    """point x line overlays (the reference's shapely engine supports
+    these): membership = within 1e-9 of a segment, matching
+    predicates.intersects. Zero-measure algebra: a point ON the line
+    is absorbed by union, removed by point-minus-line difference, and
+    contributes nothing to line-minus-point."""
+    pt, line = (a, b) if da == 0 else (b, a)
+    pts = np.asarray(pt[1], dtype=np.float64).reshape(-1, 2)
+    segs = predicates.geom_segments(line)
+    on = (
+        predicates.points_on_segments(pts[:, 0], pts[:, 1], segs, 1e-9)
+        if len(segs)
+        else np.zeros(len(pts), dtype=bool)
+    )
+
+    def mk(sel):
+        p = pts[sel]
+        if len(p) == 0:
+            return None
+        return ("Point", p[0]) if len(p) == 1 else ("MultiPoint", p)
+
+    if op == "intersection":
+        return mk(on)
+    if op == "difference":
+        # points minus line: survivors off the line; line minus points:
+        # removing zero-measure points leaves the line unchanged
+        return mk(~on) if da == 0 else a
+    # union == symmetric_difference for a zero-measure pair: the line
+    # plus whatever points fall outside it (on-line points absorbed /
+    # cancelled into the line's interior)
+    off = mk(~on)
+    if off is None:
+        return line
+    return ("GeometryCollection", [line, off])
+
+
 def overlay_eo(a, b, op: str):
     """Boolean overlay via even-odd segment arrangement — the hole-aware
     general path (inputs may be MultiPolygons with interior rings).
@@ -1031,10 +1067,7 @@ def overlay_op(a, b, op: str):
     da, db = _geom_dim(a), _geom_dim(b)
     if da != db:
         if 2 not in (da, db):
-            raise NotImplementedError(
-                f"{op} between dimension-{da} and dimension-{db} operands "
-                "is not supported (point x line overlays)"
-            )
+            return _point_line_op(a, b, op, da)
         if op in ("intersection", "difference"):
             return _mixed_dim_op(a, b, op)
         # union / symmetric_difference with a zero-measure operand: the

@@ -72,7 +72,10 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
-    out = ranks
+    # materialize the final rounds BEFORE dropping the persisted build
+    # side — otherwise every caller action replays the post-checkpoint
+    # rounds against an unpersisted `linked`
+    out = ranks.localCheckpoint(eager=True)
     nodes.unpersist()
     linked.unpersist()
     return out

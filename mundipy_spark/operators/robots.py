@@ -9,9 +9,13 @@ twin:
 
 - `parse_robots`: robots.txt BODIES (one row per host) -> rule rows
   (host, allow, prefix). Group attribution (which user-agent block a
-  rule belongs to) is a running count of `User-agent:` lines — a
-  window per host ordered by line number; groups naming `*` apply.
-  Rules with empty paths are ignored per the RFC.
+  rule belongs to) follows RFC 9309 §2.2.1: consecutive `User-agent:`
+  lines form ONE group (a new group starts only at a user-agent line
+  whose predecessor was a rule line), so in
+  `User-agent: *\nUser-agent: googlebot\nDisallow: /x` the rule
+  belongs to both agents. Implemented as a lag + running-sum window
+  per host ordered by line number; groups naming `*` apply. Rules
+  with empty paths are ignored per the RFC.
 - `robots_allowed`: longest-matching-prefix rule decides; Allow wins
   prefix-length ties (Google/RFC tie-break); no matching rule =>
   allowed. Wildcards inside patterns (*, $) are intentionally out of
@@ -63,11 +67,16 @@ def parse_robots(
     typed = lines.select(
         host_col, "ln", directive.alias("d"), value.alias("v")
     ).filter(F.col("d").isin("user-agent", "allow", "disallow"))
-    # group id = running count of user-agent lines (per host, line order)
+    # group id: a user-agent line OPENS a new group only when the
+    # previous typed line was not itself a user-agent line (RFC 9309
+    # multi-agent groups: consecutive UA lines share one rule block)
     w = Window.partitionBy(host_col).orderBy("ln")
+    is_ua = F.col("d") == "user-agent"
+    opens = is_ua & (
+        F.lag("d").over(w).isNull() | (F.lag("d").over(w) != "user-agent")
+    )
     grouped = typed.withColumn(
-        "grp",
-        F.sum(F.when(F.col("d") == "user-agent", 1).otherwise(0)).over(w),
+        "grp", F.sum(F.when(opens, 1).otherwise(0)).over(w)
     )
     star_groups = (
         grouped.filter((F.col("d") == "user-agent") & (F.col("v") == "*"))
@@ -138,10 +147,16 @@ split AS (
   FROM lines
   WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
         IN ('user-agent', 'allow', 'disallow')
-), grouped AS (
-  SELECT *, sum(CASE WHEN d = 'user-agent' THEN 1 ELSE 0 END)
-              OVER (PARTITION BY host ORDER BY ln) AS grp
+), lagged AS (
+  SELECT *, lag(d) OVER (PARTITION BY host ORDER BY ln) AS prev_d
   FROM typed
+), grouped AS (
+  SELECT host, ln, d, v,
+         sum(CASE WHEN d = 'user-agent'
+                   AND (prev_d IS NULL OR prev_d <> 'user-agent')
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host ORDER BY ln) AS grp
+  FROM lagged
 ), star_groups AS (
   SELECT DISTINCT host, grp FROM grouped
   WHERE d = 'user-agent' AND v = '*'

@@ -109,6 +109,7 @@ def snapshot_diff(
     new: DataFrame,
     url_col: str = "canon_url",
     fp_col: str = "fingerprint",
+    key_expr=None,
 ) -> DataFrame:
     """Recrawl change detection between two crawl snapshots (already
     collapsed per canonical URL, e.g. by recrawl_dedup): one row per
@@ -119,31 +120,69 @@ def snapshot_diff(
     56-bit hash of the canonical URL (functions/text.md5_int_expr) —
     the string key never becomes the shuffle key (the r01 text-keyed-
     join lesson); each side carries (key, url, fp) only. Freshness
-    dashboards and selective-recrawl schedulers are the consumers."""
+    dashboards and selective-recrawl schedulers are the consumers.
+
+    Collision safety (the 10^12-URL contract): a matched key is
+    CONFIRMED by string equality on the carried URLs; a hash-collided
+    mismatch is split into an `added` + a `removed` row instead of a
+    spurious `changed`, so cross-snapshot birthday collisions at
+    2^56 never pair unrelated URLs. Residual assumption: each
+    snapshot holds at most one URL per 56-bit key (recrawl_dedup
+    collapses per canonical URL; a WITHIN-snapshot collision is
+    ~n^2/2^57 — at 10^9 rows/snapshot ~7 pairs, at which point widen
+    the key)."""
     from mundipy_spark.functions import text as tx
 
+    key = key_expr if key_expr is not None else tx.md5_int_expr
     o = old.select(
-        tx.md5_int_expr(F.col(url_col)).alias("_k"),
+        key(F.col(url_col)).alias("_k"),
         F.col(url_col).alias("_ourl"),
         F.col(fp_col).alias("old_fp"),
     )
     n = new.select(
-        tx.md5_int_expr(F.col(url_col)).alias("_k"),
+        key(F.col(url_col)).alias("_k"),
         F.col(url_col).alias("_nurl"),
         F.col(fp_col).alias("new_fp"),
     )
     joined = o.join(n, on="_k", how="full")
+    row = lambda url, status, ofp, nfp: F.struct(  # noqa: E731
+        url.alias("u"), status.alias("s"), ofp.alias("of"), nfp.alias("nf")
+    )
+    # type-matched NULLs (fp_col may be any comparable type)
+    null_ofp = F.when(F.lit(False), F.col("old_fp"))
+    null_nfp = F.when(F.lit(False), F.col("new_fp"))
+    collided = (
+        F.col("_ourl").isNotNull()
+        & F.col("_nurl").isNotNull()
+        & (F.col("_ourl") != F.col("_nurl"))
+    )
     status = (
         F.when(F.col("_ourl").isNull(), F.lit("added"))
         .when(F.col("_nurl").isNull(), F.lit("removed"))
         .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
-    return joined.select(
-        F.coalesce("_ourl", "_nurl").alias(url_col),
-        status.alias("status"),
-        "old_fp",
-        "new_fp",
+    rows = F.when(
+        collided,
+        F.array(
+            row(F.col("_ourl"), F.lit("removed"), F.col("old_fp"), null_nfp),
+            row(F.col("_nurl"), F.lit("added"), null_ofp, F.col("new_fp")),
+        ),
+    ).otherwise(
+        F.array(
+            row(
+                F.coalesce("_ourl", "_nurl"),
+                status,
+                F.col("old_fp"),
+                F.col("new_fp"),
+            )
+        )
+    )
+    return joined.select(F.explode(rows).alias("_r")).select(
+        F.col("_r.u").alias(url_col),
+        F.col("_r.s").alias("status"),
+        F.col("_r.of").alias("old_fp"),
+        F.col("_r.nf").alias("new_fp"),
     )
 
 

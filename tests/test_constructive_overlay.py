@@ -498,10 +498,7 @@ def test_rotated_union_fold_oracle():
 def test_mixed_dim_union_symdiff_no_fallthrough():
     """ADVICE r02: polygon x line union/symmetric_difference must not
     fall through to the polygon-only GH path — the polygon survives and
-    line parts outside it ride along as a GeometryCollection; point x
-    line raises loudly."""
-    import pytest as _pytest
-
+    line parts outside it ride along as a GeometryCollection."""
     sq = ("Polygon", [np.array([[0.0, 0], [4, 0], [4, 4], [0, 4], [0, 0]])])
     line = ("LineString", np.array([[2.0, 2.0], [8.0, 2.0]]))  # half inside
 
@@ -522,8 +519,40 @@ def test_mixed_dim_union_symdiff_no_fallthrough():
     assert overlay.overlay_op(sq, inner, "union")[0] == "Polygon"
 
     pt = ("Point", np.array([1.0, 1.0]))
-    with _pytest.raises(NotImplementedError):
-        overlay.overlay_op(pt, line, "union")
+    assert overlay.overlay_op(pt, line, "union")[0] == "GeometryCollection"
+
+
+def test_point_x_line_overlays():
+    """ADVICE r03: point x line overlays match the reference's shapely
+    semantics (previously raised NotImplementedError)."""
+    line = ("LineString", np.array([[0.0, 0.0], [4.0, 0.0]]))
+    on = ("Point", np.array([2.0, 0.0]))
+    off = ("Point", np.array([2.0, 1.0]))
+    multi = ("MultiPoint", np.array([[2.0, 0.0], [2.0, 1.0], [9.0, 9.0]]))
+
+    # intersection: on-line membership (commutative)
+    got = overlay.overlay_op(on, line, "intersection")
+    assert got[0] == "Point" and np.allclose(got[1], [2.0, 0.0])
+    assert overlay.overlay_op(off, line, "intersection") is None
+    got = overlay.overlay_op(line, multi, "intersection")
+    assert got[0] == "Point" and np.allclose(got[1], [2.0, 0.0])
+
+    # difference: point minus line drops on-line points; line minus
+    # point is the line unchanged
+    assert overlay.overlay_op(on, line, "difference") is None
+    got = overlay.overlay_op(off, line, "difference")
+    assert got[0] == "Point" and np.allclose(got[1], [2.0, 1.0])
+    assert overlay.overlay_op(line, multi, "difference") is line
+    got = overlay.overlay_op(multi, line, "difference")
+    assert got[0] == "MultiPoint" and len(got[1]) == 2
+
+    # union / symdiff: line absorbs on-line points; off-line points
+    # ride along in a GeometryCollection
+    assert overlay.overlay_op(on, line, "union") is line
+    u = overlay.overlay_op(multi, line, "symmetric_difference")
+    assert u[0] == "GeometryCollection"
+    kinds = {g[0] for g in u[1]}
+    assert "LineString" in kinds and "MultiPoint" in kinds
 
 
 def test_line_clip_length_conservation_randomized():

@@ -229,6 +229,37 @@ def test_snapshot_diff_statuses(spark):
     }
 
 
+def test_snapshot_diff_hash_collision_split(spark):
+    """A hash-collided key pairing two DIFFERENT urls must not yield a
+    spurious 'changed' row — it splits into added + removed. Forced
+    via the key_expr seam (everything hashes to 0)."""
+    from pyspark.sql import functions as F
+
+    from mundipy_spark.operators import weburl
+
+    old = spark.createDataFrame(
+        [("uA", 10)], "canon_url string, fingerprint long"
+    )
+    new = spark.createDataFrame(
+        [("uB", 11)], "canon_url string, fingerprint long"
+    )
+    rows = {
+        r.canon_url: (r.status, r.old_fp, r.new_fp)
+        for r in weburl.snapshot_diff(
+            old, new, key_expr=lambda c: F.lit(0)
+        ).collect()
+    }
+    assert rows == {"uA": ("removed", 10, None), "uB": ("added", None, 11)}
+
+    # same seam, same url: still matches normally
+    got = weburl.snapshot_diff(
+        old,
+        spark.createDataFrame([("uA", 99)], "canon_url string, fingerprint long"),
+        key_expr=lambda c: F.lit(0),
+    ).collect()
+    assert [(r.canon_url, r.status) for r in got] == [("uA", "changed")]
+
+
 def test_extract_text_cross_engine_fuzz(spark):
     """Randomized Spark-vs-DuckDB parity over adversarial html-ish
     strings: tags, partial tags, entities, script/style/comment

@@ -50,6 +50,36 @@ def test_parse_robots_star_group_only(spark):
     }
 
 
+MULTI_UA = """User-agent: *
+User-agent: googlebot
+Disallow: /x
+
+User-agent: bingbot
+User-agent: *
+Allow: /x/pub
+Disallow: /y
+"""
+
+
+def test_parse_robots_multi_agent_group(spark):
+    """RFC 9309 §2.2.1: consecutive User-agent lines share ONE rule
+    block, so rules under `* \\n googlebot` apply to `*` too — and a
+    group where `*` is the SECOND UA line still applies."""
+    robots = spark.createDataFrame(
+        [("m.org", MULTI_UA)], "host string, body string"
+    )
+    rules = {(r.allow, r.prefix) for r in R.parse_robots(robots).collect()}
+    assert rules == {(False, "/x"), (True, "/x/pub"), (False, "/y")}
+
+    # twin stays in sync
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r(host varchar, body varchar)")
+    con.execute("INSERT INTO r VALUES (?, ?)", ["m.org", MULTI_UA])
+    q = R.robots_rules_sql("SELECT host, body FROM r")
+    drules = {(r[1], r[2]) for r in con.execute(q).fetchall()}
+    assert drules == rules
+
+
 def test_robots_allowed_longest_match(spark):
     robots, urls = _frames(spark)
     rules = R.parse_robots(robots)
