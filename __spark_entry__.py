@@ -537,8 +537,11 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate NN (scale path — rows-only oracle;
-    recall vs brute force is asserted in tests)."""
+    """LSH-bucketed approximate NN (scale path). Value-exact oracle:
+    the seeded hyperplanes are emitted into the DuckDB twin as SQL
+    literals (similarity.lsh_topk_sql), so both engines build the SAME
+    index and rank by (round(cos,6) DESC, nid ASC); recall vs brute
+    force is separately asserted in tests."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
@@ -650,14 +653,19 @@ def q_dissolve_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate NN (partition-prunable scale path; recall vs
-    brute force asserted in tests — rows-only oracle)."""
+    """IVF approximate NN (partition-prunable scale path). The coarse
+    quantizer is INJECTED (similarity.ivf_seeded_centroids) — the
+    production shape anyway: train offline, store centroids, assign at
+    ingest — which lets the DuckDB twin reproduce the identical index
+    and makes the result value-exact. Recall with data-trained
+    centroids (ivf_train_centroids) is asserted in tests."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(
-        emb, queries, k=5, n_clusters=8, n_probe=3, dim=64
+        emb, queries, k=5, n_clusters=8, n_probe=3, dim=64,
+        centroids=similarity.ivf_seeded_centroids(8, 64),
     ).select("qid", "nid", "rank")
 
 
@@ -1519,6 +1527,12 @@ WITH emb AS (
 )
 SELECT qid, nid, rank FROM scored WHERE rank <= 5
 """,
+        "lsh_ann": similarity.lsh_topk_sql(
+            k=5, n_planes=12, dim=64, seed=42, n_tables=4, multiprobe=2
+        ),
+        "ivf_ann": similarity.ivf_topk_sql(
+            similarity.ivf_seeded_centroids(8, 64), k=5, n_probe=3
+        ),
         "gazetteer": f"""
 {GEO_SQL_CTE.rstrip()},
 gaz(place) AS (VALUES {", ".join(f"('{p}')" for p, _, _ in GAZETTEER)}),

@@ -110,6 +110,152 @@ def brute_force_topk(
     )
 
 
+def lsh_planes(
+    n_tables: int, n_planes: int, dim: int, seed: int
+) -> np.ndarray:
+    """The seeded hyperplane tensor shared by the Spark path and the
+    SQL twin — single source of truth for the LSH index spec."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim)).astype(float)
+
+
+def _probe_masks(n_planes: int, multiprobe: int) -> list[int]:
+    masks = [0]
+    if multiprobe >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if multiprobe >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return masks
+
+
+def _sql_list(vals) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vals) + "]"
+
+
+def lsh_topk_sql(
+    k: int = 5,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 4,
+    multiprobe: int = 2,
+    query_pred: str = "vec_id < 10",
+    emb_table: str = "embeddings",
+) -> str:
+    """DuckDB twin of lsh_bucket_topk: the SAME seeded hyperplanes are
+    emitted as SQL literals, signatures are sign-bit sums of
+    list_dot_product, and the multi-probe XOR fan-out + rounded-cosine
+    re-rank mirror the Spark plan term for term — making the
+    approximate result value-exact reproducible by an independent
+    engine (VERDICT r03 item 3: no float-rank ties left, rank =
+    (round(cos,6) DESC, nid ASC))."""
+    planes = lsh_planes(n_tables, n_planes, dim, seed)
+    sig_selects = []
+    for t in range(n_tables):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(e, {_sql_list(planes[t, p])}) >= 0"
+            f" THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        sig_selects.append(
+            f"SELECT vec_id, e, {t} AS t, ({terms}) AS sig FROM emb"
+        )
+    sigs = "\nUNION ALL\n".join(sig_selects)
+    masks = ", ".join(str(m) for m in _probe_masks(n_planes, multiprobe))
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {emb_table}
+), sigs AS (
+{sigs}
+), qprobe AS (
+  SELECT s.vec_id AS qid, s.t, xor(s.sig, m.mask) AS sig
+  FROM sigs s, (SELECT unnest([{masks}]) AS mask) m
+  WHERE s.{query_pred}
+), cand AS (
+  SELECT DISTINCT q.qid, c.vec_id AS nid
+  FROM qprobe q JOIN sigs c ON c.t = q.t AND c.sig = q.sig
+  WHERE c.vec_id <> q.qid
+), ranked AS (
+  SELECT cand.qid, cand.nid,
+         row_number() OVER (
+           PARTITION BY cand.qid
+           ORDER BY round(list_cosine_similarity(qe.e, ce.e), 6) DESC,
+                    cand.nid ASC
+         ) AS rank
+  FROM cand
+  JOIN emb qe ON qe.vec_id = cand.qid
+  JOIN emb ce ON ce.vec_id = cand.nid
+)
+SELECT qid, nid, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def ivf_seeded_centroids(
+    n_clusters: int, dim: int, seed: int = 11
+) -> list[list[float]]:
+    """Deterministic random-unit quantizer — the `centroids=` injection
+    both engines share when the oracle must reproduce the index (the
+    scale path trains offline and stores centroids anyway; data-trained
+    centroids stay available via ivf_train_centroids)."""
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((n_clusters, dim))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in C]
+
+
+def ivf_topk_sql(
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    query_pred: str = "vec_id < 10",
+    emb_table: str = "embeddings",
+) -> str:
+    """DuckDB twin of ivf_topk with an injected quantizer: nearest-
+    centroid assignment (dot DESC, cid ASC — numpy argmax's first-max
+    tie rule), n_probe fan-out on the query side, rounded-cosine
+    re-rank."""
+    cents = ", ".join(
+        f"({cid}, {_sql_list(c)}::DOUBLE[])" for cid, c in enumerate(centroids)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {emb_table}
+), cents(cid, c) AS (VALUES {cents}),
+scored_c AS (
+  SELECT emb.vec_id, emb.e, cents.cid,
+         row_number() OVER (
+           PARTITION BY emb.vec_id
+           ORDER BY list_dot_product(emb.e, cents.c) DESC, cents.cid ASC
+         ) AS crk
+  FROM emb, cents
+), assigned AS (
+  SELECT vec_id, e, cid AS cl FROM scored_c WHERE crk = 1
+), qprobe AS (
+  SELECT vec_id AS qid, cid AS cl FROM scored_c
+  WHERE crk <= {n_probe} AND {query_pred}
+), cand AS (
+  SELECT q.qid, a.vec_id AS nid
+  FROM qprobe q JOIN assigned a ON a.cl = q.cl
+  WHERE a.vec_id <> q.qid
+), ranked AS (
+  SELECT cand.qid, cand.nid,
+         row_number() OVER (
+           PARTITION BY cand.qid
+           ORDER BY round(list_cosine_similarity(qe.e, ce.e), 6) DESC,
+                    cand.nid ASC
+         ) AS rank
+  FROM cand
+  JOIN emb qe ON qe.vec_id = cand.qid
+  JOIN emb ce ON ce.vec_id = cand.nid
+)
+SELECT qid, nid, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -140,20 +286,11 @@ def lsh_bucket_topk(
     matmul (B,dim)@(dim,T*P) — ~10x faster than the equivalent
     Catalyst fold-expression tree at dim=64.
     """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim)).astype(float)
+    planes = lsh_planes(n_tables, n_planes, dim, seed)
     sig_udf = _make_sig_udf(planes)
 
     # XOR masks for all buckets within Hamming distance `multiprobe`.
-    masks = [0]
-    if multiprobe >= 1:
-        masks += [1 << i for i in range(n_planes)]
-    if multiprobe >= 2:
-        masks += [
-            (1 << i) | (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        ]
+    masks = _probe_masks(n_planes, multiprobe)
 
     def with_sigs(df, idc, vc, alias):
         # one Arrow batch matmul computes all n_tables signatures per row
