@@ -1038,15 +1038,9 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.kmeans_assign(emb, k=4, iterations=3)
 
 
-def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup end-to-end: exact-integer k-means partitions the
-    (twin-planted) embedding space, then near-dup pairs are found
-    ONLY within clusters — the cluster-bounded quadratic that makes
-    semantic dedup tractable (Abbas et al. 2023). At production scale
-    k grows ~sqrt(n) so each cluster stays small; here k=4 documents
-    the composition. Both stages are value-exact, so the composed
-    pairs are too; cross-cluster dups are missed BY DESIGN (the
-    published method's known tradeoff)."""
+def _semdedup(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
+    """SemDeDup composition shared by q_semdedup (n_probe=2) and the
+    probe-sensitivity test (n_probe=1)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
@@ -1060,9 +1054,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     aug = emb.unionByName(twins)
-    assigned = kmeans.kmeans_assign(aug, k=4, iterations=3).join(
-        aug, on="vec_id"
-    )
+    assigned = kmeans.kmeans_assign(
+        aug, k=4, iterations=3, n_probe=n_probe
+    ).join(aug, on="vec_id")
     a = assigned.select(
         F.col("cluster"), F.col("vec_id").alias("a"), F.col("embedding").alias("va")
     )
@@ -1071,11 +1065,31 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = a.join(b, on="cluster").filter(F.col("a") < F.col("b"))
     cos = similarity.cosine_expr(F.col("va"), F.col("vb"))
-    return (
-        pairs.withColumn("cos_r6", F.round(cos, 6))
-        .filter(F.col("cos_r6") >= 0.9)
-        .select("cluster", "a", "b", "cos_r6")
+    out = pairs.withColumn("cos_r6", F.round(cos, 6)).filter(
+        F.col("cos_r6") >= 0.9
     )
+    if n_probe > 1:
+        # a pair sharing several probed clusters reports once, under
+        # the lowest shared cluster id (both engines agree on min)
+        out = out.groupBy("a", "b", "cos_r6").agg(
+            F.min("cluster").alias("cluster")
+        )
+    return out.select("cluster", "a", "b", "cos_r6")
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end: exact-integer k-means partitions the
+    (twin-planted) embedding space, then near-dup pairs are found
+    ONLY within clusters — the cluster-bounded quadratic that makes
+    semantic dedup tractable (Abbas et al. 2023). At production scale
+    k grows ~sqrt(n) so each cluster stays small; here k=4 documents
+    the composition. n_probe=2 boundary re-probing (each vector joins
+    its two nearest clusters, 2x assignment cost) recovers the
+    cross-cluster twin pair the published single-assignment method
+    misses (47 vs 48 all-pairs; VERDICT r03 item 5) — the probe=1
+    miss is pinned in tests/test_kmeans.py. Both stages value-exact,
+    so the composed pairs are too."""
+    return _semdedup(spark, sf_dir, n_probe=2)
 
 
 def q_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1347,6 +1361,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "semdedup": q_semdedup,
     }
+
+
+def _semdedup_sql(n_probe: int) -> str:
+    """DuckDB twin of _semdedup at the given probe depth (shared with
+    tests/test_kmeans.py's probe-sensitivity check)."""
+    final = (
+        "SELECT min(cluster) AS cluster, a, b, cos_r6 FROM pairs\n"
+        "WHERE cos_r6 >= 0.9 GROUP BY a, b, cos_r6"
+        if n_probe > 1
+        else "SELECT cluster, a, b, cos_r6 FROM pairs WHERE cos_r6 >= 0.9"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), aug AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 100000, [-e[1]] || e[2:] FROM base WHERE vec_id % 10 = 0
+), ks AS (
+  {kmeans.kmeans_assign_sql("SELECT vec_id, e AS embedding FROM aug", k=4, iterations=3, n_probe=n_probe)}
+), j AS (
+  SELECT k.cluster, a.vec_id, a.e FROM ks k JOIN aug a ON a.vec_id = k.vec_id
+), pairs AS (
+  SELECT x.cluster, x.vec_id AS a, y.vec_id AS b,
+         round(list_cosine_similarity(x.e, y.e), 6) AS cos_r6
+  FROM j x JOIN j y ON y.cluster = x.cluster AND x.vec_id < y.vec_id
+)
+{final}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1775,24 +1818,7 @@ SELECT a, b, cos_r6 FROM pairs WHERE cos_r6 >= 0.9
         "kmeans": kmeans.kmeans_assign_sql(
             "SELECT vec_id, embedding FROM embeddings", k=4, iterations=3
         ),
-        "semdedup": f"""
-WITH base AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-), aug AS (
-  SELECT vec_id, e FROM base
-  UNION ALL
-  SELECT vec_id + 100000, [-e[1]] || e[2:] FROM base WHERE vec_id % 10 = 0
-), ks AS (
-  {kmeans.kmeans_assign_sql("SELECT vec_id, e AS embedding FROM aug", k=4, iterations=3)}
-), j AS (
-  SELECT k.cluster, a.vec_id, a.e FROM ks k JOIN aug a ON a.vec_id = k.vec_id
-), pairs AS (
-  SELECT x.cluster, x.vec_id AS a, y.vec_id AS b,
-         round(list_cosine_similarity(x.e, y.e), 6) AS cos_r6
-  FROM j x JOIN j y ON y.cluster = x.cluster AND x.vec_id < y.vec_id
-)
-SELECT cluster, a, b, cos_r6 FROM pairs WHERE cos_r6 >= 0.9
-""",
+        "semdedup": _semdedup_sql(n_probe=2),
         "len_quantiles": f"""
 WITH t AS (
   SELECT source, CAST({tx.token_count_sql('text')} AS DOUBLE) AS t

@@ -102,6 +102,49 @@ class Feature:
     def disjoint(self, other) -> bool:
         return predicates.disjoint(self.geom, _as_geom(other))
 
+    def covers(self, other) -> bool:
+        return predicates.covers(self.geom, _as_geom(other))
+
+    def covered_by(self, other) -> bool:
+        return predicates.covered_by(self.geom, _as_geom(other))
+
+    def crosses(self, other) -> bool:
+        return predicates.crosses(self.geom, _as_geom(other))
+
+    def overlaps(self, other) -> bool:
+        return predicates.overlaps(self.geom, _as_geom(other))
+
+    def equals(self, other) -> bool:
+        return predicates.equals(self.geom, _as_geom(other))
+
+    def equals_exact(self, other, tolerance: float = 0.0) -> bool:
+        return predicates.equals_exact(self.geom, _as_geom(other), tolerance)
+
+    def almost_equals(self, other, decimal: int = 6) -> bool:
+        return predicates.almost_equals(self.geom, _as_geom(other), decimal)
+
+    # --- unary predicates (reference geometry.py:111-129: shapely
+    # properties surfaced verbatim on every geometry object) ---
+    @property
+    def is_valid(self) -> bool:
+        return constructive.is_valid(self.geom)
+
+    @property
+    def is_empty(self) -> bool:
+        return predicates.is_empty(self.geom)
+
+    @property
+    def is_closed(self) -> bool:
+        return predicates.is_closed(self.geom)
+
+    @property
+    def is_ring(self) -> bool:
+        return predicates.is_ring(self.geom)
+
+    @property
+    def is_simple(self) -> bool:
+        return predicates.is_simple(self.geom)
+
     # --- constructive (RETURN_GEO: properties propagate) ---
     def buffer(self, dist: float) -> "Feature":
         """dist in session units (feet when Mundi(units='feet'))."""

@@ -57,14 +57,35 @@ def _make_assign_udf(C: np.ndarray):
     return assign
 
 
+def _make_probe_udf(C: np.ndarray, n_probe: int):
+    """n_probe nearest centroid ids (integer squared-L2 asc, cid asc on
+    ties — stable argsort reproduces the twin's row_number order)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.int64)
+        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    return probes
+
+
 def kmeans_assign(
     vectors: DataFrame,
     k: int = 4,
     iterations: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """(id, cluster) after `iterations` exact-integer Lloyd rounds."""
+    """(id, cluster) after `iterations` exact-integer Lloyd rounds.
+
+    n_probe > 1 returns (id, cluster, probe): each vector lands in its
+    `n_probe` nearest clusters (probe = 0-based nearness rank) — the
+    SemDeDup boundary re-probe that recovers cross-cluster near-dup
+    pairs at n_probe x assignment cost (training is unaffected;
+    only the final assignment fans out)."""
     from mundipy_spark.functions import text as tx
 
     qdf = _quantized(vectors, vec_col, id_col).persist()
@@ -102,9 +123,17 @@ def kmeans_assign(
                 # (-4), so the engine mirrors DuckDB's semantics
                 newC[c] = np.sign(vec_sum) * (np.abs(vec_sum) // n)
         C = newC
-    out = qdf.withColumn(
-        "cluster", _make_assign_udf(C)(F.col("_qv")).cast("long")
-    ).select(id_col, "cluster")
+    if n_probe <= 1:
+        out = qdf.withColumn(
+            "cluster", _make_assign_udf(C)(F.col("_qv")).cast("long")
+        ).select(id_col, "cluster")
+    else:
+        out = qdf.select(
+            id_col,
+            F.posexplode(_make_probe_udf(C, n_probe)(F.col("_qv"))).alias(
+                "probe", "cluster"
+            ),
+        ).select(id_col, F.col("cluster").cast("long"), "probe")
     qdf.unpersist()
     return out
 
@@ -115,10 +144,12 @@ def kmeans_assign_sql(
     iterations: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_probe: int = 1,
 ) -> str:
     """DuckDB twin: quantize, k lowest-id init, `iterations` unrolled
     assign/update rounds, final assignment. Distances and means are
-    the same integer arithmetic (// floor division)."""
+    the same integer arithmetic (// floor division). n_probe > 1 adds
+    a `probe` column exactly like kmeans_assign."""
     from mundipy_spark.functions import text as tx
 
     quant = (
@@ -169,8 +200,22 @@ a{it} AS (
   ) u ON u.c = p.c
 )"""
         prev = f"c{it}"
-    sql += f"""
+    if n_probe <= 1:
+        sql += f"""
 SELECT vid AS {id_col}, CAST({argmin("v", prev)} AS BIGINT) AS cluster
 FROM qv
+"""
+    else:
+        sql += f"""
+SELECT vid AS {id_col}, CAST(c AS BIGINT) AS cluster,
+       CAST(rk - 1 AS INT) AS probe
+FROM (
+  SELECT qv.vid, ct.c,
+         row_number() OVER (
+           PARTITION BY qv.vid
+           ORDER BY {dist("qv.v", "ct.cv")} ASC, ct.c ASC
+         ) AS rk
+  FROM qv, {prev} ct
+) WHERE rk <= {n_probe}
 """
     return sql

@@ -423,6 +423,64 @@ def test_feature_full_scalar_surface():
     assert a.normalize().geom[0] == "Polygon"
 
 
+def test_feature_predicate_parity():
+    """VERDICT r03 item 4: the full reference predicate dispatch
+    (geometry.py:92-99 binary, 111-129 unary) as Feature methods —
+    code ported from the reference calling f.covers(g) etc. runs
+    unchanged. Expected values are shapely's documented semantics on
+    hand-checked shapes."""
+    import numpy as np
+
+    from mundipy_spark.feature import Feature
+
+    sq = lambda x0, y0, x1, y1: (  # noqa: E731
+        "Polygon",
+        [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)],
+    )
+    a = Feature(sq(0, 0, 4, 4), {"name": "a"})
+    inner = Feature(sq(1, 1, 2, 2))
+    edge = Feature(sq(0, 0, 2, 2))   # shares boundary with a
+    overlap = Feature(sq(2, 2, 6, 6))
+    far = Feature(sq(10, 10, 11, 11))
+
+    # binary: covers / covered_by (boundary-inclusive, unlike contains)
+    assert a.covers(inner) and a.covers(edge) and a.covers(a)
+    assert inner.covered_by(a) and edge.covered_by(a)
+    assert not a.covers(overlap) and not a.covered_by(inner)
+
+    # crosses: interior intersection of differing dimension
+    line = Feature(("LineString", np.array([[-1.0, 2.0], [5.0, 2.0]])))
+    assert line.crosses(a) and a.crosses(line)
+    inside_line = Feature(("LineString", np.array([[1.0, 1.0], [2.0, 2.0]])))
+    assert not inside_line.crosses(a)  # wholly within: not a crossing
+
+    # overlaps: same dimension, partial interior overlap
+    assert a.overlaps(overlap) and overlap.overlaps(a)
+    assert not a.overlaps(inner) and not a.overlaps(far)
+
+    # equality family
+    shifted = Feature(
+        ("Polygon", [a.geom[1][0] + np.array([1e-8, 1e-8])])
+    )
+    assert a.equals(Feature(sq(0, 0, 4, 4)))
+    assert a.equals_exact(Feature(sq(0, 0, 4, 4)))
+    assert not a.equals_exact(shifted)
+    assert a.almost_equals(shifted, decimal=6)
+    assert not a.almost_equals(Feature(sq(0, 0, 4, 4.1)), decimal=6)
+
+    # unary
+    assert a.is_valid and not a.is_empty and a.is_simple
+    bow = Feature(
+        ("Polygon", [np.array([[0.0, 0], [2, 2], [2, 0], [0, 2], [0, 0]])])
+    )
+    assert not bow.is_valid
+    ring = Feature(
+        ("LineString", np.array([[0.0, 0], [1, 0], [1, 1], [0.0, 0]]))
+    )
+    assert ring.is_closed and ring.is_ring
+    assert not inside_line.is_closed and not inside_line.is_ring
+
+
 def test_lcc2sp_roundtrip_and_false_origin():
     """Ellipsoidal LCC-2SP (Snyder): EPSG:2277 (Texas Central ftUS)
     false easting at the grid origin is exactly 2,296,583.333 ftUS
