@@ -253,6 +253,8 @@ DATUM_TO_WGS84: dict[str, tuple] = {
     "Amersfoort": (565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.87740, 4.0725),
     "ED50": (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0),
     "Beijing1954": (15.8, -154.4, -82.3, 0.0, 0.0, 0.0, 0.0),
+    # EPSG:1227 Tananarive 1925 -> WGS84 (translation-only, Madagascar)
+    "Tananarive1925": (-189.0, -242.0, -91.0, 0.0, 0.0, 0.0, 0.0),
 }
 
 
@@ -475,6 +477,83 @@ def oblique_stereo_inverse(x, y, lon0: float, lat0: float, k0: float,
     return np.rad2deg(lam), np.rad2deg(phi)
 
 
+def _laborde_consts(lat_c: float, lon_c: float, azimuth: float, k0: float,
+                    ellipsoid: str):
+    a, f = ELLIPSOIDS[ellipsoid]
+    e2 = f * (2.0 - f)
+    e = np.sqrt(e2)
+    phic = np.deg2rad(lat_c)
+    B = np.sqrt(1.0 + e2 * np.cos(phic) ** 4 / (1.0 - e2))
+    phis = np.arcsin(np.sin(phic) / B)
+    R = a * k0 * np.sqrt(1.0 - e2) / (1.0 - e2 * np.sin(phic) ** 2)
+    C = np.log(np.tan(np.pi / 4.0 + phis / 2.0)) - B * np.log(
+        np.tan(np.pi / 4.0 + phic / 2.0)
+        * ((1.0 - e * np.sin(phic)) / (1.0 + e * np.sin(phic))) ** (e / 2.0)
+    )
+    G = (1.0 - np.cos(2.0 * np.deg2rad(azimuth))
+         + 1j * np.sin(2.0 * np.deg2rad(azimuth))) / 12.0
+    return e, B, phis, R, C, G, np.deg2rad(lon_c)
+
+
+def laborde_forward(lon, lat, lat_c: float, lon_c: float, azimuth: float,
+                    k0: float, x0: float, y0: float,
+                    ellipsoid: str = "intl1924"):
+    """Laborde oblique Mercator (EPSG method 9813 — the Madagascar
+    grid), from the published formulas (EPSG Guidance Note 7-2 §3.2.3:
+    conformal sphere + oblique rotation + the cubic-in-H Laborde
+    correction for the azimuth rotation)."""
+    e, B, phis, R, C, G, lamc = _laborde_consts(lat_c, lon_c, azimuth, k0, ellipsoid)
+    lam = np.deg2rad(np.asarray(lon, dtype=np.float64))
+    phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+    L = B * (lam - lamc)
+    q = C + B * np.log(
+        np.tan(np.pi / 4.0 + phi / 2.0)
+        * ((1.0 - e * np.sin(phi)) / (1.0 + e * np.sin(phi))) ** (e / 2.0)
+    )
+    P = 2.0 * np.arctan(np.exp(q)) - np.pi / 2.0
+    U = np.cos(P) * np.cos(L) * np.cos(phis) + np.sin(P) * np.sin(phis)
+    V = np.cos(P) * np.cos(L) * np.sin(phis) - np.sin(P) * np.cos(phis)
+    W = np.cos(P) * np.sin(L)
+    d = np.hypot(U, V)
+    Lp = np.where(d > 0, 2.0 * np.arctan2(V, U + d), 0.0)
+    Pp = np.where(d > 0, np.arctan2(W, d), np.sign(W) * np.pi / 2.0)
+    H = -Lp + 1j * np.log(np.tan(np.pi / 4.0 + Pp / 2.0))
+    HG = H + G * H**3
+    return x0 + R * HG.imag, y0 + R * HG.real
+
+
+def laborde_inverse(x, y, lat_c: float, lon_c: float, azimuth: float,
+                    k0: float, x0: float, y0: float,
+                    ellipsoid: str = "intl1924", iters: int = 8):
+    e, B, phis, R, C, G, lamc = _laborde_consts(lat_c, lon_c, azimuth, k0, ellipsoid)
+    T = (np.asarray(y, np.float64) - y0) / R + 1j * (
+        np.asarray(x, np.float64) - x0
+    ) / R
+    H = T  # Newton for H + G H^3 = T
+    for _ in range(iters):
+        H = (2.0 * G * H**3 + T) / (3.0 * G * H**2 + 1.0)
+    Lp = -H.real
+    Pp = 2.0 * np.arctan(np.exp(H.imag)) - np.pi / 2.0
+    U = np.cos(Pp) * np.cos(Lp)
+    V = np.cos(Pp) * np.sin(Lp)
+    W = np.sin(Pp)
+    # reverse the phis rotation
+    nx = U * np.cos(phis) + V * np.sin(phis)
+    nz = U * np.sin(phis) - V * np.cos(phis)
+    ny = W
+    P = np.arcsin(np.clip(nz, -1.0, 1.0))
+    L = np.arctan2(ny, nx)
+    lam = lamc + L / B
+    psi = (np.log(np.tan(np.pi / 4.0 + P / 2.0)) - C) / B
+    phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+    for _ in range(iters):
+        phi = 2.0 * np.arctan(
+            ((1.0 + e * np.sin(phi)) / (1.0 - e * np.sin(phi))) ** (e / 2.0)
+            * np.exp(psi)
+        ) - np.pi / 2.0
+    return np.rad2deg(lam), np.rad2deg(phi)
+
+
 def lcc2sp_forward(lon, lat, lat1: float, lat2: float, lat0: float, lon0: float,
                    x0: float, y0: float, ellipsoid: str = "GRS80"):
     """Ellipsoidal Lambert Conformal Conic, 2 standard parallels
@@ -588,6 +667,13 @@ PROJECTED_CODES: dict[int, dict] = {
                 lon0=5.38763888888889, k0=0.9999079, x0=155_000.0,
                 y0=463_000.0, unit="m", ellipsoid="bessel1841",
                 datum="Amersfoort"),
+    # Tananarive (Paris) / Laborde Grid: projection-centre 21 grads S,
+    # 49 grads E of Paris (Paris meridian 2.33722917 deg E), azimuth
+    # 21 grads, k0 0.9995 (EPSG registry, Paris-grad values converted)
+    29701: dict(method="laborde", lat0=-18.9,
+                lon0=46.43722916666667, azimuth=18.9, k0=0.9995,
+                x0=400_000.0, y0=800_000.0, unit="m",
+                ellipsoid="intl1924", datum="Tananarive1925"),
 }
 
 
@@ -612,6 +698,13 @@ def _projected_code_transforms(code: int):
         unprj = lambda x, y: tm_inverse(  # noqa: E731
             x, y, spec["lon0"], spec["lat0"], spec["k0"], spec["x0"],
             spec["y0"], ell)
+    elif spec["method"] == "laborde":
+        prj = lambda lo, la: laborde_forward(  # noqa: E731
+            lo, la, spec["lat0"], spec["lon0"], spec["azimuth"],
+            spec["k0"], spec["x0"], spec["y0"], ell)
+        unprj = lambda x, y: laborde_inverse(  # noqa: E731
+            x, y, spec["lat0"], spec["lon0"], spec["azimuth"],
+            spec["k0"], spec["x0"], spec["y0"], ell)
     else:
         prj = lambda lo, la: oblique_stereo_forward(  # noqa: E731
             lo, la, spec["lon0"], spec["lat0"], spec["k0"], spec["x0"],

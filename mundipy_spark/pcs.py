@@ -29,9 +29,9 @@ def _region(name, epsg, crs, units, bbox, poly=None, transformable=True):
     """poly: optional [(lon, lat), ...] boundary ring — containment then
     tests the query bbox against the POLYGON (the reference scans real
     EPSG region polygons); bbox is the coarse prefilter. transformable:
-    whether kernels/proj.crs_transforms implements this code (tagged per
-    ADVICE r02 — Laborde's oblique Mercator is the one shipped region
-    without a transform)."""
+    whether kernels/proj.crs_transforms implements this code (all
+    shipped regions are now transformable — Laborde, the last gap,
+    landed in round 4)."""
     minx, miny, maxx, maxy = bbox
     if poly is not None:
         xs = [p[0] for p in poly]
@@ -97,7 +97,7 @@ def _build_regions() -> list[dict]:
                 (1.0, 50.2, 12.0, 56.1)),
         _region("Tananarive (Paris) / Laborde Grid", 29701, "EPSG:29701",
                 "meters", (43.1, -25.75, 50.55, -11.8),
-                poly=_MADAGASCAR_POLY, transformable=False),
+                poly=_MADAGASCAR_POLY),
         _region("New Beijing / 3-degree Gauss-Kruger CM 117E", 4796,
                 "EPSG:4796", "meters", (115.5, 18.0, 118.5, 53.6)),
     ]
