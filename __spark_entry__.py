@@ -963,6 +963,72 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container round-trip + extraction (sources/warc.py, the
+    last oracle-less source — VERDICT r03 item 9): each partition of
+    `documents` is serialized into an in-memory WARC/1.0 archive with
+    the real writer, parsed back with the real parser (ONE archive per
+    partition, payload bytes never shuffled — the Common-Crawl file-
+    per-task shape), and the payload html is extracted map-only. The
+    DuckDB twin computes the same end-to-end transform directly, so
+    any framing bug (length, CRLF, header attribution) breaks
+    value-exactness."""
+    import pandas as pd
+
+    from mundipy_spark.sources import warc as warc_src
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    i = F.col("doc_id").cast("string")
+    p = _HTML_WRAP_PARTS
+    raw = F.concat(
+        F.lit(p[0]), i, F.lit(p[1]), i, F.lit(p[2]), i, F.lit(p[3]),
+        F.col("text"), F.lit(p[4]), i, F.lit(p[5]),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://corpus.example/doc/"), i).alias("url"),
+        raw.alias("html"),
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            recs = [
+                dict(
+                    rec_type="response",
+                    url=u,
+                    warc_ts="2026-01-01T00:00:00Z",
+                    content_type="text/html",
+                    payload=h.encode("utf-8"),
+                )
+                for u, h in zip(pdf["url"], pdf["html"])
+            ]
+            rows = warc_src.parse_warc_bytes(warc_src.warc_bytes(recs), "mem")
+            yield pd.DataFrame(
+                {
+                    "url": [r["url"] for r in rows],
+                    "rec_type": [r["rec_type"] for r in rows],
+                    "payload": [r["payload"] for r in rows],
+                },
+                columns=["url", "rec_type", "payload"],
+            )
+
+    parsed = pages.mapInPandas(
+        roundtrip, "url string, rec_type string, payload binary"
+    )
+    out = html_ops.extract_text(
+        parsed.withColumn("h", F.decode("payload", "UTF-8")),
+        html_col="h",
+        out_col="extracted",
+    )
+    return out.select(
+        F.regexp_extract("url", r"doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "rec_type",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5(F.col("extracted").cast("binary")).alias("extracted_md5"),
+    )
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicate-SPAN detection (stride-1 12-token windows,
     Lee et al. 2022 shape): one fp-window shuffle marks repeated
@@ -1287,63 +1353,50 @@ FROM e
 """
 
 
+def _warc_extract_oracle() -> str:
+    """DuckDB twin of q_warc_extract: the container round-trip is an
+    identity on (url, rec_type, payload), so the twin builds the same
+    wrapper and extracts directly; n_bytes is the UTF-8 octet length
+    the WARC Content-Length framed."""
+    p = [s.replace("'", "''") for s in _HTML_WRAP_PARTS]
+    i = "CAST(doc_id AS VARCHAR)"
+    wrap = (
+        f"'{p[0]}' || {i} || '{p[1]}' || {i} || '{p[2]}' || {i} || "
+        f"'{p[3]}' || text || '{p[4]}' || {i} || '{p[5]}'"
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, {wrap} AS html FROM documents
+)
+SELECT doc_id,
+       'response' AS rec_type,
+       CAST(octet_length(encode(html)) AS BIGINT) AS n_bytes,
+       md5({html_ops.extract_text_sql('html')}) AS extracted_md5
+FROM h
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_geocode_regions(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order = driver-verification priority (VERDICT r03
+    item 1): the harness records the FIRST 50 entries in
+    CORRECTNESS_r{N}.json, so the least-recently-driver-verified
+    queries lead — (a) new this round (warc_extract, the newly
+    value-exact lsh/ivf ANN), (b) the 16 late-r3 operators that never
+    appeared in a driver CORRECTNESS file, then (c) round-3-verified
+    entries with this round's code changes first. The tail beyond 50
+    (earliest operators, value-exact in r01+r02+r03) rotates out; all
+    67 remain covered by tools/check_oracle.py and pytest."""
     return {
-        "geocode_regions": q_geocode_regions,
-        "geoparse_points": q_geoparse_points,
-        "tile_cells": q_tile_cells,
-        "cell_rollup": q_cell_rollup,
-        "bbox_scan": q_bbox_scan,
-        "bounds_agg": q_bounds_agg,
-        "knn_cities": q_knn_cities,
-        "within_radius": q_within_radius,
-        "region_pop": q_region_pop,
-        "doc_stats": q_doc_stats,
-        "token_freq": q_token_freq,
-        "exact_dedup": q_exact_dedup,
-        "minhash": q_minhash,
-        "jaccard_pairs": q_jaccard_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "sample_stats": q_sample_stats,
-        "source_topk": q_source_topk,
-        "splits": q_splits,
-        "bpe_tokens": q_bpe_tokens,
-        "ann_topk": q_ann_topk,
-        "events_hourly": q_events_hourly,
-        "sessions": q_sessions,
-        "gazetteer": q_gazetteer,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "crs_ingest": q_crs_ingest,
-        "rasterize": q_rasterize,
-        "vectorize": q_vectorize,
-        "geocode_triangles": q_geocode_triangles,
-        "overlap_weighted": q_overlap_weighted,
-        "dissolve_blocks": q_dissolve_blocks,
-        "simhash_pairs": q_simhash_pairs,
-        "winnow_fp": q_winnow_fp,
-        "lang_profile": q_lang_profile,
-        "multimodal_features": q_multimodal_features,
-        "audio_features": q_audio_features,
+        # (a) never / newly oracle-checked
+        "warc_extract": q_warc_extract,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
-        "asof_events": q_asof_events,
-        "pii_scrub": q_pii_scrub,
-        "rep_signals": q_rep_signals,
-        "incr_dedup": q_incr_dedup,
-        "url_dedup": q_url_dedup,
-        "par_dedup": q_par_dedup,
-        "decontam": q_decontam,
-        "domain_stats": q_domain_stats,
-        "lm_score": q_lm_score,
-        "curate": q_curate,
-        "pagerank": q_pagerank,
+        # (b) late-r3, absent from every driver CORRECTNESS file
         "host_graph": q_host_graph,
         "extract_text": q_extract_text,
         "span_dedup": q_span_dedup,
@@ -1360,6 +1413,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "len_quantiles": q_len_quantiles,
         "kmeans": q_kmeans,
         "semdedup": q_semdedup,
+        # (c) r3-verified; changed-this-round and webtext suite first
+        "pagerank": q_pagerank,
+        "curate": q_curate,
+        "lm_score": q_lm_score,
+        "domain_stats": q_domain_stats,
+        "decontam": q_decontam,
+        "par_dedup": q_par_dedup,
+        "url_dedup": q_url_dedup,
+        "incr_dedup": q_incr_dedup,
+        "rep_signals": q_rep_signals,
+        "pii_scrub": q_pii_scrub,
+        "asof_events": q_asof_events,
+        "audio_features": q_audio_features,
+        "multimodal_features": q_multimodal_features,
+        "lang_profile": q_lang_profile,
+        "winnow_fp": q_winnow_fp,
+        "simhash_pairs": q_simhash_pairs,
+        "dissolve_blocks": q_dissolve_blocks,
+        "overlap_weighted": q_overlap_weighted,
+        "geocode_triangles": q_geocode_triangles,
+        "vectorize": q_vectorize,
+        "rasterize": q_rasterize,
+        "crs_ingest": q_crs_ingest,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q1": q_tpch_q1,
+        "gazetteer": q_gazetteer,
+        "sessions": q_sessions,
+        "events_hourly": q_events_hourly,
+        "ann_topk": q_ann_topk,
+        "bpe_tokens": q_bpe_tokens,
+        "splits": q_splits,
+        # --- driver window boundary (~50) ---
+        "source_topk": q_source_topk,
+        "sample_stats": q_sample_stats,
+        "dedup_clusters": q_dedup_clusters,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash": q_minhash,
+        "exact_dedup": q_exact_dedup,
+        "token_freq": q_token_freq,
+        "doc_stats": q_doc_stats,
+        "region_pop": q_region_pop,
+        "within_radius": q_within_radius,
+        "knn_cities": q_knn_cities,
+        "bounds_agg": q_bounds_agg,
+        "bbox_scan": q_bbox_scan,
+        "cell_rollup": q_cell_rollup,
+        "tile_cells": q_tile_cells,
+        "geoparse_points": q_geoparse_points,
+        "geocode_regions": q_geocode_regions,
     }
 
 
@@ -1794,6 +1897,7 @@ WHERE domain <> 'bbc.co.uk'
 GROUP BY domain
 """,
         "extract_text": _extract_text_oracle(),
+        "warc_extract": _warc_extract_oracle(),
         "span_dedup": spandedup.duplicate_spans_sql("documents", n=12),
         "dsir": importance.importance_weights_sql(
             "documents", "d.doc_id % 13 = 0", n=2, n_buckets=997

@@ -76,22 +76,31 @@ def parse_warc_bytes(raw: bytes, path: str = "") -> list[dict]:
     return out
 
 
+def warc_bytes(records: list[dict]) -> bytes:
+    """Serialize records (same keys parse_warc_bytes emits) to WARC/1.0
+    bytes — the executor-side half of the writer, also used to build
+    in-memory archives for the parser round-trip oracle."""
+    parts = []
+    for r in records:
+        payload = r["payload"]
+        head = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {r.get('rec_type', 'response')}\r\n"
+            f"WARC-Target-URI: {r.get('url', '')}\r\n"
+            f"WARC-Date: {r.get('warc_ts', '')}\r\n"
+            f"Content-Type: {r.get('content_type', 'application/octet-stream')}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        )
+        parts.append(head.encode("utf-8"))
+        parts.append(payload)
+        parts.append(b"\r\n\r\n")
+    return b"".join(parts)
+
+
 def write_warc(records: list[dict], path: str) -> None:
     """Write records (same keys parse_warc_bytes emits) as WARC/1.0."""
     with open(path, "wb") as f:
-        for r in records:
-            payload = r["payload"]
-            head = (
-                "WARC/1.0\r\n"
-                f"WARC-Type: {r.get('rec_type', 'response')}\r\n"
-                f"WARC-Target-URI: {r.get('url', '')}\r\n"
-                f"WARC-Date: {r.get('warc_ts', '')}\r\n"
-                f"Content-Type: {r.get('content_type', 'application/octet-stream')}\r\n"
-                f"Content-Length: {len(payload)}\r\n\r\n"
-            )
-            f.write(head.encode("utf-8"))
-            f.write(payload)
-            f.write(b"\r\n\r\n")
+        f.write(warc_bytes(records))
 
 
 def read_warc(
