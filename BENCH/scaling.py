@@ -200,6 +200,8 @@ is broadcast, the only shuffle is the final 648-group aggregation.
 
 Generated by BENCH/scaling.py at {time.strftime('%Y-%m-%d %H:%M:%S')}.
 """
+    if tail:
+        md += "\n" + tail
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps({"pairs": results}))

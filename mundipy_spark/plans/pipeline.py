@@ -92,6 +92,7 @@ def run_pipeline(
     out_dir: str,
     resume: bool = True,
     region_step_deg: float = 10.0,
+    max_keys: int | None = None,
 ) -> dict:
     """Full checkpointed run over the synthetic pages table.
 
@@ -99,6 +100,14 @@ def run_pipeline(
     pages). A re-run with an existing checkpoint skips completed keys
     whose input fingerprints still match, writes only the residue, and
     reports what it skipped — the resume path north_rule requires.
+    max_keys bounds one invocation's work (incremental runs; the rest
+    is reported as keys_deferred and picked up by the next run).
+
+    Crash safety: the data write uses DYNAMIC partition overwrite, so
+    a key reprocessed after a hard stop (killed JVM between the data
+    commit and the checkpoint commit) REPLACES its partition instead
+    of appending duplicates — resume is idempotent at every kill
+    point; tests/test_pipeline.py pins this with a SIGKILL mid-write.
     """
     run_id = f"run-{int(time.time() * 1000)}"
     pages = pages_src.synth_pages(spark, sf_dir)
@@ -119,17 +128,25 @@ def run_pipeline(
     else:
         todo = metrics
     todo_keys = [r.part_key for r in todo.select("part_key").collect()]
-    skipped = (
-        metrics.count() - len(todo_keys)
-    )
+    pending_total = len(todo_keys)
+    if max_keys is not None:
+        todo_keys = sorted(todo_keys)[:max_keys]
+    deferred = pending_total - len(todo_keys)
+    skipped = metrics.count() - pending_total
 
     if todo_keys:
         slice_df = out.filter(F.col("part_key").isin(todo_keys))
-        (
-            slice_df.write.mode("append")
-            .partitionBy("part_key")
-            .parquet(data_path)
-        )
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        old_mode = spark.conf.get(conf_key, "static")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            (
+                slice_df.write.mode("overwrite")
+                .partitionBy("part_key")
+                .parquet(data_path)
+            )
+        finally:
+            spark.conf.set(conf_key, old_mode)
         done = ckpt.lineage_metrics(slice_df, "part_key", ["url", "text"]).withColumn(
             "rows_out", F.col("rows_in")
         )
@@ -137,9 +154,10 @@ def run_pipeline(
 
     return {
         "run_id": run_id,
-        "keys_total": len(todo_keys) + skipped,
+        "keys_total": pending_total + skipped,
         "keys_processed": len(todo_keys),
         "keys_skipped_resume": skipped,
+        "keys_deferred": deferred,
         "out": data_path,
         "checkpoint": ckpt_path,
     }
