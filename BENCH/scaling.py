@@ -44,15 +44,25 @@ spark = get_spark("scaling", cpus=cpus, shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
 if job == "geocode":
     dt, n = bench.bench_geocode(spark, sf_dir)
-else:  # pardedup: the window-shuffle-bound webtext regime
+else:  # pardedup: the shuffle/aggregate-bound webtext regime
+    from pyspark.sql import functions as F
     from mundipy_spark.operators import paragraphs
     factor = int(os.environ.get("BENCH_REPLICATION", "6000")) // 30
     pages = bench.replicated_pages(spark, sf_dir, max(factor, 1), parallelism=2 * cpus)
     n = pages.count()
+    # consume the REAL output columns: under a bare count() Catalyst
+    # prunes collect_list and eliminates the unique-key join, timing a
+    # fraction of the operator
     dt = bench.timed_best(
         lambda: paragraphs.dedup_paragraphs(
             pages.select("doc_id", "text"), chunk_tokens=12
-        ).count()
+        )
+        .agg(
+            F.sum(F.length("kept_text")),
+            F.sum("n_kept"),
+            F.sum("n_pars"),
+        )
+        .collect()
     )
 print(json.dumps({"cpus": cpus, "sec": dt, "pages": n, "docs_per_sec": n / dt}))
 spark.stop()
@@ -126,7 +136,7 @@ def main() -> None:
         # contention knee; 8->32 saturates every vCPU and runs into the
         # host's own ~0.71 pure-CPU ceiling. The geocode pipeline is
         # the broadcast-join/map-heavy regime; par_dedup is the
-        # window-shuffle-bound webtext regime (VERDICT r03 item 7).
+        # shuffle/aggregate-bound webtext regime (VERDICT r03 item 7).
         pairs = [
             (2, 8, "2000", "geocode"),
             (8, 32, "6000", "geocode"),
@@ -166,11 +176,42 @@ def main() -> None:
 
     tail = ""
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    if os.path.exists(out_path):
-        old = open(out_path).read()
+    old = open(out_path).read() if os.path.exists(out_path) else ""
+    if old:
         m = _re.search(r"^Generated by BENCH/scaling\.py.*$", old, _re.M)
         if m:
             tail = old[m.end():].lstrip("\n")
+
+    # single-pair invocation: splice the fresh row(s) into the existing
+    # table (replace the matching job+pair row, else append) instead of
+    # clobbering the other regimes' rows
+    if len(sys.argv) > 2 and old:
+        lines = old.splitlines()
+        for r, row in zip(results, rows):
+            key = (
+                f"| {r['job']} | local[{r['low']['cpus']}] -> "
+                f"local[{r['high']['cpus']}] |"
+            )
+            for i, ln in enumerate(lines):
+                if ln.startswith(key):
+                    lines[i] = row
+                    break
+            else:
+                last = max(
+                    i for i, ln in enumerate(lines) if ln.startswith("| ")
+                )
+                lines.insert(last + 1, row)
+        md = _re.sub(
+            r"^Generated by BENCH/scaling\.py at .*$",
+            f"Generated by BENCH/scaling.py at "
+            f"{time.strftime('%Y-%m-%d %H:%M:%S')} (row update).",
+            "\n".join(lines) + "\n",
+            flags=_re.M,
+        )
+        with open(out_path, "w") as f:
+            f.write(md)
+        print(json.dumps({"pairs": results}))
+        return
 
     md = f"""# BENCH/BASELINE.md — measured scaling evidence
 
@@ -179,8 +220,9 @@ executors. Sandbox proxy: two jobs covering the engine's two scaling
 regimes on IDENTICAL replicated-page input at each pair, fresh JVM per
 level, JIT-warmed, min-of-3 timed runs — `geocode` (geoparse -> tile
 -> broadcast spatial join -> agg: map-heavy, broadcast, one small
-shuffle) and `pardedup` (corpus paragraph dedup: explode -> global
-fingerprint window -> reassembly agg: window-shuffle-bound).
+shuffle) and `pardedup` (corpus paragraph dedup: paragraph explode ->
+map-side-combined hash agg on a packed (doc,idx) key -> rebuild join:
+the shuffle/aggregate-bound regime).
 
 | job | N -> 4N | pages | wall sec | docs/sec | job efficiency | host ceiling | vs ceiling | >=0.8 |
 |---|---|---|---|---|---|---|---|---|

@@ -193,9 +193,12 @@ def main() -> None:
     queries["gazetteer_scan"] = round(bench_gazetteer(spark, sf_dir), 3)
 
     # corpus-wide paragraph dedup at replicated scale: explode + the
-    # fingerprint window + reassembly agg are the three webtext-side
+    # packed-key winner agg + rebuild join are the three webtext-side
     # stages that must survive 10^12 docs (replication makes every
-    # paragraph ~factor-hot, a WORST-case window skew shape)
+    # paragraph ~factor-hot, a WORST-case duplicate-skew shape that the
+    # map-side combine must absorb). Consume the REAL output columns:
+    # a bare count() lets Catalyst prune the kept-text rebuild and the
+    # winner join, timing a fraction of the operator.
     from mundipy_spark.operators import paragraphs as _paragraphs
 
     pd_pages = replicated_pages(spark, sf_dir, max(REPLICATION // 30, 1))
@@ -203,7 +206,13 @@ def main() -> None:
         timed_best(
             lambda: _paragraphs.dedup_paragraphs(
                 pd_pages.select("doc_id", "text"), chunk_tokens=12
-            ).count()
+            )
+            .agg(
+                F.sum(F.length("kept_text")),
+                F.sum("n_kept"),
+                F.sum("n_pars"),
+            )
+            .collect()
         ),
         3,
     )

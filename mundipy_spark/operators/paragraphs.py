@@ -10,29 +10,38 @@ splitter expression, and the 56-bit md5 fingerprint is the same
 portable primitive as MinHash, so the DuckDB oracle reproduces the
 kept text byte-for-byte.
 
-Scale shape (10^12 docs): ONE scan of the corpus, two shuffles.
-- paragraph explode is map-side (arrays staged as real columns — see
-  operators/scrub.py on lambda re-evaluation); empty docs survive as
-  a single null-paragraph row (posexplode_outer), fingerprinted with
-  a per-doc unique sentinel so they never pile into one hot window
-  partition;
-- first-occurrence selection is ONE window shuffle keyed by the
-  uniform fingerprint (row_number over (fp) ordered by (doc_id, idx)
-  — no groupBy+join-back round trip). The survivor is FLAGGED, not
-  filtered, so totals ride along instead of forcing a second scan;
-- reassembly + totals are one shuffle back on doc_id with a
-  partial-agg collect_list. Both keys are uniform; boilerplate
-  paragraphs make hot fingerprint groups, but the window only ranks
-  them (no quadratic pairing), so skew degrades one task's sort, not
-  the plan.
+Scale shape (10^12 docs): first-occurrence selection is a PARTIAL
+AGGREGATE over a packed primitive, not a window —
+`groupBy(fp).agg(min(doc_id*2^24 + idx))` is algebraically identical
+to `row_number() over (partition by fp order by doc_id, idx) = 1`,
+but it runs as whole-stage-codegen HashAggregate and map-side combine
+collapses every duplicate BEFORE the shuffle: the exchange carries
+one slim (fp, long) row per DISTINCT paragraph instead of a full
+paragraph string per occurrence. Boilerplate hot fingerprints are
+absorbed map-side for the same reason — skew never reaches the wire,
+and nothing is ever sorted cluster-wide. Kept text is REBUILT from
+the winning doc's own text (token-slice by winning idx) after one
+hash join whose build side is the per-doc winner list, so:
+- paragraph strings exist only transiently map-side (for md5);
+- the text column crosses the wire exactly once (the join exchange);
+- per-doc totals (n_pars = ceil(tokens/chunk)) come from text length
+  alone, on the same row, no explode.
+Cost: the text column is scanned twice (explode + rebuild) — two
+sequential column scans are far cheaper at scale than shuffling AND
+sorting the exploded corpus once, which is what the window plan did.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mundipy_spark.functions import text as tx
+
+# (doc_id, idx) packed into one BIGINT for the winner min(): low
+# _IDX_BITS bits hold the paragraph index, the rest the doc id —
+# supports |doc_id| < 2^39 with up to 16.7M paragraphs per doc
+_IDX_BITS = 24
 
 
 def split_paragraphs(
@@ -49,15 +58,19 @@ def split_paragraphs(
     ).filter(F.length(F.trim(F.col(text_col))) > 0)
     toks = F.col("_toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(c))).cast("int")
-    pars = base.select(
+    # the transform lives INSIDE the generator: materializing the
+    # paragraph array as its own Project column first and exploding
+    # the column reference costs ~3x (the array is copied into unsafe
+    # format row-by-row before the Generate); measured 23.7s vs 8.1s
+    # at 2M pages, local[8]
+    return base.select(
         id_col,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * c + 1, c)),
-        ).alias("_pars"),
-    )
-    return pars.select(
-        id_col, F.posexplode(F.col("_pars")).alias("idx", "par")
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * c + 1, c)),
+            )
+        ).alias("idx", "par"),
     )
 
 
@@ -72,55 +85,81 @@ def dedup_paragraphs(
     surviving paragraphs with a single space ('' when every paragraph
     of the doc occurred earlier in the corpus)."""
     c = chunk_tokens
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_chunks = F.when(
-        F.length(F.trim(F.col(text_col))) > 0,
-        F.ceil(F.size(toks) / F.lit(float(c))).cast("int"),
-    ).otherwise(F.lit(0))
-    staged = df.select(F.col(id_col), toks.alias("_toks"), n_chunks.alias("_nc"))
-    pars = staged.select(
+    txt = F.trim(F.col(text_col))
+    toks = F.split(txt, r"\s+")
+    n_pars = F.when(
+        F.length(txt) > 0,
+        F.ceil(F.size(toks) / F.lit(float(c))).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+
+    # first occurrence per fingerprint via a PACKED primitive key:
+    # strings can never ride a HashAggregate buffer (min(struct)/
+    # min_by/first over a string all fall back to SortAggregate, which
+    # is interpreted and sorts the full exploded set map-side), so the
+    # winner is min(doc_id*2^24 + idx) — codegen hash agg, map-side
+    # combine. Packed order == (doc_id, idx) lexicographic order, incl.
+    # negative ids (arithmetic shift); idx is bounded by _IDX_BITS
+    # (>16.7M paragraphs in ONE doc raises rather than corrupting).
+    pars = split_paragraphs(df, text_col, id_col, c)
+    packed = F.when(
+        F.col("idx") < F.lit(1 << _IDX_BITS),
+        F.shiftleft(F.col(id_col), _IDX_BITS).bitwiseOR(F.col("idx")),
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"dedup_paragraphs: more than 2^{_IDX_BITS} paragraphs in one doc")
+        ).cast("long")
+    )
+    winners = (
+        pars.select(tx.md5_int_expr(F.col("par")).alias("_fp"), packed.alias("_pk"))
+        .groupBy("_fp")
+        .agg(F.min("_pk").alias("_pk"))
+        .select(
+            F.shiftright(F.col("_pk"), _IDX_BITS).alias(id_col),
+            F.col("_pk").bitwiseAND(F.lit((1 << _IDX_BITS) - 1)).alias("idx"),
+        )
+    )
+    kept = winners.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_sort(F.collect_list("idx")).alias("_kidx"),
+    )
+
+    # kept paragraphs are REBUILT from the doc's own text after one
+    # join against the per-doc winner lists, so paragraph strings are
+    # never aggregated. With a high dup rate the winner side is small
+    # and Spark/AQE broadcasts it — the text column then never crosses
+    # the wire at all; when it outgrows broadcast, AQE's shuffled-hash
+    # conversion keeps the text side sort-free (one exchange, the same
+    # bytes the window formulation shuffled anyway). Requires ids
+    # unique per row (the twin's dup-id order is undefined anyway:
+    # string_agg ORDER BY idx with tied idx).
+    docs = df.select(F.col(id_col), txt.alias("_txt"), n_pars.alias("n_pars"))
+    joined = docs.join(kept, on=id_col, how="left")
+    staged = joined.select(
         id_col,
-        F.posexplode_outer(
-            F.when(
-                F.col("_nc") > 0,
+        "n_pars",
+        "n_kept",
+        "_kidx",
+        # split only the docs that kept something — in a heavily
+        # replicated corpus that skips the re-tokenize for ~all rows
+        F.when(F.col("_kidx").isNotNull(), F.split(F.col("_txt"), r"\s+")).alias(
+            "_toks"
+        ),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("n_pars"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(
+            F.concat_ws(
+                " ",
                 F.transform(
-                    F.sequence(F.lit(0), F.col("_nc") - 1),
+                    F.col("_kidx"),
                     lambda i: F.concat_ws(
                         " ", F.slice(F.col("_toks"), i * c + 1, c)
                     ),
                 ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("idx", "par"),
-    )
-    # empty docs carry a null paragraph; give each a UNIQUE sentinel
-    # fingerprint (negative, outside md5's 56-bit range) so the null
-    # rows don't all land in one window partition.
-    fp = pars.withColumn(
-        "_fp",
-        F.coalesce(
-            tx.md5_int_expr(F.col("par")), -F.col(id_col) - F.lit(1)
-        ),
-    )
-    first = Window.partitionBy("_fp").orderBy(
-        F.col(id_col).asc(), F.col("idx").asc()
-    )
-    flagged = fp.withColumn(
-        "_kept",
-        (F.row_number().over(first) == 1) & F.col("par").isNotNull(),
-    )
-    return flagged.groupBy(id_col).agg(
-        F.sum(F.col("par").isNotNull().cast("long")).alias("n_pars"),
-        F.sum(F.col("_kept").cast("long")).alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("_kept"), F.struct("idx", "par"))
-                    )
-                ),
-                lambda s: s["par"],
             ),
+            F.lit(""),
         ).alias("kept_text"),
     )
 

@@ -92,10 +92,14 @@ def test_dedup_paragraphs_first_occurrence(spark):
     assert (got[3].n_pars, got[3].n_kept, got[3].kept_text) == (0, 0, "")
 
 
-def test_dedup_paragraphs_single_scan(spark, tmp_path):
-    """Corpus is scanned ONCE: totals ride through the kept-flag window
-    instead of separate totals/all_docs subtrees (the Mundi.q
-    multi-scan class of bug)."""
+def test_dedup_paragraphs_plan_shape(spark, tmp_path):
+    """The scale contract: winner selection is a whole-stage-codegen
+    HashAggregate over the packed primitive (map-side combine collapses
+    duplicates BEFORE the exchange) — never a Window and never a
+    SortAggregate (strings in an agg buffer force the interpreted
+    sorting fallback). Paragraph strings must not cross an exchange:
+    the only string shuffle is the doc text feeding the rebuild join.
+    Two column scans (explode + rebuild) are the accepted cost."""
     p = str(tmp_path / "docs.parquet")
     spark.createDataFrame(
         [(i, " ".join(f"t{i % 3}_{j}" for j in range(30))) for i in range(12)],
@@ -108,7 +112,10 @@ def test_dedup_paragraphs_single_scan(spark, tmp_path):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Scan parquet") == 1
+    assert plan.count("Scan parquet") == 2
+    assert "Window" not in plan
+    assert "SortAggregate" not in plan
+    assert "partial_min" in plan  # map-side combine of the packed key
 
 
 def test_dedup_paragraphs_within_doc_repeat(spark):
