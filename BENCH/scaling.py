@@ -140,7 +140,10 @@ def main() -> None:
         pairs = [
             (2, 8, "2000", "geocode"),
             (8, 32, "6000", "geocode"),
-            (2, 8, "3000", "pardedup"),
+            # 9000 -> 1.5M pages: below that the 2-level job is
+            # fixed-cost-dominated (4.5s at 8 cores) and the ratio
+            # reads ~0.7 regardless of plan quality
+            (2, 8, "9000", "pardedup"),
         ]
     # Like the min-of-3 timing inside each level, a pair re-runs (up to
     # twice) and the BEST efficiency is kept: host steal inflates one

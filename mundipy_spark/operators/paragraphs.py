@@ -12,7 +12,7 @@ kept text byte-for-byte.
 
 Scale shape (10^12 docs): first-occurrence selection is a PARTIAL
 AGGREGATE over a packed primitive, not a window —
-`groupBy(fp).agg(min(doc_id*2^24 + idx))` is algebraically identical
+`groupBy(fp).agg(min(doc_id<<IDX_BITS | idx))` is algebraically identical
 to `row_number() over (partition by fp order by doc_id, idx) = 1`,
 but it runs as whole-stage-codegen HashAggregate and map-side combine
 collapses every duplicate BEFORE the shuffle: the exchange carries
@@ -40,8 +40,11 @@ from mundipy_spark.functions import text as tx
 
 # (doc_id, idx) packed into one BIGINT for the winner min(): low
 # _IDX_BITS bits hold the paragraph index, the rest the doc id —
-# supports |doc_id| < 2^39 with up to 16.7M paragraphs per doc
-_IDX_BITS = 24
+# supports |doc_id| < 2^43 (8.8e12, clear of the module's 10^12-doc
+# contract) with up to 1M paragraphs per doc (12.6M tokens at the
+# default 12-token chunking). Out-of-range ids/idx RAISE rather than
+# silently corrupt the packing.
+_IDX_BITS = 20
 
 
 def split_paragraphs(
@@ -96,17 +99,24 @@ def dedup_paragraphs(
     # strings can never ride a HashAggregate buffer (min(struct)/
     # min_by/first over a string all fall back to SortAggregate, which
     # is interpreted and sorts the full exploded set map-side), so the
-    # winner is min(doc_id*2^24 + idx) — codegen hash agg, map-side
-    # combine. Packed order == (doc_id, idx) lexicographic order, incl.
-    # negative ids (arithmetic shift); idx is bounded by _IDX_BITS
-    # (>16.7M paragraphs in ONE doc raises rather than corrupting).
+    # winner is min(doc_id<<IDX_BITS | idx) — codegen hash agg, map-
+    # side combine. Packed order == (doc_id, idx) lexicographic order,
+    # incl. negative ids (arithmetic shift round-trips the sign); both
+    # fields are range-checked so an out-of-contract id raises instead
+    # of corrupting the packing.
     pars = split_paragraphs(df, text_col, id_col, c)
+    id_bound = F.lit(1 << (63 - _IDX_BITS))
     packed = F.when(
-        F.col("idx") < F.lit(1 << _IDX_BITS),
+        (F.col("idx") < F.lit(1 << _IDX_BITS))
+        & (F.col(id_col) < id_bound)
+        & (F.col(id_col) >= -id_bound),
         F.shiftleft(F.col(id_col), _IDX_BITS).bitwiseOR(F.col("idx")),
     ).otherwise(
         F.raise_error(
-            F.lit(f"dedup_paragraphs: more than 2^{_IDX_BITS} paragraphs in one doc")
+            F.lit(
+                f"dedup_paragraphs: |{id_col}| >= 2^{63 - _IDX_BITS} or more "
+                f"than 2^{_IDX_BITS} paragraphs in one doc"
+            )
         ).cast("long")
     )
     winners = (

@@ -6,9 +6,10 @@ operators; this module only wires them.
 
 Scale shape (10^12 docs): the stages compose without materialization —
 Catalyst fuses the map-side gates into the paragraph explode, so the
-whole pipeline is: one corpus scan, the paragraph-fingerprint window
-shuffle, the doc_id reassembly agg, the decontam explode + broadcast
-join, and the final doc_id agg. The keep-ratio test is integer
+whole pipeline is: the paragraph-dedup subplan (map-side-combined
+fingerprint agg + per-doc winner agg + rebuild join — see
+operators/paragraphs.py), the decontam explode + broadcast join, and
+the final doc_id agg. The keep-ratio test is integer
 cross-multiplication (n_kept * 10 >= n_pars * keep_ratio_tenths), so
 selection is engine-exact with no float thresholds.
 """

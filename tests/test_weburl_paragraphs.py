@@ -124,3 +124,33 @@ def test_dedup_paragraphs_within_doc_repeat(spark):
     df = spark.createDataFrame([(7, f"{A} {A}")], "doc_id long, text string")
     r = paragraphs.dedup_paragraphs(df, chunk_tokens=12).collect()[0]
     assert (r.n_pars, r.n_kept, r.kept_text) == (2, 1, A)
+
+
+def test_dedup_paragraphs_packed_key_boundaries(spark):
+    """The packed (doc_id<<IDX_BITS | idx) winner key: negative ids
+    round-trip through the arithmetic shift with first-occurrence
+    order preserved, and an out-of-contract doc_id raises instead of
+    silently corrupting the packing."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    bits = paragraphs._IDX_BITS
+    # doc -5 precedes doc -2 precedes doc 3: the shared paragraph
+    # survives only in doc -5
+    df = spark.createDataFrame(
+        [(-5, "a b c"), (-2, "a b c"), (3, "a b c x y z")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_kept, r.kept_text)
+        for r in paragraphs.dedup_paragraphs(df, chunk_tokens=3).collect()
+    }
+    assert got[-5] == (1, "a b c")
+    assert got[-2] == (0, "")
+    assert got[3] == (1, "x y z")
+
+    big = spark.createDataFrame(
+        [(1 << (63 - bits), "a b c")], "doc_id long, text string"
+    )
+    with pytest.raises(SparkRuntimeException, match="dedup_paragraphs"):
+        paragraphs.dedup_paragraphs(big, chunk_tokens=3).collect()
