@@ -50,3 +50,46 @@ def test_span_dedup_bounds(spark, batch):
         # a duplicated window implies at least n covered tokens
         if r.n_dup_grams > 0:
             assert r.dup_tokens >= n
+
+
+def _pardedup_model(docs, c):
+    """Pure-Python reference for dedup_paragraphs: first occurrence
+    per paragraph fingerprint ordered by (doc_id, idx)."""
+    seen = set()
+    out = {}
+    for doc_id, text in sorted(docs):
+        toks = text.strip().split()
+        pars = [
+            " ".join(toks[i : i + c]) for i in range(0, len(toks), c)
+        ]
+        kept = []
+        for p in pars:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        out[doc_id] = (len(pars), len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(texts, min_size=1, max_size=12),
+    st.sampled_from([1, 2, 3, 5]),
+)
+def test_dedup_paragraphs_matches_model(spark, batch, c):
+    """The packed-key agg + rebuild-join plan is semantically identical
+    to the straightforward first-occurrence model — including empty and
+    whitespace-only docs, within-doc repeats, and chunk sizes that
+    leave ragged tails."""
+    from mundipy_spark.operators import paragraphs
+
+    docs = [(i, t) for i, t in enumerate(batch)]
+    model = _pardedup_model(docs, c)
+    got = {
+        r.doc_id: (r.n_pars, r.n_kept, r.kept_text)
+        for r in paragraphs.dedup_paragraphs(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            chunk_tokens=c,
+        ).collect()
+    }
+    assert got == model
