@@ -72,9 +72,7 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _geo_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return geoparse.parse_geo_tokens(_pages(spark, sf_dir)).filter(
-        F.col("lat").isNotNull()
-    )
+    return geoparse.parse_geo_tokens(_pages(spark, sf_dir), matched_only=True)
 
 
 # SQL CTE that re-derives the geoparsed pages arithmetically (the oracle

@@ -437,6 +437,153 @@ def st_cells_classified(g: pd.Series, res: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+_CELL_REFINE_TYPE = T.StructType(
+    [
+        T.StructField("nring", T.IntegerType()),
+        T.StructField("bpar", T.BooleanType()),
+        T.StructField("segs", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+@F.pandas_udf(_CELL_REFINE_TYPE)
+def st_cell_refine(g: pd.Series, cell: pd.Series) -> pd.DataFrame:
+    """Index-BUILD-side kernel of the JVM refine path: per (geometry,
+    boundary cell) row, the local segment subset + base parity that lets
+    the probe side answer exact PIP with a pure Catalyst expression
+    (`pip_refine_expr`) — no Python on the 10^12-row probe stream, and
+    the broadcast ships a handful of doubles per boundary cell instead
+    of whole-polygon WKB. Distinct geometries decode once per batch."""
+    out_n = np.zeros(len(g), dtype=np.int64)
+    out_b = np.zeros(len(g), dtype=bool)
+    out_s: list = [None] * len(g)
+    groups: dict[bytes, list[int]] = {}
+    for i, b in enumerate(g):
+        if isinstance(b, (bytes, bytearray, memoryview)):
+            groups.setdefault(bytes(b), []).append(i)
+    cells = cell.to_numpy(np.int64)
+    for key, idx in groups.items():
+        geom = wkb.loads(key)
+        refs = tiling.cell_refine_segments(geom, cells[np.asarray(idx)])
+        for i, (nring, bpar, flat) in zip(idx, refs):
+            out_n[i] = nring
+            out_b[i] = bpar
+            out_s[i] = flat
+    return pd.DataFrame(
+        {"nring": out_n, "bpar": out_b, "segs": out_s}
+    )
+
+
+def pip_refine_expr(
+    lon: Column, lat: Column, segs: Column, nring: Column, bpar: Column,
+    maxk: int,
+) -> Column:
+    """Exact point-in-geometry refinement as a pure Catalyst expression
+    over the per-cell segment subset from `st_cell_refine` — the JVM
+    twin of the `st_point_in_geom` Arrow kernel (identical crossing and
+    min-distance arithmetic, in the same operand order, so the doubles
+    round identically).
+
+    The per-segment loop is UNROLLED to the layer's max segments-per-
+    boundary-cell (`maxk`, a tiny driver-side agg over the index):
+    higher-order functions like `aggregate` are CodegenFallback, and one
+    in the join's post-filter knocks the whole probe stage out of
+    whole-stage codegen (measured 43s vs 7s at 30M pages). Unrolled
+    terms are flat double arithmetic over `F.get` lookups (null-safe
+    past the array end -> the term collapses to false), so the entire
+    refinement compiles into the same codegen stage as the join;
+    interior-cell candidates short-circuit on cell_full first. Admin
+    layers keep 1-4 segments per boundary cell (rect grid max 3); a
+    coastline-detail layer with hundreds per cell should use
+    refine="arrow" instead, whose per-batch numpy vectorization wins at
+    that density."""
+    par = F.lit(False)
+    edge = F.lit(False)
+    for i in range(maxk):
+        xi, yi = F.get(segs, i * 4), F.get(segs, i * 4 + 1)
+        xj, yj = F.get(segs, i * 4 + 2), F.get(segs, i * 4 + 3)
+        # crossing parity: same formula as predicates.crossings_in_ring
+        # (yi==yj edges die on the (yi>lat)!=(yj>lat) term, so the
+        # division never matters where it is undefined; past-the-end
+        # lookups are null and the conjunction collapses to false)
+        xint = (xj - xi) * (lat - yi) / (yj - yi) + xi
+        cross = (
+            (F.lit(i) < nring)
+            & ((yi > lat) != (yj > lat))
+            & (lon < xint)
+        )
+        # on-edge epsilon test. Algebraically identical to
+        # point_segs_min_dist's clipped-projection distance, rewritten
+        # closed-form (d2 = |u|^2 - t*(2*dot - t*ln2), t = clip(dot/ln2))
+        # and compared squared: Column reuse in Python duplicates the
+        # whole subtree at every reference, and the naive qx/qy form
+        # repeats the clip subtree ~8x per segment — the join-condition
+        # method it generated was too big to JIT (22s vs 7s at 30M
+        # pages). FP rounding differs from the kernel only in the last
+        # ulps, decisive for any point not engineered to sit exactly at
+        # the 1e-9 boundary (real inputs are either ON an edge, d2~1e-30,
+        # or >=1e-3 away).
+        dx, dy = xj - xi, yj - yi
+        ux, uy = lon - xi, lat - yi
+        ln2 = dx * dx + dy * dy
+        u2 = ux * ux + uy * uy
+        dot = ux * dx + uy * dy
+        t = F.least(F.greatest(dot / ln2, F.lit(0.0)), F.lit(1.0))
+        d2 = F.when(ln2 == 0.0, u2).otherwise(u2 - t * (dot + dot - t * ln2))
+        par = par != F.coalesce(cross, F.lit(False))
+        edge = edge | F.coalesce(d2 <= F.lit(1e-18), F.lit(False))
+    base = F.coalesce(bpar, F.lit(False))
+    # the edge chain only matters when parity says OUTSIDE (it can only
+    # flip outside->inside), so it lives in the CASE's otherwise branch:
+    # codegen's subexpression elimination evaluates hoisted common
+    # subtrees EAGERLY per row, and the unconditional `par | edge` form
+    # paid the whole distance chain on every candidate (14.2s vs 6.6s at
+    # 30M pages); conditional-only expressions are never hoisted
+    return F.when(
+        segs.isNotNull(), F.when(base != par, F.lit(True)).otherwise(edge)
+    )
+
+
+def pip_refine_agg_expr(
+    lon: Column, lat: Column, segs: Column, nring: Column, bpar: Column
+) -> Column:
+    """Arbitrary-k fallback of pip_refine_expr: the same crossing-parity
+    + on-edge test as an `aggregate` higher-order function. Correct for
+    ANY segments-per-cell count (the unrolled form overflows the
+    driver's Column-tree conversion past ~hundreds of terms), but HOFs
+    are CodegenFallback — use only when a prebuilt refine="jvm" index
+    turns out denser than joins.UNROLL_CAP; dense layers are better
+    served by refine="arrow" (per-batch numpy)."""
+    k = (F.size(segs) / F.lit(4)).cast("int")
+
+    def sg(i: Column, j: int) -> Column:
+        return F.element_at(segs, ((i - 1) * 4 + F.lit(j + 1)).cast("int"))
+
+    def merge(acc: Column, i: Column) -> Column:
+        xi, yi = sg(i, 0), sg(i, 1)
+        xj, yj = sg(i, 2), sg(i, 3)
+        xint = (xj - xi) * (lat - yi) / (yj - yi) + xi
+        cross = (i <= nring) & ((yi > lat) != (yj > lat)) & (lon < xint)
+        dx, dy = xj - xi, yj - yi
+        ux, uy = lon - xi, lat - yi
+        ln2 = dx * dx + dy * dy
+        u2 = ux * ux + uy * uy
+        dot = ux * dx + uy * dy
+        t = F.least(F.greatest(dot / ln2, F.lit(0.0)), F.lit(1.0))
+        d2 = F.when(ln2 == 0.0, u2).otherwise(u2 - t * (dot + dot - t * ln2))
+        return F.struct(
+            (acc["p"] != F.coalesce(cross, F.lit(False))).alias("p"),
+            (acc["e"] | F.coalesce(d2 <= F.lit(1e-18), F.lit(False))).alias("e"),
+        )
+
+    zero = F.struct(F.lit(False).alias("p"), F.lit(False).alias("e"))
+    base = F.coalesce(bpar, F.lit(False))
+    agg = F.aggregate(F.sequence(F.lit(1), k), zero, merge)
+    return F.when(
+        segs.isNotNull() & (k > 0), agg["e"] | (base != agg["p"])
+    ).otherwise(F.when(segs.isNotNull(), base))
+
+
 @F.pandas_udf(T.LongType())
 def st_cell_of_geom(g: pd.Series, res: pd.Series) -> pd.Series:
     """Cell of a geometry's representative point (points: the point)."""

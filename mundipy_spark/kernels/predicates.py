@@ -81,6 +81,46 @@ def geom_segments(geom) -> np.ndarray:
     return np.concatenate(parts, axis=0)
 
 
+def ring_line_segments(geom) -> tuple[np.ndarray, np.ndarray]:
+    """Boundary segments split by role: (ring_segs, line_segs), each
+    (m, 4).
+
+    Ring segments (polygon boundaries) participate in BOTH the even-odd
+    crossing parity and the on-edge epsilon test of `points_in_geom`;
+    line segments (LineString members, incl. inside GeometryCollections)
+    participate in the on-edge test only — the split the JVM-expression
+    PIP refinement needs to reproduce `points_in_geom` exactly."""
+    rings: list[np.ndarray] = []
+    lines: list[np.ndarray] = []
+
+    def walk(g):
+        t, data = g
+        if t in ("Point", "MultiPoint"):
+            return
+        if t == "LineString":
+            lines.append(_line_segments(data))
+        elif t == "MultiLineString":
+            lines.extend(_line_segments(l) for l in data)
+        elif t == "Polygon":
+            rings.extend(_ring_segments(r) for r in data)
+        elif t == "MultiPolygon":
+            rings.extend(_ring_segments(r) for poly in data for r in poly)
+        elif t == "GeometryCollection":
+            for sub in data:
+                walk(sub)
+        else:
+            raise ValueError(t)
+
+    walk(geom)
+    empty = np.empty((0, 4), dtype=np.float64)
+    r = [p for p in rings if len(p)]
+    l = [p for p in lines if len(p)]
+    return (
+        np.concatenate(r, axis=0) if r else empty,
+        np.concatenate(l, axis=0) if l else empty,
+    )
+
+
 def _polygons_of(geom):
     """Yield ring-lists of every polygon in the geometry."""
     t, data = geom

@@ -202,3 +202,73 @@ def cover_geometry_classified(geom, res: int) -> tuple[np.ndarray, np.ndarray]:
         inside = predicates.points_in_geom(cx, cy, geom)
         full[np.nonzero(full)[0][~inside]] = False
     return cells, full
+
+
+def cell_refine_segments(
+    geom, cells, pad_eps: float = 1e-6
+) -> list[tuple[int, bool, list[float]]]:
+    """Per-cell PIP refinement data for the JVM-expression refine path.
+
+    For each (boundary) cell, the exact `points_in_geom` answer for any
+    point assigned to that cell is reconstructible from a SMALL local
+    subset of the geometry's segments plus one parity bit:
+
+      - a segment whose x-range ends left of the (padded) cell can never
+        host a +x ray crossing (xint <= its max x < any point x) nor an
+        on-edge hit -> dropped;
+      - a segment entirely right of the padded cell whose y-span strictly
+        covers the padded strip crosses the +x ray of EVERY point in the
+        cell exactly once -> folded into a constant base parity bit;
+      - everything else whose y-range intersects the padded strip is kept
+        verbatim and evaluated per point with the very same crossing /
+        min-distance formulas `points_in_geom` uses.
+
+    Pads are half a cell plus pad_eps, so probe points that sit exactly
+    ON a cell border (possible: floor assignment puts a border point in
+    the upper cell) are strictly interior to the window, and the 1e-9
+    on-edge test can never reach a dropped segment.
+
+    Returns a list aligned with `cells`: (nring, base_parity, flat segs)
+    where the flat array is [x1,y1,x2,y2]*k with the first nring
+    segments being polygon-ring segments (crossing + edge test) and the
+    rest line segments (edge test only). Valid-geometry note: parity is
+    XOR across ALL rings, which equals `points_in_geom`'s OR-across-
+    polygons whenever polygon interiors are disjoint (any valid
+    (Multi)Polygon); overlapping-interior invalid multipolygons must use
+    the Arrow refine path."""
+    from mundipy_spark.kernels import predicates
+
+    rs, ls = predicates.ring_line_segments(geom)
+    cminx, cminy, cmaxx, cmaxy = cell_bounds(cells)
+    padx = (cmaxx - cminx) * 0.5 + pad_eps
+    pady = (cmaxy - cminy) * 0.5 + pad_eps
+    if len(rs):
+        r_minx = np.minimum(rs[:, 0], rs[:, 2])
+        r_maxx = np.maximum(rs[:, 0], rs[:, 2])
+        r_miny = np.minimum(rs[:, 1], rs[:, 3])
+        r_maxy = np.maximum(rs[:, 1], rs[:, 3])
+    if len(ls):
+        l_minx = np.minimum(ls[:, 0], ls[:, 2])
+        l_maxx = np.maximum(ls[:, 0], ls[:, 2])
+        l_miny = np.minimum(ls[:, 1], ls[:, 3])
+        l_maxy = np.maximum(ls[:, 1], ls[:, 3])
+    out: list[tuple[int, bool, list[float]]] = []
+    for k in range(len(cells)):
+        x0, x1 = cminx[k] - padx[k], cmaxx[k] + padx[k]
+        y0, y1 = cminy[k] - pady[k], cmaxy[k] + pady[k]
+        bpar = False
+        kept_r = np.empty((0, 4), dtype=np.float64)
+        kept_l = np.empty((0, 4), dtype=np.float64)
+        if len(rs):
+            in_strip = (r_maxy >= y0) & (r_miny <= y1)
+            cand = in_strip & (r_maxx >= x0)
+            fold = cand & (r_minx > x1) & (r_miny < y0) & (r_maxy > y1)
+            kept_r = rs[cand & ~fold]
+            bpar = bool(int(fold.sum()) & 1)
+        if len(ls):
+            kept_l = ls[
+                (l_maxy >= y0) & (l_miny <= y1) & (l_maxx >= x0) & (l_minx <= x1)
+            ]
+        flat = np.concatenate([kept_r, kept_l], axis=0).ravel()
+        out.append((int(len(kept_r)), bpar, flat.tolist()))
+    return out

@@ -24,12 +24,39 @@ GEO_TOKEN_RE = r"geo:(-?\d+),(-?\d+)"
 DECIMAL_PAIR_RE = r"(-?\d{1,2}\.\d{1,6})\s*,\s*(-?\d{1,3}\.\d{1,6})"
 
 
-def parse_geo_tokens(pages: DataFrame, text_col: str = "text") -> DataFrame:
+def parse_geo_tokens(
+    pages: DataFrame, text_col: str = "text", matched_only: bool = False
+) -> DataFrame:
     """Adds lat/lon (double, null when absent) from `geo:<latc>,<lonc>`
-    integer mentions. ONE regexp pass over the text (the expensive part
-    at 10^12 rows); the cheap comma split runs on the tiny match."""
+    integer mentions.
+
+    ONE regexp pass over the text (the expensive part at 10^12 rows);
+    the cheap comma split runs on the tiny match. Measured dead ends
+    (30M pages, local[32]): UTF8String.indexOf via `instr` costs 4.1s
+    where this whole regexp costs 2.5s (Java regex takes the memchr-ish
+    fast path on the literal 'geo:' prefix; indexOf is a naive byte
+    scan), so instr-prefilter/instr-substring variants LOSE 2.5-9x.
+
+    matched_only=True drops un-geocoded pages INSIDE the operator (the
+    inner-join geocode path). Callers must use this instead of
+    `.filter(lat.isNotNull)`: the external filter's predicate inlines
+    the lat definition — `CASE WHEN size(split(regexp..)) THEN
+    isnotnull(element_at(split(regexp..)))` carries TWO regexp
+    evaluations — and Catalyst pushes that composite below every
+    upstream projection (even into upstream join conditions), so the
+    parse ran 3x per row. Filtering on `size(_gm)=2` BEFORE the lat/lon
+    projection pushes a single-regexp predicate instead, and lat/lon
+    then derive null-free from the kept rows: 8.3s -> 5.2s for the
+    parse stage at 30M pages, local[32]."""
     m = F.regexp_extract(F.col(text_col), r"geo:(-?\d+,-?\d+)", 1)
     parts = F.split(m, ",")
+    if matched_only:
+        d = pages.withColumn("_gm", parts).filter(F.size("_gm") == 2)
+        return (
+            d.withColumn("lat", F.element_at("_gm", 1).cast("double") / 100.0)
+            .withColumn("lon", F.element_at("_gm", 2).cast("double") / 100.0)
+            .drop("_gm")
+        )
     return pages.withColumn("_gm", parts).withColumn(
         "lat",
         F.when(F.size(F.col("_gm")) == 2, F.element_at("_gm", 1).cast("double") / 100.0),

@@ -159,6 +159,7 @@ def tile_index(
     res: int = DEFAULT_RES,
     keep: list[str] | None = None,
     null_interior_geom: bool = True,
+    refine: str = "arrow",
 ) -> DataFrame:
     """Explode a polygon layer into its covering cells, carrying bbox
     columns for the JVM-side prefilter. One output row per (polygon,
@@ -170,14 +171,26 @@ def tile_index(
     rows — those candidates are accepted from the cell id alone, so the
     bytes would only bloat the broadcast (most covering cells of a big
     polygon are interior). Pass False when downstream needs the
-    geometry on every row (e.g. overlap-area computation)."""
+    geometry on every row (e.g. overlap-area computation).
+
+    refine="jvm" additionally precomputes, per BOUNDARY cell, the local
+    segment subset + parity bit (`st.st_cell_refine`) and DROPS the WKB
+    column entirely: tile_join_points then refines with a pure Catalyst
+    expression — zero Python on the probe path, and the broadcast ships
+    a few doubles per boundary cell instead of whole-polygon WKB (the
+    shape that matters when the probe side is 10^12 rows). Requires
+    valid (disjoint-interior) polygon layers — see
+    kernels.tiling.cell_refine_segments; default "arrow" keeps the
+    geometry column and the Arrow-kernel refinement."""
+    if refine not in ("arrow", "jvm"):
+        raise ValueError(f"unsupported refine={refine!r}")
     cols = keep if keep is not None else [c for c in polys.columns if c != geom_col]
     # spread the (Python-UDF) cover computation across cores: polygon
     # layers often arrive in one or two partitions and the index build
     # would otherwise serialize
     npart = polys.sparkSession.sparkContext.defaultParallelism
     b = polys.repartition(npart).withColumn("_b", st.st_bounds(F.col(geom_col)))
-    return (
+    idx = (
         b.select(
             *cols,
             F.col(geom_col).alias(geom_col),
@@ -197,6 +210,18 @@ def tile_index(
             else F.col(geom_col),
         )
     )
+    if refine == "jvm":
+        ref = F.when(
+            ~F.col("cell_full"), st.st_cell_refine(F.col(geom_col), F.col("cell"))
+        )
+        idx = (
+            idx.withColumn("_ref", ref)
+            .withColumn("nring", F.col("_ref.nring"))
+            .withColumn("bpar", F.col("_ref.bpar"))
+            .withColumn("segs", F.col("_ref.segs"))
+            .drop("_ref", geom_col)
+        )
+    return idx
 
 
 def add_point_cell(
@@ -204,6 +229,35 @@ def add_point_cell(
     out: str = "cell",
 ) -> DataFrame:
     return df.withColumn(out, st.cell_expr(F.col(lon), F.col(lat), res))
+
+
+# above this many segments per boundary cell, the unrolled JVM refine
+# expression stops paying for itself (and past ~hundreds of terms the
+# driver's Column-tree conversion overflows): prefer the Arrow index
+# for such layers; a prebuilt dense jvm index falls back to the
+# HOF-aggregate form (correct at any k, CodegenFallback-slow)
+UNROLL_CAP = 16
+
+# memo keyed by the index DataFrame's logical plan id: the unroll width
+# is a property of the (usually persisted, reused across queries) index,
+# so the tiny driver-side agg runs once per layer, not once per join
+_MAXK_CACHE: dict[int, int] = {}
+
+
+def _index_maxk(index: DataFrame) -> int:
+    """Max segments per boundary cell of a refine="jvm" index — the
+    unroll width for st.pip_refine_expr. One small driver-side agg over
+    the (broadcast-sized) index, memoized per plan; amortized exactly
+    like the index build itself."""
+    key = index._jdf.queryExecution().logical().semanticHash()
+    hit = _MAXK_CACHE.get(key)
+    if hit is None:
+        row = index.agg(F.max(F.size("segs"))).collect()[0][0]
+        hit = int(row or 0) // 4
+        if len(_MAXK_CACHE) > 1024:
+            _MAXK_CACHE.clear()
+        _MAXK_CACHE[key] = hit
+    return hit
 
 
 # ---------------------------------------------------------------------------
@@ -242,7 +296,21 @@ def tile_join_points(
     from re-running the cover UDFs.
     """
     if index is None:
-        index = tile_index(polys, geom_col=geom_col, res=res, keep=poly_cols)
+        # default to the JVM refine index: exact PIP without Python on
+        # the probe path (see tile_index docstring for the validity
+        # precondition). Layers denser than UNROLL_CAP segments per
+        # boundary cell (detailed coastlines vs a fine res) rebuild as
+        # an Arrow index instead — per-batch numpy refinement wins at
+        # that density, and the probe cost is boundary-candidate-bound
+        # either way. The probe (maxk) is one tiny agg over the
+        # broadcast-sized index, amortized like the build itself.
+        index = tile_index(
+            polys, geom_col=geom_col, res=res, keep=poly_cols, refine="jvm"
+        )
+        if _index_maxk(index) > UNROLL_CAP:
+            index = tile_index(
+                polys, geom_col=geom_col, res=res, keep=poly_cols, refine="arrow"
+            )
     pts = add_point_cell(points, lon, lat, res)
 
     join_keys = ["cell"]
@@ -267,16 +335,39 @@ def tile_join_points(
     cand = pts.join(rhs, on=join_keys, how="inner")
     # Interior-cell candidates are PROVEN matches (the whole cell lies
     # inside the polygon) — only boundary-cell rows need the bbox
-    # prefilter + exact PIP. The Arrow kernel receives NULL geometry for
-    # interior rows, so the Python stage's decode+PIP work (and its
-    # geometry bytes on the Arrow wire) scale with the polygon
-    # PERIMETER cells, not the probe stream.
+    # prefilter + exact PIP.
     bbox_ok = (
         (F.col(lon) >= F.col("minx"))
         & (F.col(lon) <= F.col("maxx"))
         & (F.col(lat) >= F.col("miny"))
         & (F.col(lat) <= F.col("maxy"))
     )
+    if "segs" in index.columns:
+        # JVM refine path (tile_index(refine="jvm")): exact PIP is a
+        # flat unrolled Catalyst expression over the per-cell segment
+        # subset — no Python anywhere on the probe stream, and
+        # cell_full/bbox short-circuit before the segment terms run.
+        maxk = _index_maxk(index)
+        if maxk <= UNROLL_CAP:
+            ref = st.pip_refine_expr(
+                F.col(lon), F.col(lat),
+                F.col("segs"), F.col("nring"), F.col("bpar"), maxk=maxk,
+            )
+        else:
+            ref = st.pip_refine_agg_expr(
+                F.col(lon), F.col(lat),
+                F.col("segs"), F.col("nring"), F.col("bpar"),
+            )
+        return cand.filter(
+            F.col("cell_full") | (bbox_ok & F.coalesce(ref, F.lit(False)))
+        ).drop(
+            "minx", "miny", "maxx", "maxy", "cell", "cell_full",
+            "nring", "bpar", "segs", "_salt",
+        )
+    # Arrow refine path: the kernel receives NULL geometry for interior
+    # rows, so the Python stage's decode+PIP work (and its geometry
+    # bytes on the Arrow wire) scale with the polygon PERIMETER cells,
+    # not the probe stream.
     refine = st.st_point_in_geom(
         F.col(lon), F.col(lat), F.when(~F.col("cell_full"), F.col(geom_col))
     )
@@ -335,16 +426,35 @@ def _tile_join_points_left(
     near = F.filter(cands, lambda c: c["cell_full"] | bbox_ok(c))
     full = F.filter(near, lambda c: c["cell_full"])
     bnd = F.filter(near, lambda c: ~c["cell_full"])
-    mask = st.st_points_in_geoms(
-        F.col(lon), F.col(lat), F.transform(bnd, lambda c: c[geom_col])
-    )
-    acc_bnd = F.transform(
-        F.filter(
-            F.zip_with(bnd, mask, lambda c, m: F.struct(c.alias("c"), m.alias("m"))),
-            lambda z: F.coalesce(z["m"], F.lit(False)),
-        ),
-        lambda z: z["c"],
-    )
+    if "segs" in index.columns:
+        # JVM refine path: per-candidate exact PIP inline in the same
+        # higher-order expression chain — no Arrow round-trip at all
+        maxk = _index_maxk(index)
+
+        def _pip(c):
+            if maxk <= UNROLL_CAP:
+                return st.pip_refine_expr(
+                    F.col(lon), F.col(lat), c["segs"], c["nring"], c["bpar"],
+                    maxk=maxk,
+                )
+            return st.pip_refine_agg_expr(
+                F.col(lon), F.col(lat), c["segs"], c["nring"], c["bpar"]
+            )
+
+        acc_bnd = F.filter(
+            bnd, lambda c: F.coalesce(_pip(c), F.lit(False))
+        )
+    else:
+        mask = st.st_points_in_geoms(
+            F.col(lon), F.col(lat), F.transform(bnd, lambda c: c[geom_col])
+        )
+        acc_bnd = F.transform(
+            F.filter(
+                F.zip_with(bnd, mask, lambda c, m: F.struct(c.alias("c"), m.alias("m"))),
+                lambda z: F.coalesce(z["m"], F.lit(False)),
+            ),
+            lambda z: z["c"],
+        )
     accepted = F.concat(full, acc_bnd)
     null_cand = F.lit(None).cast(elem_type)
     padded = F.when(F.size(accepted) > 0, accepted).otherwise(F.array(null_cand))
@@ -352,7 +462,10 @@ def _tile_join_points_left(
     keep = [c for c in out_cols if c not in ("_salt",)]
     meta = [
         c for c in cand_cols
-        if c not in (geom_col, "minx", "miny", "maxx", "maxy", "cell_full")
+        if c not in (
+            geom_col, "minx", "miny", "maxx", "maxy", "cell_full",
+            "nring", "bpar", "segs",
+        )
     ]
     out = j.withColumn("_c", F.explode(padded))
     return out.select(

@@ -42,5 +42,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.ui.enabled", str(ui).lower())
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # Whole-stage codegen can emit consume() methods past HotSpot's
+        # 8000-byte DontCompileHugeMethods threshold (e.g. the unrolled
+        # JVM PIP refinement inside a broadcast-join condition); the JIT
+        # then silently leaves the WHOLE probe loop interpreted —
+        # measured 11s vs 5.5s on the 30M-page geocode join. Standard
+        # Spark production setting; applies at JVM launch, so it lives
+        # here in the session factory (driver == executor in local mode;
+        # spark-submit clusters set the executor twin below).
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
     )
     return builder.getOrCreate()

@@ -52,7 +52,7 @@ def geocode_stream(
     """
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        geo = geoparse.parse_geo_tokens(batch).filter(F.col("lat").isNotNull())
+        geo = geoparse.parse_geo_tokens(batch, matched_only=True)
         tagged = joins.tile_join_points(geo, regions, res=res, how="inner")
         (
             tagged.withColumn("_epoch", F.lit(epoch_id))
