@@ -190,20 +190,32 @@ def main() -> None:
     # clobbering the other regimes' rows
     if len(sys.argv) > 2 and old:
         lines = old.splitlines()
+        # only the MAIN table (above the "Generated by" stamp) is
+        # machine-owned; postscript tables below it are hand-written
+        # and must never receive spliced rows
+        stamp = next(
+            (
+                i
+                for i, ln in enumerate(lines)
+                if ln.startswith("Generated by BENCH/scaling.py")
+            ),
+            len(lines),
+        )
         for r, row in zip(results, rows):
             key = (
                 f"| {r['job']} | local[{r['low']['cpus']}] -> "
                 f"local[{r['high']['cpus']}] |"
             )
-            for i, ln in enumerate(lines):
+            for i, ln in enumerate(lines[:stamp]):
                 if ln.startswith(key):
                     lines[i] = row
                     break
             else:
                 last = max(
-                    i for i, ln in enumerate(lines) if ln.startswith("| ")
+                    i for i, ln in enumerate(lines[:stamp]) if ln.startswith("| ")
                 )
                 lines.insert(last + 1, row)
+                stamp += 1
         md = _re.sub(
             r"^Generated by BENCH/scaling\.py at .*$",
             f"Generated by BENCH/scaling.py at "
