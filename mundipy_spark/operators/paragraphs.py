@@ -47,6 +47,16 @@ from mundipy_spark.functions import text as tx
 _IDX_BITS = 20
 
 
+def _tokens(text: "F.Column") -> "F.Column":
+    """trim + whitespace-split: the operator's single tokenizer seam.
+    Measured dead end (local[32], 1.5M pages, within one JVM window):
+    normalizing first (regexp_replace('\\s+',' ') + literal-space
+    split) is ~20% SLOWER than this one regex split — the replace is a
+    second full regex pass plus a whole-text copy, which outweighs the
+    cheaper split automaton."""
+    return F.split(F.trim(text), r"\s+")
+
+
 def split_paragraphs(
     df: DataFrame,
     text_col: str = "text",
@@ -57,7 +67,7 @@ def split_paragraphs(
     Empty/whitespace-only docs produce no rows."""
     c = chunk_tokens
     base = df.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
     ).filter(F.length(F.trim(F.col(text_col))) > 0)
     toks = F.col("_toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(c))).cast("int")
@@ -89,7 +99,7 @@ def dedup_paragraphs(
     of the doc occurred earlier in the corpus)."""
     c = chunk_tokens
     txt = F.trim(F.col(text_col))
-    toks = F.split(txt, r"\s+")
+    toks = _tokens(F.col(text_col))
     n_pars = F.when(
         F.length(txt) > 0,
         F.ceil(F.size(toks) / F.lit(float(c))).cast("long"),
@@ -143,7 +153,13 @@ def dedup_paragraphs(
     # unique per row (the twin's dup-id order is undefined anyway:
     # string_agg ORDER BY idx with tied idx).
     docs = df.select(F.col(id_col), txt.alias("_txt"), n_pars.alias("n_pars"))
-    joined = docs.join(kept, on=id_col, how="left")
+    # explicit shuffle_hash: without the hint the planner picks
+    # SortMergeJoin, which SORTS the full text corpus inside the join
+    # exchange — pure overhead at 100 TB (the build side is the slim
+    # per-doc winner list, bounded by one row per doc and hash-
+    # partitioned, so the per-partition hash map stays small at any
+    # corpus size given sane shuffle-partition sizing)
+    joined = docs.join(kept.hint("shuffle_hash"), on=id_col, how="left")
     staged = joined.select(
         id_col,
         "n_pars",
@@ -151,7 +167,7 @@ def dedup_paragraphs(
         "_kidx",
         # split only the docs that kept something — in a heavily
         # replicated corpus that skips the re-tokenize for ~all rows
-        F.when(F.col("_kidx").isNotNull(), F.split(F.col("_txt"), r"\s+")).alias(
+        F.when(F.col("_kidx").isNotNull(), _tokens(F.col("_txt"))).alias(
             "_toks"
         ),
     )
