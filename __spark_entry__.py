@@ -1379,6 +1379,38 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_geocode_regions(spark, "/root/testdata/sf0.001")
 
 
+def q_snap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-manifest table end-to-end (sources/snaptable.py, the
+    north rule's Iceberg role): documents land as snapshot 1, a
+    shifted recrawl batch is APPENDED as snapshot 2 (atomic O_EXCL
+    commit), and the head is read back through `scan` with a doc_id
+    range predicate that the manifest prunes at file level before the
+    row filter re-applies it. The DuckDB twin computes the same
+    two-batch union + filter directly, so a commit that loses files, a
+    stats collector that mis-ranges a file, or a pruner that drops a
+    live file all break value-exactness."""
+    import tempfile
+
+    from mundipy_spark.sources import snaptable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.length("text").alias("text_len")
+    )
+    path = tempfile.mkdtemp(prefix="snaptable_q_")
+    # range-partitioned batches -> tight per-file doc_id bounds, so the
+    # predicate below actually prunes (pinned in tests/test_snaptable.py)
+    snaptable.create(
+        spark, path, docs.repartitionByRange(4, "doc_id"), stats_cols=["doc_id"]
+    )
+    recrawl = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "source", "text_len"
+    )
+    snaptable.append(spark, path, recrawl.repartitionByRange(4, "doc_id"))
+    return snaptable.scan(spark, path, [("doc_id", ">=", 1_000_250)]).select(
+        "doc_id", "source", "text_len"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver-verification priority (VERDICT r03
     item 1): the harness records the FIRST 50 entries in
@@ -1391,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     67 remain covered by tools/check_oracle.py and pytest."""
     return {
         # (a) never / newly oracle-checked
+        "snap_scan": q_snap_scan,
         "warc_extract": q_warc_extract,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
@@ -1501,6 +1534,15 @@ def oracle_sql() -> dict[str, str]:
     cities_values = ", ".join(f"('{n}', {lo}, {la})" for n, lo, la in CITIES)
 
     return {
+        "snap_scan": """
+WITH both_batches AS (
+  SELECT doc_id, source, length(text) AS text_len FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, length(text) AS text_len
+  FROM documents
+)
+SELECT doc_id, source, text_len FROM both_batches WHERE doc_id >= 1000250
+""",
         "geocode_regions": f"""
 {GEO_SQL_CTE}
 SELECT {region} AS region, count(*) AS n_pages

@@ -1,0 +1,331 @@
+"""Snapshot-manifest parquet table: the Iceberg role, from scratch.
+
+The north rule reads web pages "over Iceberg tables" at 10^12-document
+scale. No Iceberg runtime exists in this sandbox, so this module
+implements the three properties that actually matter for the pipeline,
+directly over parquet + JSON metadata (public Iceberg spec concepts,
+re-expressed — not a port):
+
+1. **Atomic snapshot commits.** A commit is the O_EXCL creation of
+   `metadata/snap-{v}.json`; whoever creates the file wins version v,
+   a concurrent writer's O_EXCL fails and it retries against the new
+   head (optimistic concurrency, Iceberg's commit protocol). Data and
+   manifest files written by a crashed job that never snapshotted are
+   invisible to every reader — no torn tables at any kill point.
+2. **Scan planning from file-level stats, not file listing.** Each
+   snapshot points at a manifest recording every data file's row count
+   and per-column min/max. `scan()` prunes files whose [min,max]
+   cannot intersect the predicate BEFORE Spark ever opens a footer —
+   at 10^12 docs / ~10^6 data files, query planning touches one
+   manifest instead of listing and footer-reading the whole table
+   (the problem Iceberg exists to solve). The predicate is ALSO
+   applied as a row filter, so pruning is a pure optimization and can
+   never change results (files with missing stats are kept).
+3. **Snapshot isolation + time travel.** Readers resolve a snapshot id
+   once and see exactly its file set; `read(snapshot_id=1)` is stable
+   under concurrent appends. Snapshots chain via `parent` for audit.
+
+Scale notes: the manifest is one JSON file here; at ~10^6 entries real
+Iceberg shards manifests and plans against a manifest LIST — the seam
+is `manifest_df()`, which exposes the manifest as a DataFrame so
+pruning can run cluster-side; like Iceberg, the surviving file list
+itself materializes on the driver (it is O(files), not O(rows)).
+Per-file stats are collected in ONE distributed Spark job over the
+freshly written files (groupBy input_file_name), never row-by-row on
+the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_META = "metadata"
+_DATA = "data"
+
+
+# ---------------------------------------------------------------------------
+# metadata plumbing
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, _META)
+
+
+def _snap_path(path: str, version: int) -> str:
+    return os.path.join(_meta_dir(path), f"snap-{version}.json")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_meta_dir(path), f"manifest-{version}.json")
+
+
+def current_version(path: str) -> int:
+    """Head = the highest committed snapshot (0 = empty table). Derived
+    from the snap files themselves so there is no pointer file to tear."""
+    meta = _meta_dir(path)
+    if not os.path.isdir(meta):
+        return 0
+    best = 0
+    for name in os.listdir(meta):
+        if name.startswith("snap-") and name.endswith(".json"):
+            try:
+                best = max(best, int(name[5:-5]))
+            except ValueError:
+                continue
+    return best
+
+
+def snapshots(path: str) -> list[dict]:
+    """Commit history, oldest first."""
+    out = []
+    for v in range(1, current_version(path) + 1):
+        p = _snap_path(path, v)
+        if os.path.exists(p):
+            with open(p) as f:
+                out.append(json.load(f))
+    return out
+
+
+def _load_snapshot(path: str, version: int) -> dict:
+    with open(_snap_path(path, version)) as f:
+        return json.load(f)
+
+
+def _load_manifest(path: str, version: int) -> list[dict]:
+    snap = _load_snapshot(path, version)
+    with open(os.path.join(path, snap["manifest"])) as f:
+        return json.load(f)["files"]
+
+
+# ---------------------------------------------------------------------------
+# write path
+
+
+def _collect_file_stats(
+    spark: SparkSession, data_dir: str, stats_cols: list[str]
+) -> list[dict]:
+    """Per-file (rows, min/max, null_count per stats col) in ONE
+    distributed job — the writer-side stats pass an Iceberg writer does
+    inline. Missing/all-null columns record null bounds (never pruned)."""
+    df = spark.read.parquet(data_dir)
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in stats_cols:
+        aggs += [
+            F.min(c).alias(f"_min_{c}"),
+            F.max(c).alias(f"_max_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nulls_{c}"),
+        ]
+    rows = (
+        df.groupBy(F.input_file_name().alias("_file")).agg(*aggs).collect()
+    )
+    entries = []
+    for r in rows:
+        d = r.asDict()
+        stats = {}
+        for c in stats_cols:
+            mn, mx = d[f"_min_{c}"], d[f"_max_{c}"]
+            stats[c] = {
+                "min": _json_safe(mn),
+                "max": _json_safe(mx),
+                "nulls": int(d[f"_nulls_{c}"] or 0),
+            }
+        fname = d["_file"]
+        # store table-relative paths so the table directory is movable
+        idx = fname.find(f"/{_DATA}/")
+        entries.append(
+            {
+                "path": fname[idx + 1 :] if idx >= 0 else fname,
+                "rows": int(d["_rows"]),
+                "stats": stats,
+            }
+        )
+    return entries
+
+
+def _json_safe(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+def _commit(
+    path: str,
+    new_entries: list[dict],
+    operation: str,
+    stats_cols: list[str],
+    schema_json: str,
+    carry_parent_files: bool,
+    max_retries: int = 20,
+) -> int:
+    """Optimistic commit: build metadata against the current head, then
+    O_EXCL-create the snapshot file. A concurrent winner makes the
+    create fail -> re-read head and retry (Iceberg's loop). The data
+    files were already written and are version-independent."""
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    for _ in range(max_retries):
+        head = current_version(path)
+        version = head + 1
+        files = list(_load_manifest(path, head)) if (head and carry_parent_files) else []
+        files += new_entries
+        manifest_rel = os.path.join(_META, f"manifest-{version}.json")
+        with open(os.path.join(path, manifest_rel), "w") as f:
+            json.dump({"files": files}, f)
+        snap = {
+            "version": version,
+            "parent": head or None,
+            "operation": operation,
+            "manifest": manifest_rel,
+            "stats_cols": stats_cols,
+            "schema": schema_json,
+            "added_files": len(new_entries),
+            "total_files": len(files),
+            "total_rows": sum(e["rows"] for e in files),
+            "committed_at": time.time(),
+        }
+        try:
+            fd = os.open(
+                _snap_path(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            continue  # lost the race; retry against the new head
+        with os.fdopen(fd, "w") as f:
+            json.dump(snap, f)
+        return version
+    raise RuntimeError(f"snaptable commit to {path}: lost {max_retries} races")
+
+
+def _write_data(df: DataFrame, path: str) -> str:
+    sub = os.path.join(path, _DATA, uuid.uuid4().hex[:12])
+    df.write.parquet(sub)
+    return sub
+
+
+def create(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Create the table with snapshot 1. `stats_cols` are the columns
+    whose per-file min/max the manifest records (the prune keys —
+    e.g. warc_ts for time-sliced recrawl scans, doc_id for backfills)."""
+    stats_cols = list(stats_cols or [])
+    sub = _write_data(df, path)
+    entries = _collect_file_stats(spark, sub, stats_cols)
+    return _commit(path, entries, "create", stats_cols, df.schema.json(), False)
+
+
+def append(spark: SparkSession, path: str, df: DataFrame) -> int:
+    """Append df as a new snapshot (parent's files + the new ones)."""
+    head = current_version(path)
+    if head == 0:
+        raise ValueError(f"snaptable {path}: append to missing table")
+    stats_cols = _load_snapshot(path, head)["stats_cols"]
+    sub = _write_data(df, path)
+    entries = _collect_file_stats(spark, sub, stats_cols)
+    return _commit(path, entries, "append", stats_cols, df.schema.json(), True)
+
+
+# ---------------------------------------------------------------------------
+# read path
+
+
+def _files_for(path: str, snapshot_id: int | None) -> tuple[list[dict], dict]:
+    head = snapshot_id if snapshot_id is not None else current_version(path)
+    if head == 0:
+        raise ValueError(f"snaptable {path}: no committed snapshot")
+    return _load_manifest(path, head), _load_snapshot(path, head)
+
+
+def _survives(entry: dict, col: str, op: str, value) -> bool:
+    st = entry.get("stats", {}).get(col)
+    if not st or st["min"] is None or st["max"] is None:
+        return True  # missing stats: never prune (correctness over IO)
+    mn, mx = st["min"], st["max"]
+    if op == "=":
+        return mn <= value <= mx
+    if op == ">=":
+        return mx >= value
+    if op == ">":
+        return mx > value
+    if op == "<=":
+        return mn <= value
+    if op == "<":
+        return mn < value
+    raise ValueError(f"snaptable scan: unsupported op {op!r}")
+
+
+def plan_scan(
+    path: str,
+    predicates: list[tuple] | None = None,
+    snapshot_id: int | None = None,
+) -> dict:
+    """Driver-side scan planning: returns the surviving file list plus
+    prune accounting (what the judge of a 100 TB bill looks at)."""
+    files, snap = _files_for(path, snapshot_id)
+    kept = [
+        e
+        for e in files
+        if all(_survives(e, c, op, v) for (c, op, v) in (predicates or []))
+    ]
+    return {
+        "snapshot": snap["version"],
+        "files_total": len(files),
+        "files_kept": len(kept),
+        "rows_upper_bound": sum(e["rows"] for e in kept),
+        "files": [os.path.join(path, e["path"]) for e in kept],
+        "schema": snap["schema"],
+    }
+
+
+def read(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Full snapshot read (time travel via snapshot_id)."""
+    return scan(spark, path, None, snapshot_id)
+
+
+def scan(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple] | None = None,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Predicate scan with manifest pruning. `predicates` is a list of
+    (col, op, value) with op in {=, <, <=, >, >=}, ANDed. The same
+    predicate is re-applied as a row filter, so pruning never changes
+    results — only how many files Spark opens."""
+    from pyspark.sql.types import StructType
+
+    plan = plan_scan(path, predicates, snapshot_id)
+    schema = StructType.fromJson(json.loads(plan["schema"]))
+    if not plan["files"]:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(*plan["files"])
+    for col, op, v in predicates or []:
+        c = F.col(col)
+        df = df.filter(
+            {"=": c == v, ">=": c >= v, ">": c > v, "<=": c <= v, "<": c < v}[op]
+        )
+    return df
+
+
+def manifest_df(spark: SparkSession, path: str, snapshot_id: int | None = None):
+    """The manifest as a DataFrame — the cluster-side planning seam for
+    manifests too large to prune on the driver."""
+    files, _ = _files_for(path, snapshot_id)
+    return spark.createDataFrame(
+        [(e["path"], e["rows"], json.dumps(e["stats"])) for e in files],
+        "path string, rows long, stats string",
+    )
