@@ -130,6 +130,23 @@ def test_concurrent_commit_retries_past_taken_version(spark, docs, tmp_path):
     assert snaptable.read(spark, path).count() == 1010
 
 
+def test_incremental_read_returns_only_the_delta(spark, docs, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, docs, stats_cols=["doc_id"])
+    b2 = docs.select((F.col("doc_id") + 1000).alias("doc_id"), "url", "bucket")
+    b3 = docs.select((F.col("doc_id") + 2000).alias("doc_id"), "url", "bucket")
+    snaptable.append(spark, path, b2)
+    snaptable.append(spark, path, b3)
+    inc = snaptable.read_incremental(spark, path, since=1)
+    assert inc.count() == 2000
+    assert inc.agg(F.min("doc_id")).first()[0] == 1000
+    only3 = snaptable.read_incremental(spark, path, since=2)
+    assert only3.count() == 1000 and only3.agg(F.min("doc_id")).first()[0] == 2000
+    mid = snaptable.read_incremental(spark, path, since=1, until=2)
+    assert mid.count() == 1000 and mid.agg(F.max("doc_id")).first()[0] == 1999
+    assert snaptable.read_incremental(spark, path, since=3).count() == 0
+
+
 def test_empty_prune_returns_typed_empty_frame(spark, docs, tmp_path):
     path = str(tmp_path / "t")
     snaptable.create(spark, path, docs, stats_cols=["doc_id"])
