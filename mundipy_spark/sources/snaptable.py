@@ -321,6 +321,53 @@ def scan(
     return df
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 8,
+    snapshot_id: int | None = None,
+) -> int:
+    """Rewrite the current file set into `target_files` files and
+    commit the result as a REPLACE snapshot (same rows, new files) —
+    the small-files maintenance an append-heavy crawl table needs:
+    10^5 micro-batch commits/day otherwise leave footers dominating
+    scan time. Readers pinned to older snapshots keep working (their
+    files are not deleted — see expire()); the swap is atomic like any
+    other commit, and a concurrent append simply wins or loses the
+    O_EXCL race as usual."""
+    files, snap = _files_for(path, snapshot_id)
+    stats_cols = snap["stats_cols"]
+    df = read(spark, path, snap["version"]).repartition(target_files)
+    sub = _write_data(df, path)
+    entries = _collect_file_stats(spark, sub, stats_cols)
+    return _commit(path, entries, "replace", stats_cols, snap["schema"], False)
+
+
+def expire(path: str, keep_from: int) -> dict:
+    """Delete data/manifest files referenced ONLY by snapshots older
+    than `keep_from`, then the old metadata itself — Iceberg's
+    expire_snapshots. Time travel to >= keep_from keeps working;
+    anything older is gone. Returns deletion accounting."""
+    head = current_version(path)
+    keep_from = max(1, min(keep_from, head))
+    live: set[str] = set()
+    for v in range(keep_from, head + 1):
+        if os.path.exists(_snap_path(path, v)):
+            live |= {e["path"] for e in _load_manifest(path, v)}
+    removed_data = 0
+    for v in range(1, keep_from):
+        if not os.path.exists(_snap_path(path, v)):
+            continue
+        for e in _load_manifest(path, v):
+            p = os.path.join(path, e["path"])
+            if e["path"] not in live and os.path.exists(p):
+                os.remove(p)
+                removed_data += 1
+        os.remove(os.path.join(path, _META, f"manifest-{v}.json"))
+        os.remove(_snap_path(path, v))
+    return {"removed_data_files": removed_data, "oldest_kept": keep_from}
+
+
 def read_incremental(
     spark: SparkSession,
     path: str,
@@ -339,6 +386,18 @@ def read_incremental(
     head = until if until is not None else current_version(path)
     if since > head:
         raise ValueError(f"snaptable {path}: since={since} > until={head}")
+    for v in range(since + 1, head + 1):
+        if (
+            os.path.exists(_snap_path(path, v))
+            and _load_snapshot(path, v)["operation"] == "replace"
+        ):
+            # a compaction rewrote the whole file set: "files added
+            # since" would re-deliver already-consumed rows. Same
+            # constraint as Iceberg's incremental append scan.
+            raise ValueError(
+                f"snaptable {path}: snapshot {v} is a replace (compaction); "
+                f"incremental read cannot cross it — restart from {v}"
+            )
     new_files, snap = _files_for(path, head)
     old_paths = (
         {e["path"] for e in _load_manifest(path, since)} if since > 0 else set()

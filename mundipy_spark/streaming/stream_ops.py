@@ -187,3 +187,38 @@ def ingest_stream(
     return canon_dedup_stream(
         extracted, url_col=url_col, ts_col=ts_col, watermark=watermark
     )
+
+
+def snaptable_sink(
+    stream: DataFrame,
+    path: str,
+    stats_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Write a stream into a snapshot-manifest table: every micro-batch
+    commits as ONE atomic append snapshot (sources/snaptable.py), so
+    downstream batch consumers read committed snapshots only — never a
+    half-written batch — and incremental consumers (read_incremental)
+    get exactly-once batches by checkpointing the last snapshot they
+    processed. This is the Iceberg streaming-sink shape: foreachBatch
+    + table commit, with Spark's own checkpoint making the batch
+    replay idempotent at the SOURCE side while the O_EXCL commit keeps
+    the TABLE side atomic."""
+    from mundipy_spark.sources import snaptable
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        if snaptable.current_version(path) == 0:
+            snaptable.create(spark, path, batch, stats_cols=stats_cols or [])
+        else:
+            snaptable.append(spark, path, batch)
+
+    writer = stream.writeStream.foreachBatch(handle).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -147,9 +147,87 @@ def test_incremental_read_returns_only_the_delta(spark, docs, tmp_path):
     assert snaptable.read_incremental(spark, path, since=3).count() == 0
 
 
+def test_compact_preserves_rows_reduces_files_keeps_time_travel(
+    spark, docs, tmp_path
+):
+    path = str(tmp_path / "t")
+    snaptable.create(
+        spark, path, docs.repartition(6), stats_cols=["doc_id"]
+    )
+    snaptable.append(spark, path, docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "url", "bucket"
+    ).repartition(6))
+    before = snaptable.plan_scan(path)
+    v = snaptable.compact(spark, path, target_files=2)
+    after = snaptable.plan_scan(path)
+    assert snaptable._load_snapshot(path, v)["operation"] == "replace"
+    assert after["files_total"] < before["files_total"]
+    assert after["files_total"] <= 2
+    got = snaptable.read(spark, path)
+    assert got.count() == 2000
+    assert got.agg(F.sum("doc_id")).first()[0] == sum(range(2000))
+    # pre-compaction snapshots still readable (files not deleted)
+    assert snaptable.read(spark, path, snapshot_id=2).count() == 2000
+    # compacted files still carry prune-able stats
+    pruned = snaptable.plan_scan(path, [("doc_id", ">=", 1990)])
+    assert pruned["files_kept"] <= after["files_total"]
+    # incremental read refuses to cross the replace
+    with pytest.raises(ValueError, match="replace"):
+        snaptable.read_incremental(spark, path, since=1)
+
+
+def test_expire_drops_old_snapshots_keeps_recent(spark, docs, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, docs, stats_cols=["doc_id"])
+    snaptable.append(spark, path, docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "url", "bucket"
+    ))
+    snaptable.compact(spark, path, target_files=1)  # snap 3 (replace)
+    acct = snaptable.expire(path, keep_from=3)
+    assert acct["removed_data_files"] > 0
+    assert [s["version"] for s in snaptable.snapshots(path)] == [3]
+    assert snaptable.read(spark, path).count() == 2000
+    with pytest.raises(FileNotFoundError):
+        snaptable.read(spark, path, snapshot_id=1)
+
+
 def test_empty_prune_returns_typed_empty_frame(spark, docs, tmp_path):
     path = str(tmp_path / "t")
     snaptable.create(spark, path, docs, stats_cols=["doc_id"])
     got = snaptable.scan(spark, path, [("doc_id", ">", 10_000_000)])
     assert got.count() == 0
     assert sorted(got.columns) == ["bucket", "doc_id", "url"]
+
+
+def test_streaming_sink_commits_one_snapshot_per_batch(spark, tmp_path):
+    """snaptable as a Structured Streaming sink: each micro-batch is an
+    atomic append snapshot; the table equals the streamed input."""
+    from mundipy_spark.streaming import stream_ops
+
+    src_dir = str(tmp_path / "src")
+    path = str(tmp_path / "t")
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u-"), F.col("id")).alias("url"),
+    )
+    docs.repartition(3).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_ops.snaptable_sink(
+        stream,
+        path,
+        stats_cols=["doc_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    hist = snaptable.snapshots(path)
+    assert len(hist) >= 1
+    assert hist[0]["operation"] == "create"
+    assert all(s["operation"] == "append" for s in hist[1:])
+    got = snaptable.read(spark, path)
+    assert got.count() == 300
+    assert got.agg(F.sum("doc_id")).first()[0] == sum(range(300))
