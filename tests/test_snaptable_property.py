@@ -1,0 +1,96 @@
+"""Stateful property test (hypothesis): a random interleaving of
+snaptable appends and compactions must always agree with a pure-Python
+model — total rows, id-sum, per-snapshot time travel, and incremental
+deltas (which must refuse to cross a compaction).
+
+Examples are kept small (each op runs a distributed stats job), but the
+OPERATION INTERLEAVINGS are the thing unit tests under-cover: compact
+between appends, compact-first, double compacts, incremental windows
+straddling arbitrary boundaries.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mundipy_spark.sources import snaptable
+
+# an op is ("append", start, n) or ("compact",)
+appends = st.tuples(
+    st.just("append"),
+    st.integers(min_value=0, max_value=5000),
+    st.integers(min_value=1, max_value=40),
+)
+compacts = st.tuples(st.just("compact"))
+op_seqs = st.lists(st.one_of(appends, compacts), min_size=1, max_size=5)
+
+
+def _batch(spark, start, n):
+    return spark.range(start, start + n).select(F.col("id").alias("doc_id"))
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=op_seqs)
+def test_random_interleavings_match_model(spark, tmp_path_factory, ops):
+    path = str(tmp_path_factory.mktemp("snapprop") / "t")
+    # model: per committed snapshot -> (kind, list of all ids at that point)
+    ids: list[int] = []
+    history: list[tuple[str, list[int]]] = []
+    for op in ops:
+        if op[0] == "append":
+            _, start, n = op
+            batch = _batch(spark, start, n)
+            if snaptable.current_version(path) == 0:
+                snaptable.create(spark, path, batch, stats_cols=["doc_id"])
+            else:
+                snaptable.append(spark, path, batch)
+            ids = ids + list(range(start, start + n))
+            history.append(("append", list(ids)))
+        else:
+            if snaptable.current_version(path) == 0:
+                continue  # nothing to compact yet
+            snaptable.compact(spark, path, target_files=1)
+            history.append(("replace", list(ids)))
+
+    assert len(snaptable.snapshots(path)) == len(history)
+    if not history:
+        assert snaptable.current_version(path) == 0
+        return
+
+    # head equals the model
+    head = snaptable.read(spark, path)
+    assert head.count() == len(ids)
+    if ids:
+        assert head.agg(F.sum("doc_id")).first()[0] == sum(ids)
+
+    # time travel: every snapshot equals the model at that point
+    for v, (kind, snap_ids) in enumerate(history, start=1):
+        df = snaptable.read(spark, path, snapshot_id=v)
+        assert df.count() == len(snap_ids)
+        if snap_ids:
+            assert df.agg(F.sum("doc_id")).first()[0] == sum(snap_ids)
+
+    # incremental windows: every (since, until) pair either matches the
+    # model delta or raises on a crossed replace
+    for since in range(0, len(history) + 1):
+        for until in range(max(since, 1), len(history) + 1):
+            crossed = any(
+                history[v - 1][0] == "replace"
+                for v in range(since + 1, until + 1)
+            )
+            if crossed:
+                with pytest.raises(ValueError, match="replace"):
+                    snaptable.read_incremental(spark, path, since, until)
+                continue
+            want = (
+                history[until - 1][1][len(history[since - 1][1]) if since else 0 :]
+                if until >= 1
+                else []
+            )
+            got = snaptable.read_incremental(spark, path, since, until)
+            assert got.count() == len(want)
+            if want:
+                assert got.agg(F.sum("doc_id")).first()[0] == sum(want)
