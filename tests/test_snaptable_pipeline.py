@@ -62,3 +62,53 @@ def test_incremental_geocode_equals_full_head(spark, tmp_path):
     assert _canon(batch1.unionByName(delta)) == _canon(full)
     # the delta really is only the recrawl batch
     assert delta.filter(~F.col("url").startswith("re/")).count() == 0
+
+
+def test_zorder_snaptable_spatial_file_skipping(spark, tmp_path):
+    """Spatial file skipping at the TABLE-FORMAT level: points written
+    z-ordered (sources/zorder.py), manifest stats on the Morton code;
+    a bbox query becomes a z-range predicate (corner codes bound every
+    code inside the box — interleave is monotone per coordinate) that
+    prunes files from the manifest, with the exact bbox re-applied as
+    the row filter. Partition pruning (tiled.py) picks directories,
+    row-group stats skip inside files — this is the layer between."""
+    from mundipy_spark.sources import zorder
+
+    path = str(tmp_path / "pts")
+    pts = spark.range(0, 20000).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 7919) % 3600 / 10.0 - 180.0).alias("lon"),
+        ((F.col("id") * 104729) % 1800 / 10.0 - 90.0).alias("lat"),
+    )
+    z = zorder.morton_expr(F.col("lon"), F.col("lat"))
+    zed = pts.withColumn("z", z).repartitionByRange(16, "z")
+    snaptable.create(spark, path, zed, stats_cols=["z"])
+
+    corners = spark.range(1).select(
+        zorder.morton_expr(F.lit(10.0), F.lit(40.0)).alias("zlo"),
+        zorder.morton_expr(F.lit(30.0), F.lit(60.0)).alias("zhi"),
+    ).first()
+    plan = snaptable.plan_scan(
+        path, [("z", ">=", corners.zlo), ("z", "<=", corners.zhi)]
+    )
+    assert 0 < plan["files_kept"] < plan["files_total"]
+
+    got = (
+        snaptable.scan(
+            path=path,
+            spark=spark,
+            predicates=[("z", ">=", corners.zlo), ("z", "<=", corners.zhi)],
+        )
+        .filter(
+            (F.col("lon") >= 10.0) & (F.col("lon") <= 30.0)
+            & (F.col("lat") >= 40.0) & (F.col("lat") <= 60.0)
+        )
+    )
+    want = pts.filter(
+        (F.col("lon") >= 10.0) & (F.col("lon") <= 30.0)
+        & (F.col("lat") >= 40.0) & (F.col("lat") <= 60.0)
+    )
+    assert got.count() == want.count() > 0
+    assert (
+        got.agg(F.sum("pid")).first()[0] == want.agg(F.sum("pid")).first()[0]
+    )
