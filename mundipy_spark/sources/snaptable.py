@@ -343,6 +343,60 @@ def compact(
     return _commit(path, entries, "replace", stats_cols, snap["schema"], False)
 
 
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+) -> int:
+    """Copy-on-write row deletes — the takedown path a crawl corpus
+    needs (URL removal requests, retroactive robots compliance): rows
+    matching ALL predicates are removed by rewriting ONLY the files
+    whose stats admit a match (manifest-pruned, same machinery as
+    scan); untouched files keep their paths, so the rewrite cost is
+    proportional to the affected fraction, not the table. Commits as a
+    'delete' snapshot; time travel to earlier snapshots still sees the
+    deleted rows until expire() reclaims them (takedown finalizes at
+    expiry, exactly like Iceberg COW deletes + snapshot expiration)."""
+    from pyspark.sql.types import StructType
+
+    files, snap = _files_for(path, None)
+    stats_cols = snap["stats_cols"]
+    affected = [
+        e
+        for e in files
+        if all(_survives(e, c, op, v) for (c, op, v) in predicates)
+    ]
+    affected_paths = {e["path"] for e in affected}
+    keep_entries = [e for e in files if e["path"] not in affected_paths]
+    if not affected:
+        return snap["version"]  # nothing can match: no-op, no commit
+    schema = StructType.fromJson(json.loads(snap["schema"]))
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(path, e["path"]) for e in affected]
+    )
+    # a row is deleted only if EVERY predicate holds; survivors are the
+    # complement (NULL predicate columns never match -> never deleted)
+    delete_cond = F.lit(True)
+    for col, op, v in predicates:
+        c = F.col(col)
+        delete_cond = delete_cond & (
+            {"=": c == v, ">=": c >= v, ">": c > v, "<=": c <= v, "<": c < v}[op]
+        )
+    keep = df.filter(~F.coalesce(delete_cond, F.lit(False)))
+    new_entries: list[dict] = []
+    if keep.limit(1).count() > 0:
+        sub = _write_data(keep, path)
+        new_entries = _collect_file_stats(spark, sub, stats_cols)
+    return _commit(
+        path,
+        keep_entries + new_entries,
+        "delete",
+        stats_cols,
+        snap["schema"],
+        False,
+    )
+
+
 def expire(path: str, keep_from: int) -> dict:
     """Delete data/manifest files referenced ONLY by snapshots older
     than `keep_from`, then the old metadata itself — Iceberg's
@@ -389,13 +443,14 @@ def read_incremental(
     for v in range(since + 1, head + 1):
         if (
             os.path.exists(_snap_path(path, v))
-            and _load_snapshot(path, v)["operation"] == "replace"
+            and _load_snapshot(path, v)["operation"] in ("replace", "delete")
         ):
-            # a compaction rewrote the whole file set: "files added
-            # since" would re-deliver already-consumed rows. Same
-            # constraint as Iceberg's incremental append scan.
+            # a compaction/delete rewrote files: "files added since"
+            # would re-deliver already-consumed rows. Same constraint
+            # as Iceberg's incremental APPEND scan.
             raise ValueError(
-                f"snaptable {path}: snapshot {v} is a replace (compaction); "
+                f"snaptable {path}: snapshot {v} is a "
+                f"{_load_snapshot(path, v)['operation']} (rewrite); "
                 f"incremental read cannot cross it — restart from {v}"
             )
     new_files, snap = _files_for(path, head)

@@ -271,3 +271,41 @@ def test_ingest_stream_lands_in_snaptable(spark, tmp_path):
     want = {(r.doc_id, r.text) for r in base.collect()}
     have = {(r.doc_id, r.text) for r in got.collect()}
     assert have == want
+
+
+def test_delete_where_rewrites_only_affected_files(spark, tmp_path):
+    """Copy-on-write takedown: matching rows vanish at the head, files
+    whose stats exclude the predicate keep their exact paths (rewrite
+    cost ~ affected fraction), pre-delete snapshots still serve the
+    rows until expire()."""
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 10000)
+        .select(F.col("id").alias("doc_id"),
+                F.concat(F.lit("u-"), F.col("id")).alias("url"))
+        .repartitionByRange(10, "doc_id")
+    )
+    snaptable.create(spark, path, df, stats_cols=["doc_id"])
+    before = {e["path"] for e in snaptable._load_manifest(path, 1)}
+    v = snaptable.delete_where(
+        spark, path, [("doc_id", ">=", 9000), ("doc_id", "<", 9100)]
+    )
+    assert snaptable._load_snapshot(path, v)["operation"] == "delete"
+    got = snaptable.read(spark, path)
+    assert got.count() == 9900
+    assert got.filter((F.col("doc_id") >= 9000) & (F.col("doc_id") < 9100)).count() == 0
+    # untouched files kept their paths
+    after = {e["path"] for e in snaptable._load_manifest(path, v)}
+    assert len(before & after) >= 8
+    # time travel still serves the deleted rows until expiry
+    assert snaptable.read(spark, path, snapshot_id=1).count() == 10000
+    # incremental read refuses to cross the delete
+    with pytest.raises(ValueError, match="delete"):
+        snaptable.read_incremental(spark, path, since=1)
+    # deleting everything leaves a valid empty head
+    snaptable.delete_where(spark, path, [("doc_id", ">=", 0)])
+    assert snaptable.read(spark, path).count() == 0
+    # no-op delete commits nothing
+    head = snaptable.current_version(path)
+    assert snaptable.delete_where(spark, path, [("doc_id", ">=", 10**9)]) == head
+    assert snaptable.current_version(path) == head
