@@ -227,11 +227,37 @@ def create(
 
 
 def append(spark: SparkSession, path: str, df: DataFrame) -> int:
-    """Append df as a new snapshot (parent's files + the new ones)."""
+    """Append df as a new snapshot (parent's files + the new ones).
+
+    ADDITIVE schema evolution is allowed — crawl tables grow columns
+    (a new extraction field, a quality score) mid-corpus: df may carry
+    extra columns beyond the table schema; every existing column must
+    keep its name and type. The snapshot stores the WIDENED schema and
+    every read path applies it explicitly, so Spark's parquet reader
+    null-fills the new columns in pre-evolution files (no rewrite).
+    Dropping or retyping a column is rejected — that would silently
+    corrupt old snapshots' reads."""
+    from pyspark.sql.types import StructType
+
     head = current_version(path)
     if head == 0:
         raise ValueError(f"snaptable {path}: append to missing table")
-    stats_cols = _load_snapshot(path, head)["stats_cols"]
+    snap = _load_snapshot(path, head)
+    stats_cols = snap["stats_cols"]
+    old = StructType.fromJson(json.loads(snap["schema"]))
+    new_fields = {f.name: f.dataType for f in df.schema.fields}
+    for f in old.fields:
+        if f.name not in new_fields:
+            raise ValueError(
+                f"snaptable {path}: append drops column {f.name!r} — "
+                "schema evolution is additive only"
+            )
+        if new_fields[f.name] != f.dataType:
+            raise ValueError(
+                f"snaptable {path}: append retypes column {f.name!r} "
+                f"({f.dataType.simpleString()} -> "
+                f"{new_fields[f.name].simpleString()})"
+            )
     sub = _write_data(df, path)
     entries = _collect_file_stats(spark, sub, stats_cols)
     return _commit(path, entries, "append", stats_cols, df.schema.json(), True)

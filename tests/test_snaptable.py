@@ -309,3 +309,33 @@ def test_delete_where_rewrites_only_affected_files(spark, tmp_path):
     head = snaptable.current_version(path)
     assert snaptable.delete_where(spark, path, [("doc_id", ">=", 10**9)]) == head
     assert snaptable.current_version(path) == head
+
+
+def test_additive_schema_evolution(spark, docs, tmp_path):
+    """A new column appears mid-corpus: head reads null-fill the old
+    files, time travel to the pre-evolution snapshot keeps the old
+    schema; drops/retypes are rejected."""
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, docs, stats_cols=["doc_id"])
+    evolved = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "url", "bucket",
+        (F.col("doc_id") % 100).cast("double").alias("quality"),
+    )
+    snaptable.append(spark, path, evolved)
+    head = snaptable.read(spark, path)
+    assert "quality" in head.columns
+    assert head.count() == 2000
+    assert head.filter(F.col("quality").isNull()).count() == 1000
+    assert head.filter(F.col("quality").isNotNull()).count() == 1000
+    # pre-evolution snapshot keeps its own schema
+    assert "quality" not in snaptable.read(spark, path, snapshot_id=1).columns
+    # destructive evolution rejected
+    with pytest.raises(ValueError, match="drops column"):
+        snaptable.append(spark, path, docs.drop("bucket"))
+    with pytest.raises(ValueError, match="retypes column"):
+        snaptable.append(
+            spark, path, docs.withColumn("bucket", F.col("bucket").cast("string"))
+        )
+    # stats pruning still works across the evolution boundary
+    plan = snaptable.plan_scan(path, [("doc_id", ">=", 1000)])
+    assert plan["files_kept"] < plan["files_total"]
