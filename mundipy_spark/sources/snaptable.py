@@ -49,6 +49,11 @@ _META = "metadata"
 _DATA = "data"
 
 
+class ConflictError(RuntimeError):
+    """A rewrite commit (compact/delete) found a different head than the
+    one it planned against; the caller must re-plan and retry."""
+
+
 # ---------------------------------------------------------------------------
 # metadata plumbing
 
@@ -167,14 +172,27 @@ def _commit(
     schema_json: str,
     carry_parent_files: bool,
     max_retries: int = 20,
+    require_parent: int | None = None,
 ) -> int:
     """Optimistic commit: build metadata against the current head, then
     O_EXCL-create the snapshot file. A concurrent winner makes the
     create fail -> re-read head and retry (Iceberg's loop). The data
-    files were already written and are version-independent."""
+    files were already written and are version-independent.
+
+    `require_parent` is the REPLACE-operation validation: compact and
+    delete compute their output from a specific head's file set, so if
+    any other commit (e.g. an append) landed since, retrying blindly
+    would publish a file set that silently drops the newcomer's files.
+    Iceberg fails such commits; so do we — the caller re-plans against
+    the new head and tries again."""
     os.makedirs(_meta_dir(path), exist_ok=True)
     for _ in range(max_retries):
         head = current_version(path)
+        if require_parent is not None and head != require_parent:
+            raise ConflictError(
+                f"snaptable {path}: {operation} planned against snapshot "
+                f"{require_parent} but head is now {head} — re-plan and retry"
+            )
         version = head + 1
         files = list(_load_manifest(path, head)) if (head and carry_parent_files) else []
         files += new_entries
@@ -366,7 +384,15 @@ def compact(
     df = read(spark, path, snap["version"]).repartition(target_files)
     sub = _write_data(df, path)
     entries = _collect_file_stats(spark, sub, stats_cols)
-    return _commit(path, entries, "replace", stats_cols, snap["schema"], False)
+    return _commit(
+        path,
+        entries,
+        "replace",
+        stats_cols,
+        snap["schema"],
+        False,
+        require_parent=snap["version"],
+    )
 
 
 def delete_where(
@@ -420,6 +446,7 @@ def delete_where(
         stats_cols,
         snap["schema"],
         False,
+        require_parent=snap["version"],
     )
 
 

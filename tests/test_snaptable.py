@@ -339,3 +339,45 @@ def test_additive_schema_evolution(spark, docs, tmp_path):
     # stats pruning still works across the evolution boundary
     plan = snaptable.plan_scan(path, [("doc_id", ">=", 1000)])
     assert plan["files_kept"] < plan["files_total"]
+
+
+def test_rewrite_commit_conflicts_instead_of_dropping_concurrent_append(
+    spark, docs, tmp_path
+):
+    """compact/delete plan against a specific head; if another commit
+    lands first, blindly retrying would publish a file set WITHOUT the
+    newcomer's files. The commit must fail with ConflictError instead
+    (Iceberg's replace validation)."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, docs, stats_cols=["doc_id"])
+    # simulate a concurrent append winning version 2 mid-compact
+    shutil.copy(
+        os.path.join(path, "metadata", "manifest-1.json"),
+        os.path.join(path, "metadata", "manifest-2.json"),
+    )
+    snap1 = json.load(open(os.path.join(path, "metadata", "snap-1.json")))
+    real_compact_commit = snaptable._commit
+
+    def racing_commit(p, entries, op, stats, schema, carry, **kw):
+        if not os.path.exists(snaptable._snap_path(p, 2)):
+            snap2 = dict(
+                snap1, version=2, parent=1, manifest="metadata/manifest-2.json"
+            )
+            with open(snaptable._snap_path(p, 2), "w") as f:
+                json.dump(snap2, f)
+        return real_compact_commit(p, entries, op, stats, schema, carry, **kw)
+
+    snaptable._commit = racing_commit
+    try:
+        with pytest.raises(snaptable.ConflictError, match="re-plan"):
+            snaptable.compact(spark, path, target_files=1)
+    finally:
+        snaptable._commit = real_compact_commit
+    # table is undamaged: the racer's snapshot is head, rows intact
+    assert snaptable.current_version(path) == 2
+    assert snaptable.read(spark, path).count() == 1000
+    # a fresh compact against the NEW head succeeds
+    v = snaptable.compact(spark, path, target_files=1)
+    assert v == 3 and snaptable.read(spark, path).count() == 1000
