@@ -453,7 +453,14 @@ def st_cell_refine(g: pd.Series, cell: pd.Series) -> pd.DataFrame:
     the probe side answer exact PIP with a pure Catalyst expression
     (`pip_refine_expr`) — no Python on the 10^12-row probe stream, and
     the broadcast ships a handful of doubles per boundary cell instead
-    of whole-polygon WKB. Distinct geometries decode once per batch."""
+    of whole-polygon WKB. Distinct geometries decode once per batch.
+
+    Invalid overlapping-interior multipolygons (where the refine path's
+    XOR parity diverges from OR-across-polygons — see
+    `tiling.multiparts_interiors_overlap`) emit an nring=-1 sentinel
+    instead of refine data; the index probe in `operators.joins` reads
+    it and falls back to the Arrow path, so the fast path can never
+    silently return wrong containment for such layers."""
     out_n = np.zeros(len(g), dtype=np.int64)
     out_b = np.zeros(len(g), dtype=bool)
     out_s: list = [None] * len(g)
@@ -464,6 +471,11 @@ def st_cell_refine(g: pd.Series, cell: pd.Series) -> pd.DataFrame:
     cells = cell.to_numpy(np.int64)
     for key, idx in groups.items():
         geom = wkb.loads(key)
+        if tiling.multiparts_interiors_overlap(geom):
+            for i in idx:
+                out_n[i] = -1
+                out_s[i] = []
+            continue
         refs = tiling.cell_refine_segments(geom, cells[np.asarray(idx)])
         for i, (nring, bpar, flat) in zip(idx, refs):
             out_n[i] = nring
@@ -603,7 +615,15 @@ def _decode_for_pip(key: bytes):
     if ent is None:
         geom = wkb.loads(key)
         segs = predicates.geom_segments(geom)
-        ent = (segs, predicates.has_area(geom), geom)
+        # flat_ok: the flat path XORs crossings across ALL rings of the
+        # geometry, which equals points_in_geom's OR-across-polygons
+        # only when member interiors are disjoint (any valid
+        # (Multi)Polygon). An invalid overlapping-interior multi routes
+        # to the generic per-polygon slow path instead (exact check,
+        # decode-time only, memoized with the decode).
+        has_area = predicates.has_area(geom)
+        flat_ok = has_area and not tiling.multiparts_interiors_overlap(geom)
+        ent = (segs, has_area, flat_ok, geom)
         if len(_PIP_DECODE_CACHE) >= _POINT_INTERSECTS_CACHE_LIMIT:
             _PIP_DECODE_CACHE.clear()
         _PIP_DECODE_CACHE[key] = ent
@@ -627,11 +647,11 @@ def _pip_flat(xs: np.ndarray, ys: np.ndarray, geoms) -> tuple[np.ndarray, np.nda
             missing[i] = True
     flat_groups = []
     for key, idx in groups.items():
-        segs, area, geom = _decode_for_pip(key)
+        segs, _, flat_ok, geom = _decode_for_pip(key)
         ii = np.asarray(idx, dtype=np.int64)
-        if area and len(segs):
+        if flat_ok and len(segs):
             flat_groups.append((ii, segs))
-        else:  # degenerate/non-area geometry: generic slow path
+        else:  # degenerate/non-area or overlapping-interior: slow path
             hit_all[ii] = predicates.points_in_geom(xs[ii], ys[ii], geom)
     if flat_groups:
         hit_all |= predicates.points_in_polys_flat(xs, ys, flat_groups)
@@ -665,7 +685,7 @@ def st_point_geom_dist_m(lon: pd.Series, lat: pd.Series, g: pd.Series) -> pd.Ser
         if isinstance(b, (bytes, bytearray, memoryview)):
             groups.setdefault(bytes(b), []).append(i)
     for key, idx in groups.items():
-        _, has_area, geom = _decode_for_pip(key)
+        _, has_area, _, geom = _decode_for_pip(key)
         ii = np.asarray(idx, dtype=np.int64)
         inside = (
             predicates.points_in_geom(xs[ii], ys[ii], geom)

@@ -178,10 +178,14 @@ def tile_index(
     column entirely: tile_join_points then refines with a pure Catalyst
     expression — zero Python on the probe path, and the broadcast ships
     a few doubles per boundary cell instead of whole-polygon WKB (the
-    shape that matters when the probe side is 10^12 rows). Requires
-    valid (disjoint-interior) polygon layers — see
-    kernels.tiling.cell_refine_segments; default "arrow" keeps the
-    geometry column and the Arrow-kernel refinement."""
+    shape that matters when the probe side is 10^12 rows). Valid only
+    for disjoint-interior polygon layers; an invalid overlapping-
+    interior multipolygon is flagged with an nring=-1 sentinel by
+    st_cell_refine (exact check, kernels.tiling.
+    multiparts_interiors_overlap) — the default join path then falls
+    back to "arrow" automatically, and using such an index explicitly
+    raises. Default "arrow" keeps the geometry column and the
+    Arrow-kernel refinement, correct for any layer."""
     if refine not in ("arrow", "jvm"):
         raise ValueError(f"unsupported refine={refine!r}")
     cols = keep if keep is not None else [c for c in polys.columns if c != geom_col]
@@ -241,23 +245,41 @@ UNROLL_CAP = 16
 # memo keyed by the index DataFrame's logical plan id: the unroll width
 # is a property of the (usually persisted, reused across queries) index,
 # so the tiny driver-side agg runs once per layer, not once per join
-_MAXK_CACHE: dict[int, int] = {}
+_MAXK_CACHE: dict[int, tuple[int, bool]] = {}
 
 
-def _index_maxk(index: DataFrame) -> int:
-    """Max segments per boundary cell of a refine="jvm" index — the
-    unroll width for st.pip_refine_expr. One small driver-side agg over
-    the (broadcast-sized) index, memoized per plan; amortized exactly
-    like the index build itself."""
+def _index_probe(index: DataFrame) -> tuple[int, bool]:
+    """(maxk, unsafe) of a refine="jvm" index: maxk is the max segments
+    per boundary cell (the unroll width for st.pip_refine_expr), unsafe
+    is True when any layer geometry carries st_cell_refine's nring=-1
+    sentinel (invalid overlapping-interior multipolygon — the refine
+    expression would return wrong containment; callers must use the
+    Arrow path). ONE small driver-side agg over the (broadcast-sized)
+    index, memoized per plan; amortized exactly like the build itself."""
     key = index._jdf.queryExecution().logical().semanticHash()
     hit = _MAXK_CACHE.get(key)
     if hit is None:
-        row = index.agg(F.max(F.size("segs"))).collect()[0][0]
-        hit = int(row or 0) // 4
+        row = index.agg(
+            F.max(F.size("segs")), F.min(F.coalesce("nring", F.lit(0)))
+        ).collect()[0]
+        hit = (int(row[0] or 0) // 4, int(row[1] or 0) < 0)
         if len(_MAXK_CACHE) > 1024:
             _MAXK_CACHE.clear()
         _MAXK_CACHE[key] = hit
     return hit
+
+
+def _index_maxk(index: DataFrame) -> int:
+    """Unroll width of a refine="jvm" index, refusing unsafe layers."""
+    maxk, unsafe = _index_probe(index)
+    if unsafe:
+        raise ValueError(
+            "tile join: this refine='jvm' index contains an invalid "
+            "multipolygon with overlapping member interiors; rebuild it "
+            "with tile_index(refine='arrow') (the default join path "
+            "does this automatically)"
+        )
+    return maxk
 
 
 # ---------------------------------------------------------------------------
@@ -297,17 +319,25 @@ def tile_join_points(
     """
     if index is None:
         # default to the JVM refine index: exact PIP without Python on
-        # the probe path (see tile_index docstring for the validity
-        # precondition). Layers denser than UNROLL_CAP segments per
-        # boundary cell (detailed coastlines vs a fine res) rebuild as
-        # an Arrow index instead — per-batch numpy refinement wins at
-        # that density, and the probe cost is boundary-candidate-bound
-        # either way. The probe (maxk) is one tiny agg over the
-        # broadcast-sized index, amortized like the build itself.
+        # the probe path. Two cases rebuild as an Arrow index instead:
+        # layers denser than UNROLL_CAP segments per boundary cell
+        # (detailed coastlines vs a fine res — per-batch numpy
+        # refinement wins at that density), and layers carrying an
+        # invalid overlapping-interior multipolygon (st_cell_refine's
+        # nring=-1 sentinel: XOR parity would be wrong there). The
+        # index is persisted BEFORE the probe so the expensive build
+        # (cover + refine UDFs) runs once — the probe agg materializes
+        # it into cache and the join reuses it; without this the build
+        # executed twice (once for the agg, once inside the join).
+        # Broadcast-sized by contract, so the cache footprint is small;
+        # callers who loop many one-shot joins should prebuild +
+        # persist + unpersist the index themselves (see docstring).
         index = tile_index(
             polys, geom_col=geom_col, res=res, keep=poly_cols, refine="jvm"
-        )
-        if _index_maxk(index) > UNROLL_CAP:
+        ).persist()
+        maxk, unsafe = _index_probe(index)
+        if unsafe or maxk > UNROLL_CAP:
+            index.unpersist()
             index = tile_index(
                 polys, geom_col=geom_col, res=res, keep=poly_cols, refine="arrow"
             )

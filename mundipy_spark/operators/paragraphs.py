@@ -116,11 +116,16 @@ def dedup_paragraphs(
     # of corrupting the packing.
     pars = split_paragraphs(df, text_col, id_col, c)
     id_bound = F.lit(1 << (63 - _IDX_BITS))
+    # cast BEFORE shifting: shiftleft preserves its input type, so an
+    # IntegerType id column would wrap in 32-bit silently while the
+    # 64-bit range guard below still passes
+    id64 = F.col(id_col).cast("long")
+    idx64 = F.col("idx").cast("long")
     packed = F.when(
-        (F.col("idx") < F.lit(1 << _IDX_BITS))
-        & (F.col(id_col) < id_bound)
-        & (F.col(id_col) >= -id_bound),
-        F.shiftleft(F.col(id_col), _IDX_BITS).bitwiseOR(F.col("idx")),
+        (idx64 < F.lit(1 << _IDX_BITS))
+        & (id64 < id_bound)
+        & (id64 >= -id_bound),
+        F.shiftleft(id64, _IDX_BITS).bitwiseOR(idx64),
     ).otherwise(
         F.raise_error(
             F.lit(

@@ -66,10 +66,6 @@ def _snap_path(path: str, version: int) -> str:
     return os.path.join(_meta_dir(path), f"snap-{version}.json")
 
 
-def _manifest_path(path: str, version: int) -> str:
-    return os.path.join(_meta_dir(path), f"manifest-{version}.json")
-
-
 def current_version(path: str) -> int:
     """Head = the highest committed snapshot (0 = empty table). Derived
     from the snap files themselves so there is no pointer file to tear."""
@@ -141,8 +137,11 @@ def _collect_file_stats(
                 "nulls": int(d[f"_nulls_{c}"] or 0),
             }
         fname = d["_file"]
-        # store table-relative paths so the table directory is movable
-        idx = fname.find(f"/{_DATA}/")
+        # store table-relative paths so the table directory is movable;
+        # rfind: the table's own data dir is always the LAST /data/
+        # segment (subdirs under it are uuid hex), so a table rooted at
+        # e.g. /home/user/data/tbl relativizes correctly
+        idx = fname.rfind(f"/{_DATA}/")
         entries.append(
             {
                 "path": fname[idx + 1 :] if idx >= 0 else fname,
@@ -173,6 +172,7 @@ def _commit(
     carry_parent_files: bool,
     max_retries: int = 20,
     require_parent: int | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Optimistic commit: build metadata against the current head, then
     O_EXCL-create the snapshot file. A concurrent winner makes the
@@ -196,7 +196,15 @@ def _commit(
         version = head + 1
         files = list(_load_manifest(path, head)) if (head and carry_parent_files) else []
         files += new_entries
-        manifest_rel = os.path.join(_META, f"manifest-{version}.json")
+        # UNIQUE manifest name per attempt: a deterministic
+        # manifest-{version}.json would let a LOSING committer truncate
+        # the winner's already-committed manifest (it writes before the
+        # O_EXCL snap create decides the race). Losing attempts leave an
+        # orphaned manifest no snapshot references — invisible, and
+        # reclaimed by expire() like any other dead metadata.
+        manifest_rel = os.path.join(
+            _META, f"manifest-{version}-{uuid.uuid4().hex[:8]}.json"
+        )
         with open(os.path.join(path, manifest_rel), "w") as f:
             json.dump({"files": files}, f)
         snap = {
@@ -210,13 +218,16 @@ def _commit(
             "total_files": len(files),
             "total_rows": sum(e["rows"] for e in files),
             "committed_at": time.time(),
+            **(extra or {}),
         }
         try:
             fd = os.open(
                 _snap_path(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
             )
         except FileExistsError:
-            continue  # lost the race; retry against the new head
+            # lost the race; our manifest attempt is orphaned (no
+            # snapshot points at it) — retry against the new head
+            continue
         with os.fdopen(fd, "w") as f:
             json.dump(snap, f)
         return version
@@ -234,17 +245,24 @@ def create(
     path: str,
     df: DataFrame,
     stats_cols: list[str] | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Create the table with snapshot 1. `stats_cols` are the columns
     whose per-file min/max the manifest records (the prune keys —
-    e.g. warc_ts for time-sliced recrawl scans, doc_id for backfills)."""
+    e.g. warc_ts for time-sliced recrawl scans, doc_id for backfills).
+    `extra` keys merge into the snapshot record (e.g. a streaming
+    sink's epoch tag for replay idempotence)."""
     stats_cols = list(stats_cols or [])
     sub = _write_data(df, path)
     entries = _collect_file_stats(spark, sub, stats_cols)
-    return _commit(path, entries, "create", stats_cols, df.schema.json(), False)
+    return _commit(
+        path, entries, "create", stats_cols, df.schema.json(), False, extra=extra
+    )
 
 
-def append(spark: SparkSession, path: str, df: DataFrame) -> int:
+def append(
+    spark: SparkSession, path: str, df: DataFrame, extra: dict | None = None
+) -> int:
     """Append df as a new snapshot (parent's files + the new ones).
 
     ADDITIVE schema evolution is allowed — crawl tables grow columns
@@ -278,7 +296,9 @@ def append(spark: SparkSession, path: str, df: DataFrame) -> int:
             )
     sub = _write_data(df, path)
     entries = _collect_file_stats(spark, sub, stats_cols)
-    return _commit(path, entries, "append", stats_cols, df.schema.json(), True)
+    return _commit(
+        path, entries, "append", stats_cols, df.schema.json(), True, extra=extra
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -297,6 +317,16 @@ def _survives(entry: dict, col: str, op: str, value) -> bool:
     if not st or st["min"] is None or st["max"] is None:
         return True  # missing stats: never prune (correctness over IO)
     mn, mx = st["min"], st["max"]
+    # stats were stored through _json_safe (datetime -> ISO string,
+    # Decimal -> float); coerce the predicate value identically so the
+    # comparison is like-typed. ISO-8601 strings order lexicographically
+    # == chronologically for the (naive, fixed-offset-free) timestamps
+    # Spark hands back, so pruning stays exact for timestamp stats cols.
+    value = _json_safe(value)
+    if isinstance(mn, str) != isinstance(value, str) or (
+        isinstance(mn, bool) != isinstance(value, bool)
+    ):
+        return True  # incomparable types: never prune
     if op == "=":
         return mn <= value <= mx
     if op == ">=":
@@ -435,10 +465,15 @@ def delete_where(
             {"=": c == v, ">=": c >= v, ">": c > v, "<=": c <= v, "<": c < v}[op]
         )
     keep = df.filter(~F.coalesce(delete_cond, F.lit(False)))
-    new_entries: list[dict] = []
-    if keep.limit(1).count() > 0:
-        sub = _write_data(keep, path)
-        new_entries = _collect_file_stats(spark, sub, stats_cols)
+    # write unconditionally — probing emptiness first (limit(1).count())
+    # would read+filter every affected file TWICE. Zero survivors yield
+    # zero-row part files, which the stats job (groupBy input_file_name)
+    # maps to zero manifest entries; the empty files are unreferenced
+    # and harmless.
+    sub = _write_data(keep, path)
+    new_entries = [
+        e for e in _collect_file_stats(spark, sub, stats_cols) if e["rows"] > 0
+    ]
     return _commit(
         path,
         keep_entries + new_entries,
@@ -462,6 +497,11 @@ def expire(path: str, keep_from: int) -> dict:
         if os.path.exists(_snap_path(path, v)):
             live |= {e["path"] for e in _load_manifest(path, v)}
     removed_data = 0
+    live_manifests = {
+        _load_snapshot(path, v)["manifest"]
+        for v in range(keep_from, head + 1)
+        if os.path.exists(_snap_path(path, v))
+    }
     for v in range(1, keep_from):
         if not os.path.exists(_snap_path(path, v)):
             continue
@@ -470,8 +510,15 @@ def expire(path: str, keep_from: int) -> dict:
             if e["path"] not in live and os.path.exists(p):
                 os.remove(p)
                 removed_data += 1
-        os.remove(os.path.join(path, _META, f"manifest-{v}.json"))
+        os.remove(os.path.join(path, _load_snapshot(path, v)["manifest"]))
         os.remove(_snap_path(path, v))
+    # orphaned manifests (lost commit races, expired snapshots) are
+    # referenced by no surviving snapshot; reclaim them
+    meta = _meta_dir(path)
+    for name in os.listdir(meta):
+        rel = os.path.join(_META, name)
+        if name.startswith("manifest-") and rel not in live_manifests:
+            os.remove(os.path.join(meta, name))
     return {"removed_data_files": removed_data, "oldest_kept": keep_from}
 
 

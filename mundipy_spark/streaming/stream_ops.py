@@ -189,6 +189,36 @@ def ingest_stream(
     )
 
 
+def snaptable_batch_handler(
+    path: str, stats_cols: list[str] | None, sink_id: str
+):
+    """The foreachBatch handler snaptable_sink installs, exposed for
+    direct (replay) testing: commits the batch as one append snapshot
+    tagged (sink_id, sink_epoch), skipping epochs some committed
+    snapshot already carries — replay-idempotent."""
+    from mundipy_spark.sources import snaptable
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        for snap in snaptable.snapshots(path):
+            if (
+                snap.get("sink_id") == sink_id
+                and snap.get("sink_epoch") == epoch_id
+            ):
+                return  # replayed batch: already committed, skip
+        spark = batch.sparkSession
+        tag = {"sink_id": sink_id, "sink_epoch": epoch_id}
+        if snaptable.current_version(path) == 0:
+            snaptable.create(
+                spark, path, batch, stats_cols=stats_cols or [], extra=tag
+            )
+        else:
+            snaptable.append(spark, path, batch, extra=tag)
+
+    return handle
+
+
 def snaptable_sink(
     stream: DataFrame,
     path: str,
@@ -202,20 +232,18 @@ def snaptable_sink(
     half-written batch — and incremental consumers (read_incremental)
     get exactly-once batches by checkpointing the last snapshot they
     processed. This is the Iceberg streaming-sink shape: foreachBatch
-    + table commit, with Spark's own checkpoint making the batch
-    replay idempotent at the SOURCE side while the O_EXCL commit keeps
-    the TABLE side atomic."""
-    from mundipy_spark.sources import snaptable
+    + table commit.
 
-    def handle(batch: DataFrame, epoch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        spark = batch.sparkSession
-        if snaptable.current_version(path) == 0:
-            snaptable.create(spark, path, batch, stats_cols=stats_cols or [])
-        else:
-            snaptable.append(spark, path, batch)
-
+    foreachBatch alone is at-least-once: a crash BETWEEN the table
+    commit and Spark's streaming-checkpoint commit replays the batch on
+    restart. Each snapshot therefore records (sink_id, sink_epoch) and
+    the handler skips a batch whose epoch some committed snapshot
+    already carries — the standard foreachBatch idempotence pattern
+    (Iceberg stores the same tag in its snapshot summary). sink_id is
+    the checkpoint dir, which is what makes epoch numbering stable
+    across restarts AND distinct across different queries writing the
+    same table."""
+    handle = snaptable_batch_handler(path, stats_cols, checkpoint_dir or "")
     writer = stream.writeStream.foreachBatch(handle).outputMode("append")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)

@@ -175,3 +175,55 @@ def test_dense_prebuilt_jvm_index_uses_hof_fallback(spark):
     )
     assert a.equals(d)
     ij.unpersist(); ia.unpersist()
+
+
+def test_invalid_multipolygon_falls_back_to_arrow(spark):
+    """An INVALID multipolygon with overlapping member interiors is the
+    one layer where the refine path's XOR parity diverges from
+    points_in_geom's OR-across-polygons (points covered by BOTH members
+    would report outside). st_cell_refine flags such geometries with an
+    nring=-1 sentinel; the default join path must fall back to the
+    Arrow index, and using the unsafe index explicitly must raise."""
+    import numpy as np
+
+    sq = lambda x0, y0, x1, y1: np.array(  # noqa: E731
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float
+    )
+    # members [0,20]^2 and [10,10]-[30,30]: overlap region [10,20]^2
+    bad = ("MultiPolygon", [[sq(0, 0, 20, 20)], [sq(10, 10, 30, 30)]])
+    polys = spark.createDataFrame(
+        pd.DataFrame([{"region": "BAD", "geometry": wkb.dumps(bad), "pop": 1.0}])
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": [0, 1, 2, 3],
+                "lon": [15.0, 5.0, 25.0, 40.0],  # overlap, A-only, B-only, out
+                "lat": [15.0, 5.0, 25.0, 40.0],
+            }
+        )
+    )
+    got = (
+        joins.tile_join_points(pts, polys, res=4, poly_cols=["region"])
+        .select("pid")
+        .toPandas()["pid"]
+        .tolist()
+    )
+    # OR semantics: the double-covered point 0 MUST match
+    assert sorted(got) == [0, 1, 2]
+
+    # the explicit jvm index refuses to be probed
+    import pytest as _pytest
+
+    idx = joins.tile_index(polys, res=4, keep=["region"], refine="jvm")
+    with _pytest.raises(ValueError, match="overlapping member interiors"):
+        joins._index_maxk(idx)
+
+    # a VALID multipolygon (touching members) keeps the jvm fast path
+    ok = ("MultiPolygon", [[sq(0, 0, 10, 10)], [sq(10, 0, 20, 10)]])
+    vpolys = spark.createDataFrame(
+        pd.DataFrame([{"region": "OK", "geometry": wkb.dumps(ok), "pop": 1.0}])
+    )
+    vidx = joins.tile_index(vpolys, res=4, keep=["region"], refine="jvm")
+    maxk, unsafe = joins._index_probe(vidx)
+    assert not unsafe and maxk > 0

@@ -116,12 +116,14 @@ def test_concurrent_commit_retries_past_taken_version(spark, docs, tmp_path):
     # O_EXCL forces the retry loop to land on 3 with version-2 lineage
     import shutil
 
-    shutil.copy(
-        os.path.join(path, "metadata", "manifest-1.json"),
-        os.path.join(path, "metadata", "manifest-2.json"),
-    )
     snap1 = json.load(open(os.path.join(path, "metadata", "snap-1.json")))
-    snap2 = dict(snap1, version=2, parent=1, manifest="metadata/manifest-2.json")
+    shutil.copy(
+        os.path.join(path, snap1["manifest"]),
+        os.path.join(path, "metadata", "manifest-2-other.json"),
+    )
+    snap2 = dict(
+        snap1, version=2, parent=1, manifest="metadata/manifest-2-other.json"
+    )
     with open(os.path.join(path, "metadata", "snap-2.json"), "w") as f:
         json.dump(snap2, f)
     v = snaptable.append(spark, path, docs.limit(10))
@@ -353,11 +355,11 @@ def test_rewrite_commit_conflicts_instead_of_dropping_concurrent_append(
     path = str(tmp_path / "t")
     snaptable.create(spark, path, docs, stats_cols=["doc_id"])
     # simulate a concurrent append winning version 2 mid-compact
+    snap1 = json.load(open(os.path.join(path, "metadata", "snap-1.json")))
     shutil.copy(
-        os.path.join(path, "metadata", "manifest-1.json"),
+        os.path.join(path, snap1["manifest"]),
         os.path.join(path, "metadata", "manifest-2.json"),
     )
-    snap1 = json.load(open(os.path.join(path, "metadata", "snap-1.json")))
     real_compact_commit = snaptable._commit
 
     def racing_commit(p, entries, op, stats, schema, carry, **kw):
@@ -381,3 +383,127 @@ def test_rewrite_commit_conflicts_instead_of_dropping_concurrent_append(
     # a fresh compact against the NEW head succeeds
     v = snaptable.compact(spark, path, target_files=1)
     assert v == 3 and snaptable.read(spark, path).count() == 1000
+
+
+def test_lost_race_cannot_clobber_winners_manifest(spark, docs, tmp_path):
+    """Manifest names are unique per commit ATTEMPT: a losing committer
+    writes its manifest before the O_EXCL snap create decides the race,
+    so a deterministic manifest-{v}.json would let the loser truncate
+    the winner's already-committed manifest. 8 threads racing appends
+    must leave every snapshot's manifest self-consistent."""
+    import threading
+
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, docs.limit(100), stats_cols=["doc_id"])
+    errs = []
+
+    def add(i):
+        try:
+            snaptable.append(
+                spark,
+                path,
+                docs.filter(F.col("doc_id") == i).limit(1),
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=add, args=(i,)) for i in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    snaps = snaptable.snapshots(path)
+    assert len(snaps) == 9
+    # every snapshot's manifest exists, is unique, and its row total
+    # matches the snapshot metadata written atomically with it
+    seen = set()
+    for s in snaps:
+        assert s["manifest"] not in seen
+        seen.add(s["manifest"])
+        files = json.load(open(os.path.join(path, s["manifest"])))["files"]
+        assert sum(e["rows"] for e in files) == s["total_rows"]
+    # no append lost: head carries the create's 100 + one row per thread
+    assert snaptable.read(spark, path).count() == 108
+
+
+def test_table_rooted_under_a_data_directory(spark, docs, tmp_path):
+    """Path relativization must key on the table's OWN data dir (the
+    last /data/ segment), not the first one in the absolute path."""
+    path = str(tmp_path / "data" / "tbl")
+    snaptable.create(spark, path, docs, stats_cols=["doc_id"])
+    assert snaptable.read(spark, path).count() == 1000
+    plan = snaptable.plan_scan(path, [("doc_id", "<", 10)])
+    assert all(os.path.exists(f) for f in plan["files"])
+
+
+def test_timestamp_stats_prune_and_scan(spark, tmp_path):
+    """Timestamp stats columns: stats are stored as ISO strings; a
+    datetime predicate must neither crash nor misprune (the coercion
+    mirrors _json_safe on both sides)."""
+    import datetime
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        (
+            F.lit("2026-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(days=F.col("id").cast("int"))
+        ).alias("warc_ts"),
+    ).repartition(4, "doc_id")
+    snaptable.create(spark, path, df, stats_cols=["warc_ts"])
+    cut = datetime.datetime(2026, 3, 1)
+    got = snaptable.scan(spark, path, [("warc_ts", ">=", cut)])
+    want = df.filter(F.col("warc_ts") >= F.lit(cut))
+    assert got.count() == want.count() > 0
+
+
+def test_delete_all_rows_leaves_readable_empty_head(spark, docs, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, docs, stats_cols=["doc_id"])
+    v = snaptable.delete_where(spark, path, [("doc_id", ">=", 0)])
+    assert v == 2
+    assert snaptable.read(spark, path).count() == 0
+    # time travel still sees the pre-delete rows
+    assert snaptable.read(spark, path, snapshot_id=1).count() == 1000
+
+
+def test_expire_reclaims_orphaned_manifests(spark, docs, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, docs, stats_cols=["doc_id"])
+    snaptable.append(spark, path, docs.limit(10))
+    # a lost race / crashed committer leaves an unreferenced manifest
+    orphan = os.path.join(path, "metadata", "manifest-9-deadbeef.json")
+    with open(orphan, "w") as f:
+        json.dump({"files": []}, f)
+    snaptable.expire(path, keep_from=2)
+    assert not os.path.exists(orphan)
+    live = {s["manifest"] for s in snaptable.snapshots(path)}
+    on_disk = {
+        os.path.join("metadata", n)
+        for n in os.listdir(os.path.join(path, "metadata"))
+        if n.startswith("manifest-")
+    }
+    assert on_disk == live
+    assert snaptable.read(spark, path).count() == 1010
+
+
+def test_streaming_sink_replayed_epoch_commits_once(spark, tmp_path):
+    """foreachBatch replays a batch when the driver dies between the
+    table commit and the streaming checkpoint; the handler must skip an
+    epoch some committed snapshot already carries."""
+    from mundipy_spark.streaming import stream_ops
+
+    path = str(tmp_path / "t")
+    handle = stream_ops.snaptable_batch_handler(path, ["doc_id"], "ckpt-A")
+    batch = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    handle(batch, 0)
+    handle(batch, 0)  # replay after simulated crash
+    assert snaptable.current_version(path) == 1
+    assert snaptable.read(spark, path).count() == 50
+    handle(batch, 1)  # a genuinely new epoch appends
+    assert snaptable.current_version(path) == 2
+    assert snaptable.read(spark, path).count() == 100
+    # a DIFFERENT query (own checkpoint) writing the same table is not
+    # deduped against query A's epoch numbering
+    other = stream_ops.snaptable_batch_handler(path, ["doc_id"], "ckpt-B")
+    other(batch, 0)
+    assert snaptable.read(spark, path).count() == 150

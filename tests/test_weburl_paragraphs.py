@@ -154,3 +154,22 @@ def test_dedup_paragraphs_packed_key_boundaries(spark):
     )
     with pytest.raises(SparkRuntimeException, match="dedup_paragraphs"):
         paragraphs.dedup_paragraphs(big, chunk_tokens=3).collect()
+
+
+def test_dedup_paragraphs_integer_typed_ids(spark):
+    """IntegerType id columns (the common parquet int) must not wrap in
+    32-bit inside the packed key: shiftleft preserves its input type,
+    so the id is cast to long BEFORE shifting. Regression: ids >= 2^11
+    overflowed int32 (id<<20), decoded to garbage doc ids, and the
+    rebuild join silently dropped every kept paragraph."""
+    df = spark.createDataFrame(
+        [(4096, "a b c"), (5000, "a b c"), (70000, "p q r")],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.n_pars, r.n_kept, r.kept_text)
+        for r in paragraphs.dedup_paragraphs(df, chunk_tokens=3).collect()
+    }
+    assert got[4096] == (1, 1, "a b c")
+    assert got[5000] == (1, 0, "")
+    assert got[70000] == (1, 1, "p q r")
