@@ -1475,8 +1475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "ann_topk": q_ann_topk,
         "bpe_tokens": q_bpe_tokens,
+        # --- driver window boundary: exactly 50 entries above ---
         "splits": q_splits,
-        # --- driver window boundary (~50) ---
         "source_topk": q_source_topk,
         "sample_stats": q_sample_stats,
         "dedup_clusters": q_dedup_clusters,
@@ -1852,9 +1852,13 @@ canon AS (
   SELECT doc_id, {weburl.canonical_url_sql('u')} AS canon_url, ep FROM crawls
 ),
 ranked AS (
+  -- dedup key mirrors the Spark operator: NULL canon_urls key by their
+  -- own doc_id (distinct null-url docs must not collapse)
   SELECT doc_id, canon_url, ep,
-         count(*) OVER (PARTITION BY canon_url) AS n_forms,
-         row_number() OVER (PARTITION BY canon_url
+         count(*) OVER (PARTITION BY coalesce(canon_url,
+                        chr(0) || 'null:' || doc_id)) AS n_forms,
+         row_number() OVER (PARTITION BY coalesce(canon_url,
+                            chr(0) || 'null:' || doc_id)
                             ORDER BY ep DESC, doc_id ASC) AS rn
   FROM canon
 )
@@ -2058,6 +2062,4 @@ SELECT coalesce(ourl, nurl) AS canon_url,
        old_fp, new_fp
 FROM j
 """,
-        # lsh_ann / ivf_ann: approximate float-rank ties —
-        # intentionally rows-only checks.
     }

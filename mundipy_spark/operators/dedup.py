@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mundipy_spark.functions import text as tx
@@ -134,6 +134,12 @@ def lsh_candidate_pairs(
     dropped (boilerplate explosion guard) — the count of dropped buckets
     is observable via lsh_bucket_stats, not silent.
     """
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"lsh_candidate_pairs: bands={bands} must divide "
+            f"n_hashes={n_hashes} (a remainder would silently drop "
+            "minhash columns from the banding)"
+        )
     rows = n_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -145,7 +151,7 @@ def lsh_candidate_pairs(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bkey")
     sized = banded.withColumn(
-        "bucket_n", F.count("*").over(__import__("pyspark").sql.Window.partitionBy("band", "bkey"))
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bkey"))
     ).filter(F.col("bucket_n") <= bucket_cap)
     a = sized.select(F.col(id_col).alias("a"), "band", "bkey")
     b = sized.select(F.col(id_col).alias("b"), "band", "bkey")

@@ -259,7 +259,7 @@ SELECT qid, nid, rank FROM ranked WHERE rank <= {k}
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 5,
+    k: int | None = 5,
     n_planes: int = 12,
     dim: int = 64,
     seed: int = 42,
@@ -273,7 +273,9 @@ def lsh_bucket_topk(
     signatures bucket the corpus; each query probes its own bucket plus
     every bucket within Hamming distance `multiprobe` of its signature,
     in each of n_tables independent tables; exact cosine re-ranks the
-    union of candidates.
+    union of candidates. k=None returns ALL candidates uncapped (and
+    unranked — no window shuffle): the near-dup use, where the caller
+    thresholds on cosine instead of taking a per-query top-k.
 
     Multi-probe is the scale lever: recall that would need T' tables
     with exact-bucket probing needs only T << T' tables (one corpus
@@ -319,6 +321,8 @@ def lsh_bucket_topk(
         .distinct()
         .withColumn("cosine", _dot("qvec", "nvec") / (_norm("qvec") * _norm("nvec")))
     )
+    if k is None:
+        return cand.select("qid", "nid", "cosine")
     w = W.partitionBy("qid").orderBy(F.round(F.col("cosine"), 6).desc(), F.col("nid").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -335,11 +339,20 @@ def ivf_train_centroids(
     seed: int = 11,
     vec_col: str = "embedding",
 ) -> list[list[float]]:
-    """Deterministic distributed k-means for the IVF coarse quantizer:
-    seeded random-unit init, then `iters` rounds of assign (JVM dot
-    products against a literal centroid array) + per-cluster mean
-    (posexplode + groupBy — one shuffle per round, map-side combined).
-    Returns driver-side centroid list (tiny: n_clusters * dim floats)."""
+    """Distributed k-means for the IVF coarse quantizer: seeded
+    random-unit init, then `iters` rounds of assign (JVM dot products
+    against a literal centroid array) + per-cluster mean (posexplode +
+    groupBy — one shuffle per round, map-side combined). Returns
+    driver-side centroid list (tiny: n_clusters * dim floats).
+
+    Determinism caveat: the init and assignment logic are fully seeded,
+    but F.avg's cross-partition summation order is not fixed, so
+    centroids can differ in the last ulp across partition layouts — a
+    vector whose top-two centroid dot products tie within float error
+    may flip assignment between cluster configurations. For the
+    bit-reproducible train-offline shape, persist trained centroids
+    (or use ivf_seeded_centroids, which is pure driver-side numpy) and
+    inject them via ivf_assign/ivf_topk."""
     rng = np.random.default_rng(seed)
     C = rng.standard_normal((n_clusters, dim))
     C /= np.linalg.norm(C, axis=1, keepdims=True)
@@ -431,17 +444,21 @@ def brute_force_near_dup(
     oracle parity) are identical to the pure-Catalyst path
     (arrow=False, kept as the no-numpy reference)."""
     if arrow:
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql import types as T
-
         rows = corpus.select(id_col, vec_col).collect()
         ids = np.array([r[0] for r in rows], dtype=np.int64)
         B = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        # a real Spark broadcast, not a closure capture: the pickled
+        # closure ships with EVERY task, so an n x dim float64 matrix
+        # captured directly would cross the wire once per partition;
+        # broadcast ships it once per executor (same pattern as
+        # dedup.bloom_might_contain).
+        bc = corpus.sparkSession.sparkContext.broadcast(
+            (ids, B / np.linalg.norm(B, axis=1, keepdims=True))
+        )
         guard = threshold - 1e-6
 
         def gen(batches):
+            b_ids, Bn = bc.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -451,9 +468,11 @@ def brute_force_near_dup(
                 a_ids = pdf[id_col].to_numpy(dtype=np.int64)
                 S = (A / np.linalg.norm(A, axis=1, keepdims=True)) @ Bn.T
                 # raw cosine out; Spark's round() applies the cut
-                ii, jj = np.nonzero((S >= guard) & (a_ids[:, None] < ids[None, :]))
+                ii, jj = np.nonzero(
+                    (S >= guard) & (a_ids[:, None] < b_ids[None, :])
+                )
                 yield pd.DataFrame(
-                    {"a": a_ids[ii], "b": ids[jj], "cos": S[ii, jj]}
+                    {"a": a_ids[ii], "b": b_ids[jj], "cos": S[ii, jj]}
                 )
 
         schema = T.StructType(
@@ -494,8 +513,13 @@ def embedding_near_dup(
     # Self-join: keep the probe fan-out at Hamming<=1 — near-dups sit at
     # cosine>=0.98 where per-bit agreement is ~0.94, so 2 tables with
     # single-bit probing already reach ~95% pair recall.
+    # k=None: near-dup wants EVERY pair above the threshold, not a
+    # per-query top-k — a boilerplate cluster larger than any fixed k
+    # would silently lose above-threshold pairs (the qid<nid dedup
+    # cannot rescue a pair capped away on BOTH sides). Skipping the cap
+    # also removes the rank window's shuffle entirely.
     pairs = lsh_bucket_topk(
-        corpus, corpus, k=50, n_planes=n_planes, dim=dim, seed=seed,
+        corpus, corpus, k=None, n_planes=n_planes, dim=dim, seed=seed,
         vec_col=vec_col, id_col=id_col, query_id=id_col, n_tables=2,
         multiprobe=1,
     )

@@ -92,8 +92,16 @@ def recrawl_dedup(
     by the canonical URL (uniform — no skew beyond genuinely
     hot URLs, which AQE skew-join handling covers)."""
     canon = df.withColumn("canon_url", canonical_url_expr(F.col(url_col)))
-    w = Window.partitionBy("canon_url")
-    ordered = Window.partitionBy("canon_url").orderBy(
+    # NULL urls canonicalize to NULL, and window partitioning treats
+    # NULL as one group — distinct null-url documents would collapse to
+    # a single survivor. Key such rows by their own id instead: each
+    # passes through unchanged (canon_url stays NULL in the output).
+    dedup_key = F.coalesce(
+        F.col("canon_url"),
+        F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")),
+    )
+    w = Window.partitionBy(dedup_key)
+    ordered = Window.partitionBy(dedup_key).orderBy(
         F.col(ts_col).desc(), F.col(id_col).asc()
     )
     return (

@@ -121,18 +121,31 @@ def run_pipeline(
     data_path = f"{out_dir}/geocoded"
 
     # lineage of the INPUT slice feeding each work unit (fingerprint on
-    # url+text: the byte-identity invariant is part of the fingerprint)
-    metrics = ckpt.lineage_metrics(out, "part_key", ["url", "text"])
+    # url+text: the byte-identity invariant is part of the fingerprint).
+    # ONE pipeline execution computes ALL per-key metrics rows (tiny:
+    # one row per coarse cell); the pending/skipped split then runs
+    # driver-side against the (equally tiny) checkpoint table, and the
+    # post-write completion records reuse the same collected rows —
+    # without this, metrics.count() and the 'done' recompute each
+    # re-ran the whole geoparse+join pipeline (4 executions per run
+    # instead of 2: one metrics pass + the data write).
+    metric_rows = ckpt.lineage_metrics(out, "part_key", ["url", "text"]).collect()
     if resume:
-        todo = ckpt.pending_work(spark, metrics, ckpt_path)
+        done_pairs = {
+            (r.part_key, r.fingerprint)
+            for r in ckpt.completed_keys(spark, ckpt_path).collect()
+        }
     else:
-        todo = metrics
-    todo_keys = [r.part_key for r in todo.select("part_key").collect()]
-    pending_total = len(todo_keys)
+        done_pairs = set()
+    todo_rows = [
+        r for r in metric_rows if (r.part_key, r.fingerprint) not in done_pairs
+    ]
+    pending_total = len(todo_rows)
     if max_keys is not None:
-        todo_keys = sorted(todo_keys)[:max_keys]
+        todo_rows = sorted(todo_rows, key=lambda r: r.part_key)[:max_keys]
+    todo_keys = [r.part_key for r in todo_rows]
     deferred = pending_total - len(todo_keys)
-    skipped = metrics.count() - pending_total
+    skipped = len(metric_rows) - pending_total
 
     if todo_keys:
         slice_df = out.filter(F.col("part_key").isin(todo_keys))
@@ -147,8 +160,14 @@ def run_pipeline(
             )
         finally:
             spark.conf.set(conf_key, old_mode)
-        done = ckpt.lineage_metrics(slice_df, "part_key", ["url", "text"]).withColumn(
-            "rows_out", F.col("rows_in")
+        # the write succeeded, so the written slice IS the input slice
+        # whose metrics were just computed — record those rows verbatim
+        done = spark.createDataFrame(
+            [
+                (r.part_key, r.rows_in, r.fingerprint, r.rows_in)
+                for r in todo_rows
+            ],
+            "part_key long, rows_in long, fingerprint long, rows_out long",
         )
         ckpt.record_completion(spark, done, ckpt_path, run_id)
 

@@ -34,11 +34,28 @@ CKPT_SCHEMA = (
 
 def lineage_metrics(df: DataFrame, part_key: str, fingerprint_cols: list[str]) -> DataFrame:
     """Per-partition-key metrics: row count + order-insensitive content
-    fingerprint (bit_xor of xxhash64 — partitioning-invariant and
-    overflow-free under ANSI mode)."""
-    return df.groupBy(F.col(part_key).alias("part_key")).agg(
-        F.count("*").alias("rows_in"),
-        F.expr(f"bit_xor(xxhash64({', '.join(fingerprint_cols)}))").alias("fingerprint"),
+    fingerprint.
+
+    The fingerprint hashes THREE independent order-insensitive
+    combiners of the per-row xxhash64 — count, bit_xor, and exact
+    decimal sum — because bit_xor alone cancels duplicate row PAIRS
+    (two identical rows xor to zero, so a slice gaining two copies of
+    the same row kept its old xor and resume would skip changed
+    input). The sum runs as decimal(38,0): order-insensitive, exact,
+    and overflow-free under ANSI mode up to ~10^19 rows per key."""
+    h = f"xxhash64({', '.join(fingerprint_cols)})"
+    return (
+        df.groupBy(F.col(part_key).alias("part_key"))
+        .agg(
+            F.count("*").alias("rows_in"),
+            F.expr(f"bit_xor({h})").alias("_fp_xor"),
+            F.expr(f"sum(cast({h} as decimal(38, 0)))").alias("_fp_sum"),
+        )
+        .select(
+            "part_key",
+            "rows_in",
+            F.xxhash64("rows_in", "_fp_xor", "_fp_sum").alias("fingerprint"),
+        )
     )
 
 

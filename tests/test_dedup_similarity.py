@@ -322,3 +322,30 @@ def test_brute_force_near_dup_arrow_matches_catalyst(spark):
         for r in similarity.brute_force_near_dup(df, 0.9, arrow=False).collect()
     }
     assert a == c and len(a) == 5
+
+
+def test_embedding_near_dup_large_cluster_uncapped(spark):
+    """A near-dup cluster LARGER than any fixed per-query top-k cap:
+    every above-threshold pair must be reported (the old k=50 cap lost
+    overflow pairs whose reverse direction the qid<nid filter then
+    discarded). 60 near-identical vectors -> C(60,2) pairs."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    base /= np.linalg.norm(base)
+    rows = []
+    for i in range(60):
+        v = base + rng.standard_normal(16) * 1e-4
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # plus distant distractors that must not pair with anything
+    for i in range(60, 70):
+        v = rng.standard_normal(16)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.embedding_near_dup(
+        df, threshold=0.98, dim=16, n_planes=8
+    ).collect()
+    pairs = {(r.a, r.b) for r in got}
+    want = {(a, b) for a in range(60) for b in range(a + 1, 60)}
+    # LSH recall is probabilistic but near-identical vectors share
+    # every sign bit: all planted pairs land in the same buckets
+    assert pairs == want

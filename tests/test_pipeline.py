@@ -298,3 +298,40 @@ def test_pipeline_hard_kill_resume(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(clean, ignore_errors=True)
+
+
+def test_lineage_fingerprint_sees_duplicate_pairs(spark):
+    """bit_xor alone cancels duplicate row PAIRS (two identical rows
+    xor to zero), so a slice gaining two copies of the same row would
+    keep its old fingerprint and resume would skip changed input. The
+    fingerprint now folds in count and an exact decimal sum."""
+    from mundipy_spark.sources import checkpoint as ckpt
+
+    base = spark.createDataFrame(
+        [(1, "u1", "t1"), (1, "u2", "t2")], "part_key long, url string, text string"
+    )
+    plus_pair = base.unionByName(
+        spark.createDataFrame(
+            [(1, "u1", "t1"), (1, "u1", "t1")],
+            "part_key long, url string, text string",
+        )
+    )
+    fp = {
+        r.part_key: r.fingerprint
+        for r in ckpt.lineage_metrics(base, "part_key", ["url", "text"]).collect()
+    }
+    fp2 = {
+        r.part_key: r.fingerprint
+        for r in ckpt.lineage_metrics(
+            plus_pair, "part_key", ["url", "text"]
+        ).collect()
+    }
+    assert fp[1] != fp2[1]
+    # and stays order/partitioning-invariant
+    fp3 = {
+        r.part_key: r.fingerprint
+        for r in ckpt.lineage_metrics(
+            plus_pair.repartition(7), "part_key", ["url", "text"]
+        ).collect()
+    }
+    assert fp2 == fp3

@@ -173,3 +173,23 @@ def test_dedup_paragraphs_integer_typed_ids(spark):
     assert got[4096] == (1, 1, "a b c")
     assert got[5000] == (1, 0, "")
     assert got[70000] == (1, 1, "p q r")
+
+
+def test_recrawl_dedup_null_urls_pass_through(spark):
+    """Distinct documents with NULL urls must each survive (window
+    partitioning treats NULL as one group; the dedup key falls back to
+    the row's own id)."""
+    df = spark.createDataFrame(
+        [
+            (1, None, 100),
+            (2, None, 200),
+            (3, "https://example.org/p", 150),
+            (4, "https://example.org/p", 160),
+        ],
+        "doc_id long, url string, warc_ts long",
+    )
+    out = {r.doc_id: r for r in weburl.recrawl_dedup(df).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1].canon_url is None and out[1].n_forms == 1
+    assert out[2].canon_url is None and out[2].n_forms == 1
+    assert out[4].n_forms == 2
