@@ -92,7 +92,7 @@ geo AS (
 # jaccard_pairs oracle and the dedup_clusters connected-components oracle
 _JACCARD_PAIRS_SQL = """
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS t FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
          array_to_string(t[i : i + 2], ' ') AS shingle

@@ -318,7 +318,15 @@ class LocalIndex:
 
     def within(self, radius: float, probe) -> list[Feature]:
         """radius is in SESSION units (feet under Mundi(units='feet')) —
-        consistent with Feature.buffer/distance, reference semantics."""
+        consistent with Feature.buffer/distance, reference semantics.
+
+        Distances here (and in nearest/intersects) are PLANAR on
+        unwrapped longitudes, matching the reference's projected-CRS
+        measures: two geometries on opposite sides of the antimeridian
+        are far apart, not 2*eps — the same answer shapely+pyproj give.
+        nearest()'s wrap-aware candidate LOWER bound is still sound for
+        this measure (a lower bound may only undershoot; it never
+        prunes a planar-true nearest)."""
         g = _as_geom(probe)
         radius_m = radius / self.uscale
         # equivalence with intersects(buffer(r)) per docs/manual/datasets.mdx:100-107.

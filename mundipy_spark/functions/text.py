@@ -29,7 +29,7 @@ def token_count_expr(text: Column) -> Column:
 def token_count_sql(text: str) -> str:
     return (
         f"CASE WHEN length(trim({text})) = 0 THEN 0 "
-        f"ELSE len(regexp_split_to_array(trim({text}), '\\s+')) END"
+        f"ELSE len(regexp_split_to_array(trim({text}), '[\\s\\x0b]+')) END"
     )
 
 
@@ -107,7 +107,7 @@ def fingerprint_expr(text: Column) -> Column:
 
 
 def fingerprint_sql(text: str) -> str:
-    norm = f"regexp_replace(lower(trim({text})), '\\s+', ' ', 'g')"
+    norm = f"regexp_replace(lower(trim({text})), '[\\s\\x0b]+', ' ', 'g')"
     return md5_int_sql(norm)
 
 
@@ -265,7 +265,7 @@ def simhash_sig_sql(table: str = "documents", text_col: str = "text",
     )
     return f"""
 tok AS (
-  SELECT {id_col}, unnest(regexp_split_to_array(lower(trim({text_col})), '\\s+')) AS w
+  SELECT {id_col}, unnest(regexp_split_to_array(lower(trim({text_col})), '[\\s\\x0b]+')) AS w
   FROM {table}
 ), th AS (
   SELECT {id_col}, {md5_int_sql('w')} AS h FROM tok WHERE w <> ''

@@ -190,13 +190,29 @@ class Mundi:
             if not first:
                 raise ValueError("main layer is empty")
             proto_out = None
+            probe_results = []
             for row in first:
-                proto_out = _call_one(fn, row, geom_col, bc_layers, uscale)
-                if proto_out is not None:
-                    break
+                ret = _call_one(fn, row, geom_col, bc_layers, uscale)
+                if ret is not None:
+                    probe_results.append(ret)
+                    if proto_out is None:
+                        proto_out = ret
             if proto_out is not None:
+                # key NAMES are fixed by the first result (reference
+                # rule); each key's TYPE comes from its first NON-null
+                # value across the probe window — a null first value
+                # (common in passthrough GeoJSON properties) must not
+                # mis-type a later numeric. All-null keys fall back to
+                # string, matching how a null-only column reads anyway.
                 key_fields = list(proto_out.features.keys())
-                key_types = {k: _sql_type(v) for k, v in proto_out.features.items()}
+                key_types = {}
+                for k in key_fields:
+                    t = None
+                    for ret in probe_results:
+                        t = _sql_type(ret.features.get(k))
+                        if t is not None:
+                            break
+                    key_types[k] = t or "string"
             elif len(first) == 256:
                 key_fields, key_types = _distributed_keyset_probe(
                     main_df.filter(F.col("_id") > first[-1]["_id"]),
@@ -254,17 +270,24 @@ class Mundi:
     def plot(self, fn, element_index: int = 0) -> dict:
         layer_names = self._resolve_layers(fn)
         main_ds = self.mapdata[self.main]
-        rows = main_ds.df.limit(element_index + 1).collect()
-        if len(rows) <= element_index:
+        # element_index must identify a STABLE row: bare limit() has no
+        # ordering guarantee across runs/partitions, so select by the
+        # same input ordinal q_df stamps (reference: positional nth row)
+        rows = (
+            _with_input_ordinal(main_ds.df)
+            .filter(F.col("_id") == element_index)
+            .collect()
+        )
+        if not rows:
             raise IndexError(element_index)
-        row = rows[element_index]
+        row = rows[0]
         from mundipy_spark import utils
 
         plotted: list[Feature] = []
         token = utils._plot_ctx.set(plotted.append)
         try:
             d = row.asDict()
-            for k in ("minx", "miny", "maxx", "maxy"):
+            for k in ("minx", "miny", "maxx", "maxy", "_id"):
                 d.pop(k, None)
             g = d.pop(main_ds.geom_col)
             feat = Feature(bytes(g), d, self.scale)
@@ -336,14 +359,27 @@ def _with_input_ordinal(df, out: str = "_id"):
     return stamped
 
 
-def _sql_type(v) -> str:
+def _sql_type(v) -> str | None:
+    """Spark SQL type of a property value, or None when the value is
+    null (type unknown — callers take the first non-null value per key
+    across the probe window, falling back to string). Container values
+    RAISE: a list/dict first value would fix a column type later scalar
+    values corrupt, and the reference's dict properties have no Spark
+    column analogue for them."""
+    if v is None:
+        return None
     if isinstance(v, bool):
         return "boolean"
     if isinstance(v, int):
         return "long"
     if isinstance(v, float):
         return "double"
-    return "string"
+    if isinstance(v, str):
+        return "string"
+    raise TypeError(
+        f"property value {v!r} ({type(v).__name__}) cannot fix a column "
+        "type; properties must be null or scalar (bool/int/float/str)"
+    )
 
 
 def _distributed_keyset_probe(df, fn, geom_col, bc_layers, layer_names, uscale):
@@ -368,7 +404,12 @@ def _distributed_keyset_probe(df, fn, geom_col, bc_layers, layer_names, uscale):
                     raise TypeError(
                         f"process fn must return a Feature or None, got {type(ret)}"
                     )
-                spec = [(k, _sql_type(v)) for k, v in ret.features.items()]
+                spec = [
+                    # single-result probe: null values default to string
+                    # (same fallback as the driver probe's all-null case)
+                    (k, _sql_type(v) or "string")
+                    for k, v in ret.features.items()
+                ]
                 yield pd.DataFrame(
                     [{"_first_id": int(row["_id"]), "_keys": json.dumps(spec)}]
                 )

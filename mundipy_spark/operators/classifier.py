@@ -133,7 +133,7 @@ def nb_classify_sql(
     """DuckDB twin of train-on-slice + score-all: `labeled_where`
     selects the training rows out of `docs_table` via alias `d` (the
     decontam/lm twin convention)."""
-    toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    toks = f"regexp_split_to_array(trim(lower({text_col})), '[\\s\\x0b]+')"
     ilog = "length(bin({v})) - 1"
     return f"""
 WITH tk AS (

@@ -103,7 +103,7 @@ def decontaminate_sql(
     `docs_table` (the tests derive the eval set from the same corpus,
     so one table serves both sides); reference its columns through the
     alias `d` (e.g. ``d.doc_id % 97 = 0``)."""
-    toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    toks = f"regexp_split_to_array(trim(lower({text_col})), '[\\s\\x0b]+')"
     gram = f"array_to_string(t[i:(i + {n - 1})], ' ')"
     return f"""
 WITH tk AS (

@@ -109,7 +109,7 @@ def minhash_sql(
     )
     return f"""
 WITH toks AS (
-  SELECT {id_col}, regexp_split_to_array(trim({text_col}), '\\s+') AS t
+  SELECT {id_col}, regexp_split_to_array(trim({text_col}), '[\\s\\x0b]+') AS t
   FROM {table}
 ), sh AS (
   SELECT {id_col},

@@ -77,7 +77,7 @@ def winnow_fingerprints_sql(
 ) -> str:
     """DuckDB twin: identical normalization, k-gram md5-56 hashes, and
     window minima."""
-    txt = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    txt = f"regexp_replace(lower(trim({text_col})), '[\\s\\x0b]+', ' ', 'g')"
     gram_hash = tx.md5_int_sql(f"substr(t, CAST(i AS INT), {k})")
     return f"""
 WITH base AS (

@@ -21,7 +21,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 GEO_TOKEN_RE = r"geo:(-?\d+),(-?\d+)"
-DECIMAL_PAIR_RE = r"(-?\d{1,2}\.\d{1,6})\s*,\s*(-?\d{1,3}\.\d{1,6})"
+# digit boundaries on both sides: without the leading (?:^|[^0-9.]) the
+# engine starts matching INSIDE longer numbers ("order #1234.56, 78.9"
+# would geocode to (34.56, 78.9)); the trailing (?=[^0-9]|$) stops a
+# coordinate from being a truncated prefix of a longer decimal. '.' is
+# allowed AFTER (sentence-final period) but not BEFORE (float tails).
+DECIMAL_PAIR_RE = (
+    r"(?:^|[^0-9.])(-?\d{1,2}\.\d{1,6})\s*,\s*(-?\d{1,3}\.\d{1,6})(?=[^0-9]|$)"
+)
 
 
 def parse_geo_tokens(
@@ -67,15 +74,28 @@ def parse_geo_tokens(
 
 
 def parse_decimal_pairs(pages: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds lat/lon from the first plausible decimal coordinate pair,
-    validating ranges (|lat|<=90, |lon|<=180)."""
-    lat = F.regexp_extract(F.col(text_col), DECIMAL_PAIR_RE, 1)
-    lon = F.regexp_extract(F.col(text_col), DECIMAL_PAIR_RE, 2)
-    latd = F.when(lat != "", lat.cast("double"))
-    lond = F.when(lon != "", lon.cast("double"))
-    valid = (F.abs(latd) <= 90.0) & (F.abs(lond) <= 180.0)
-    return pages.withColumn("lat", F.when(valid, latd)).withColumn(
-        "lon", F.when(valid, lond)
+    """Adds lat/lon from the first PLAUSIBLE decimal coordinate pair —
+    all matches are extracted and the first one passing range
+    validation (|lat|<=90, |lon|<=180) wins, so an early bogus match
+    ("99.99, 199.9 ... 34.05, -118.24") no longer masks a real pair
+    later in the page. Still pure column expressions: two aligned
+    regexp_extract_all passes (group 1 / group 2), zip, filter, head."""
+    lats = F.regexp_extract_all(F.col(text_col), F.lit(DECIMAL_PAIR_RE), 1)
+    lons = F.regexp_extract_all(F.col(text_col), F.lit(DECIMAL_PAIR_RE), 2)
+    pairs = F.zip_with(
+        lats,
+        lons,
+        lambda a, b: F.struct(
+            a.cast("double").alias("lat"), b.cast("double").alias("lon")
+        ),
+    )
+    valid = F.filter(
+        pairs,
+        lambda p: (F.abs(p["lat"]) <= 90.0) & (F.abs(p["lon"]) <= 180.0),
+    )
+    first = F.try_element_at(valid, F.lit(1))
+    return pages.withColumn("lat", first["lat"]).withColumn(
+        "lon", first["lon"]
     )
 
 
@@ -105,19 +125,24 @@ def parse_gazetteer(
     ~4.5x win (measured at 5M pages, 1% mention rate — BENCH r03).
     """
     toks = pages
+    places = [r[0] for r in gazetteer.select(F.lower("place")).distinct().collect()]
     if prefilter:
         import re as _re
 
-        places = [r[0] for r in gazetteer.select(F.lower("place")).distinct().collect()]
         if 0 < len(places) <= prefilter_cap:
             alt = "|".join(_re.escape(p) for p in sorted(places))
             # custom boundaries (NOT \b: '_' is a regex word char but a
             # tokenizer separator, so \b would wrongly drop "place_x")
             pat = f"(?i)(^|[^a-z0-9])({alt})([^a-z0-9]|$)"
             toks = toks.filter(F.col(text_col).rlike(pat))
+    # token length floor = shortest place name: tokens shorter than
+    # every place can never join, so this prunes the explode output
+    # with ZERO effect on results — a fixed floor (the old >= 3) made
+    # shorter gazetteer entries ('LA') silently unmatchable
+    minlen = min((len(p) for p in places), default=1)
     toks = toks.withColumn(
         "_tok", F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"))
-    ).filter(F.length("_tok") >= 3)
+    ).filter(F.length("_tok") >= max(minlen, 1))
     g = F.broadcast(gazetteer.withColumn("_tok", F.lower(F.col("place"))))
     hits = toks.join(g, "_tok", "inner").drop("_tok")
     # first hit per page (deterministic: min by place)

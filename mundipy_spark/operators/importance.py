@@ -129,7 +129,7 @@ def importance_weights_sql(
     """DuckDB twin; `target_where` picks the target slice out of
     `docs_table` via alias `d` (the raw side is the whole table,
     mirroring decontam/lm twins)."""
-    toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    toks = f"regexp_split_to_array(trim(lower({text_col})), '[\\s\\x0b]+')"
     gram = f"array_to_string(t[i:(i + {n - 1})], ' ')"
     ilog = "length(bin({v})) - 1"
     return f"""

@@ -134,6 +134,14 @@ def kmeans_assign(
                 "probe", "cluster"
             ),
         ).select(id_col, F.col("cluster").cast("long"), "probe")
+    # pin the final assignment BEFORE releasing the quantized cache:
+    # `out` is lazy, so unpersisting here would recompute quantization
+    # from `vectors` at the caller's action — the most expensive pass
+    # (the n_probe fan-out) would lose the cache the loop paid to
+    # build, and nondeterministic input lineage (sample/limit) could
+    # even be assigned against different vectors than the centroids
+    # were trained on. Same pattern as pagerank's final-ranks pin.
+    out = out.localCheckpoint(eager=True)
     qdf.unpersist()
     return out
 

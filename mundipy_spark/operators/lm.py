@@ -103,7 +103,7 @@ def lm_score_sql(
 ) -> str:
     """DuckDB twin; `ref_where` picks the reference rows out of
     `docs_table` via alias `d` (mirrors decontam.decontaminate_sql)."""
-    toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    toks = f"regexp_split_to_array(trim(lower({text_col})), '[\\s\\x0b]+')"
     return f"""
 WITH tk AS (
   SELECT {id_col}, {toks} AS t FROM {docs_table}

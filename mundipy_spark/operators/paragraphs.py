@@ -206,7 +206,7 @@ def dedup_paragraphs_sql(
     c = chunk_tokens
     return f"""
 WITH toks AS (
-  SELECT {id_col}, regexp_split_to_array(trim({text_col}), '\\s+') AS t
+  SELECT {id_col}, regexp_split_to_array(trim({text_col}), '[\\s\\x0b]+') AS t
   FROM {table} WHERE length(trim({text_col})) > 0
 ), pars AS (
   SELECT {id_col}, CAST(i AS BIGINT) AS idx,

@@ -110,7 +110,7 @@ def gopher_rules_sql(
     return f"""
 WITH s AS (
   SELECT {id_col}, {cq}
-         regexp_split_to_array(trim({text_col}), '\\s+') AS t,
+         regexp_split_to_array(trim({text_col}), '[\\s\\x0b]+') AS t,
          string_split({text_col}, chr(10)) AS l,
          len(regexp_extract_all({text_col}, '#'))
            + len(regexp_extract_all({text_col}, '\\.\\.\\.')) AS symbols

@@ -159,7 +159,7 @@ def repetition_signals_sql(
 WITH t AS (
   SELECT {id_col},
          length(trim({text_col})) = 0 AS empty,
-         regexp_split_to_array(trim({text_col}), '\\s+') AS toks
+         regexp_split_to_array(trim({text_col}), '[\\s\\x0b]+') AS toks
   FROM {table}
 ), d AS (
   SELECT {id_col}, empty, toks,

@@ -116,7 +116,7 @@ def duplicate_spans_sql(
     n: int = 12,
 ) -> str:
     """DuckDB twin (value-exact: same tokenizer, same 56-bit md5)."""
-    toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    toks = f"regexp_split_to_array(trim(lower({text_col})), '[\\s\\x0b]+')"
     gram = f"array_to_string(t[i:(i + {n - 1})], ' ')"
     return f"""
 WITH tk AS (

@@ -71,7 +71,7 @@ WITH t AS (
   SELECT txt,
          length(regexp_replace(head, '[^一-鿿]', '', 'g')) AS n_cjk,
          length(head) AS n_head,
-         regexp_split_to_array(lower(txt), '\\s+') AS toks
+         regexp_split_to_array(lower(txt), '[\\s\\x0b]+') AS toks
   FROM t
 ), hits AS (
   SELECT n_cjk, n_head,
@@ -108,7 +108,7 @@ def token_frequencies_sql(table: str = "documents", text_col: str = "text", min_
     return f"""
 SELECT token, count(*) AS freq
 FROM (
-  SELECT unnest(regexp_split_to_array(lower(trim({text_col})), '\\s+')) AS token
+  SELECT unnest(regexp_split_to_array(lower(trim({text_col})), '[\\s\\x0b]+')) AS token
   FROM {table}
 )
 WHERE length(token) > 0

@@ -155,7 +155,7 @@ elems AS (
            WHEN regexp_extract(a, '{pat}', 1) LIKE '//%' THEN s || ':' || regexp_extract(a, '{pat}', 1)
            WHEN regexp_extract(a, '{pat}', 1) LIKE '/%' THEN o || regexp_extract(a, '{pat}', 1)
            ELSE NULL END AS link,
-         trim(regexp_replace(regexp_replace(lower(regexp_extract(a, '{pat}', 2)), '(?s)<[^>]*>', '', 'g'), '\\s+', ' ', 'g')) AS t
+         trim(regexp_replace(regexp_replace(lower(regexp_extract(a, '{pat}', 2)), '(?s)<[^>]*>', '', 'g'), '[\\s\\x0b]+', ' ', 'g')) AS t
   FROM elems
 ), terms AS (
   SELECT {registrable_domain_sql('link')} AS dst_domain, unnest(string_split(t, ' ')) AS term

@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # raise on unsafe pandas->Arrow casts instead of silently
+        # truncating (e.g. a process fn returning 2.5 into a column the
+        # first result typed as long would otherwise become 2)
+        .config("spark.sql.execution.pandas.convertToArrowArraySafely", "true")
         .config("spark.ui.enabled", str(ui).lower())
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         # Whole-stage codegen can emit consume() methods past HotSpot's

@@ -38,8 +38,13 @@ WARC_SCHEMA = (
 
 
 def parse_warc_bytes(raw: bytes, path: str = "") -> list[dict]:
-    """Parse one WARC file's bytes into record dicts. Tolerates
-    trailing garbage; raises on a malformed header block."""
+    """Parse one WARC file's bytes into record dicts. Raises on a
+    malformed header block — including input that is not WARC at all
+    (e.g. still-gzipped bytes: a compressed crawl file contains no
+    CRLFCRLF, which previously fell through the header-terminator
+    search and silently parsed to ZERO records; decompress '.warc.gz'
+    before handing bytes here). Only record-boundary CRLF padding and
+    a truncated FINAL record are tolerated."""
     out: list[dict] = []
     pos = 0
     n = len(raw)
@@ -51,7 +56,12 @@ def parse_warc_bytes(raw: bytes, path: str = "") -> list[dict]:
             break
         end = raw.find(b"\r\n\r\n", pos)
         if end < 0:
-            break
+            if not raw[pos : pos + 5] == b"WARC/":
+                raise ValueError(
+                    f"{path}: not a WARC header at byte {pos} "
+                    "(gzipped or non-WARC input?)"
+                )
+            break  # truncated final record: tolerated
         head = raw[pos:end].decode("utf-8", "replace").split("\r\n")
         if not head[0].startswith("WARC/"):
             raise ValueError(f"{path}: bad record header at byte {pos}")

@@ -543,3 +543,35 @@ def test_mundi_q_progress_metering(spark, capsys):
     assert "mundi.q:" in err and "/50 features" in err
     # the final line reports every row processed
     assert "50/50 features" in err
+
+
+def test_q_null_first_property_typed_from_later_row(spark):
+    """A None property value on the schema-fixing first result must not
+    freeze the column as string: the type comes from the first NON-null
+    value in the probe window (here a float on a later row)."""
+    import numpy as np
+    import pandas as pd
+
+    from mundipy_spark.kernels import wkb
+
+    rows = [
+        {
+            "name": f"p{i}",
+            "geometry": wkb.dumps(("Point", np.array([float(i), 0.0]))),
+        }
+        for i in range(4)
+    ]
+    pdf = pd.DataFrame(rows)
+    path = "/tmp/mundi_nulltype.parquet"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+    mundi = Mundi(Map({"pts": path}, spark=spark), "pts")
+
+    def process(pt):
+        score = None if pt["name"] == "p0" else 1.5
+        pt["score"] = score
+        return pt
+
+    feats = mundi.q(process)["features"]
+    scores = {f["properties"]["name"]: f["properties"]["score"] for f in feats}
+    assert scores["p0"] is None
+    assert scores["p1"] == 1.5  # float, not the string '1.5'

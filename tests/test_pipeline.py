@@ -335,3 +335,37 @@ def test_lineage_fingerprint_sees_duplicate_pairs(spark):
         ).collect()
     }
     assert fp2 == fp3
+
+
+def test_geoparse_decimal_pairs_boundaries_and_first_plausible(spark):
+    """Digit boundaries: a pair embedded inside longer numbers must not
+    geocode; a valid pair AFTER an invalid one must still be found."""
+    df = spark.createDataFrame(
+        [
+            ("d", "order #1234.56, 78.9 units"),          # mid-number: no match
+            ("e", "99.99, 199.9 then real 34.05, -118.24"),  # later valid pair
+            ("f", "pi 3.14159265, e 2.71828182"),          # >6 decimals: no match
+            ("g", "at 34.05, -118.24."),                   # sentence-final period ok
+        ],
+        "url string, text string",
+    )
+    out = {r.url: (r.lat, r.lon) for r in geoparse.parse_decimal_pairs(df).collect()}
+    assert out["d"] == (None, None)
+    assert out["e"] == (34.05, -118.24)
+    assert out["f"] == (None, None)
+    assert out["g"] == (34.05, -118.24)
+
+
+def test_gazetteer_short_places_matchable(spark):
+    """The token-length prefilter adapts to the shortest place name, so
+    2-character gazetteer entries are matchable (fixed floor 3 made
+    them silently unmatchable)."""
+    pages = spark.createDataFrame(
+        [("u1", "moving to la next year"), ("u2", "nothing here")],
+        "url string, text string",
+    )
+    gaz = spark.createDataFrame(
+        [("la", 34.05, -118.24)], "place string, lat double, lon double"
+    )
+    out = geoparse.parse_gazetteer(pages, gaz)
+    assert [r.url for r in out.collect()] == ["u1"]

@@ -51,3 +51,20 @@ def test_read_wet_text(spark, tmp_path):
     assert set(rows) == {f"https://example.org/w/{i}" for i in (1, 3, 5)}
     assert rows["https://example.org/w/1"].text == "body w 1 x"
     assert rows["https://example.org/w/1"].warc_ts is not None
+
+
+def test_parse_warc_raises_on_non_warc_bytes():
+    """Non-WARC input (e.g. still-gzipped crawl bytes, which contain no
+    CRLFCRLF) must raise, not silently parse to zero records."""
+    import gzip
+
+    import pytest
+
+    from mundipy_spark.sources import warc
+
+    gz = gzip.compress(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody")
+    with pytest.raises(ValueError, match="not a WARC header"):
+        warc.parse_warc_bytes(gz, "x.warc.gz")
+    with pytest.raises(ValueError, match="not a WARC header"):
+        warc.parse_warc_bytes(b"random bytes without terminator", "junk")
+    assert warc.parse_warc_bytes(b"", "empty") == []
