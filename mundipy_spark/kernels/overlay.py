@@ -565,11 +565,18 @@ def _rings_to_geom(rings: list[np.ndarray]):
 def _perturb(ring: np.ndarray, k: int) -> np.ndarray:
     if k == 0:
         return ring
-    # scale-aware shift with an irrational-slope direction so no axis-
-    # aligned or diagonal degeneracy survives translation; grows per retry
+    # scale-aware shift; BOTH the direction and the magnitude change per
+    # retry. A fixed direction is defeated by any input edge that happens
+    # to be near-parallel to it (the translation then slides a shared-
+    # vertex crossing ALONG the edge, leaving its transversal parameter
+    # within _GH_TOL of the endpoint forever — found by hypothesis on a
+    # heptagon whose edge slope matched the old fixed -tan(22.5°) shift
+    # to 4e-4). Golden-angle rotation guarantees the retries are spread
+    # so no single edge direction can stay near-parallel to all of them.
     ext = max(float(ring.max() - ring.min()), 1.0)
     eps = ext * 1e-9 * (3 ** (k - 1))
-    return ring + np.array([[eps, -eps * 0.41421356237]])
+    theta = 0.5604870951 + k * 2.399963229728653  # golden angle (rad)
+    return ring + np.array([[eps * np.cos(theta), eps * np.sin(theta)]])
 
 
 def _pair_op(a_ring: np.ndarray, b_ring: np.ndarray, op: str) -> list[np.ndarray]:

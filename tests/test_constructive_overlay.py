@@ -592,3 +592,38 @@ def test_line_clip_length_conservation_randomized():
             assert abs(ulen - lo) < 1e-6 * max(total, 1.0)
         checked += 1
     assert checked > 250
+
+
+def test_overlay_shared_chain_edge_parallel_perturbation():
+    """Regression: two heptagon-derived polygons sharing a 4-vertex
+    boundary chain, where one edge's slope matches the OLD fixed
+    perturbation direction (-tan 22.5deg) to 4e-4 — translation along a
+    near-parallel direction slides the shared-vertex crossing along the
+    edge, keeping its transversal parameter within _GH_TOL of the
+    endpoint at every retry magnitude. Found by hypothesis
+    (test_overlay_inclusion_exclusion); fixed by rotating the
+    perturbation direction per retry (golden angle)."""
+    a = ("Polygon", [np.array([
+        [9.00968868e-01, 4.33883739e-01],
+        [1.04670426e+00, 1.58568918e+00],
+        [-2.40384545e+00, 3.01432685e+00],
+        [-1.00000000e+00, 1.22464680e-16],
+        [-6.23489802e-01, -7.81831482e-01],
+        [2.22520934e-01, -9.74927912e-01],
+        [9.00968868e-01, -4.33883739e-01],
+        [9.00968868e-01, 4.33883739e-01]])])
+    b = ("Polygon", [np.array([
+        [9.00968868e-01, 4.33883739e-01],
+        [2.22520934e-01, 9.74927912e-01],
+        [-2.40384545e+00, 3.01432685e+00],
+        [-2.00000000e+00, 2.44929360e-16],
+        [-6.23489802e-01, -7.81831482e-01],
+        [2.22520934e-01, -9.74927912e-01],
+        [9.00968868e-01, -4.33883739e-01],
+        [9.00968868e-01, 4.33883739e-01]])])
+    u = overlay.overlay_op(a, b, "union")
+    i = overlay.overlay_op(a, b, "intersection")
+    ua = measure.geom_area_planar(u)
+    ia = measure.geom_area_planar(i) if i else 0.0
+    rhs = measure.geom_area_planar(a) + measure.geom_area_planar(b)
+    assert abs((ua + ia) - rhs) < 1e-3 * rhs
