@@ -358,6 +358,11 @@ def _ccw(ring: np.ndarray) -> np.ndarray:
     return r if _ring_signed_area(r) >= 0 else r[::-1]
 
 
+def _cw(ring: np.ndarray) -> np.ndarray:
+    r = _open(np.asarray(ring, dtype=np.float64))
+    return r if _ring_signed_area(r) <= 0 else r[::-1]
+
+
 def _mklist(ring: np.ndarray) -> list[_GHNode]:
     nodes = [_GHNode(float(p[0]), float(p[1])) for p in ring]
     for i, nd in enumerate(nodes):
@@ -519,20 +524,67 @@ def _ring_interior_point(ring: np.ndarray) -> tuple[float, float]:
     """A point strictly inside a simple ring (midpoint of the widest
     interior interval of a scanline through a vertex band) — ring
     VERTICES can lie on other rings' boundaries (shared GH intersection
-    nodes), so nesting tests must not use them."""
+    nodes), so nesting tests must not use them.
+
+    Tries several scanlines: a single mid-extent line can run through a
+    zero-width part of a self-touching ring (GH difference output can
+    pinch to a point), where the interval test degenerates. The vertex
+    mean is a LAST resort only — for a two-lobe pinched ring it can lie
+    outside the ring entirely (observed flipping a containment probe)."""
     ys = ring[:, 1]
-    y = (ys.min() + ys.max()) / 2.0
-    if np.any(ys == y):  # avoid scanning exactly through a vertex
-        y += (ys.max() - ys.min()) * 1e-7 + 1e-12
+    ymin, ymax = float(ys.min()), float(ys.max())
+    span = ymax - ymin
     x1, y1 = ring[:, 0], ring[:, 1]
     x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
-    hit = (y1 > y) != (y2 > y)
-    xs = np.sort((x2[hit] - x1[hit]) * (y - y1[hit]) / (y2[hit] - y1[hit]) + x1[hit])
-    if len(xs) >= 2 and len(xs) % 2 == 0:
-        widths = xs[1::2] - xs[0::2]  # inside intervals by even-odd
-        i = int(np.argmax(widths))
-        return float((xs[2 * i] + xs[2 * i + 1]) / 2.0), float(y)
+    best = None  # (width, x, y) — keep the GLOBALLY widest interval: a
+    # pinched ring's zero-width arm yields a technically-interior point
+    # whose side against another ring is arbitrary; the fattest lobe's
+    # midpoint is the representative one.
+    for frac in (0.5, 0.381966, 0.618034, 0.145898, 0.854102, 0.271286):
+        y = ymin + span * frac
+        if np.any(ys == y):  # avoid scanning exactly through a vertex
+            y += span * 1e-7 + 1e-12
+        hit = (y1 > y) != (y2 > y)
+        if not hit.any():
+            continue
+        xs = np.sort(
+            (x2[hit] - x1[hit]) * (y - y1[hit]) / (y2[hit] - y1[hit]) + x1[hit]
+        )
+        if len(xs) >= 2 and len(xs) % 2 == 0:
+            widths = xs[1::2] - xs[0::2]  # inside intervals by even-odd
+            i = int(np.argmax(widths))
+            if widths[i] > 0 and (best is None or widths[i] > best[0]):
+                best = (
+                    float(widths[i]),
+                    float((xs[2 * i] + xs[2 * i + 1]) / 2.0),
+                    float(y),
+                )
+    if best is not None:
+        return best[1], best[2]
     return float(ring[:, 0].mean()), float(ring[:, 1].mean())
+
+
+def _nest_rings(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
+    """Group loose rings into [outer, *holes] polygons by containment
+    nesting (one level). GH traversal emits rings in whatever direction
+    the entry/exit walk took — orientation is NOT semantic in its output
+    (a CW "outer" of a perturbed difference is a real area piece; a
+    pinched-donut difference splits into an outer lobe plus a HOLE lobe,
+    both as plain rings). Role is decided purely by containment;
+    orientation is then NORMALIZED to the interior-left convention
+    (outers CCW, holes CW) every downstream consumer assumes."""
+    order = sorted(range(len(rings)), key=lambda i: -abs(_ring_signed_area(rings[i])))
+    polys: list[list[np.ndarray]] = []
+    for i in order:
+        r = rings[i]
+        px, py = _ring_interior_point(r)
+        for p in polys:
+            if _point_in_ring(px, py, p[0]):
+                p.append(_cw(r))  # hole of that outer (one-level nesting)
+                break
+        else:
+            polys.append([_ccw(r)])
+    return polys
 
 
 def _rings_to_geom(rings: list[np.ndarray]):
@@ -544,18 +596,8 @@ def _rings_to_geom(rings: list[np.ndarray]):
     if not rings:
         return None
     if len(rings) == 1:
-        return ("Polygon", [_close(rings[0])])
-    order = sorted(range(len(rings)), key=lambda i: -abs(_ring_signed_area(rings[i])))
-    polys: list[list[np.ndarray]] = []
-    for i in order:
-        r = rings[i]
-        px, py = _ring_interior_point(r)
-        for p in polys:
-            if _point_in_ring(px, py, p[0]):
-                p.append(r)  # hole of that outer (one-level nesting)
-                break
-        else:
-            polys.append([r])
+        return ("Polygon", [_close(_ccw(rings[0]))])
+    polys = _nest_rings(rings)
     polys = [[_close(x) for x in p] for p in polys]
     if len(polys) == 1:
         return ("Polygon", polys[0])
@@ -579,9 +621,119 @@ def _perturb(ring: np.ndarray, k: int) -> np.ndarray:
     return ring + np.array([[eps * np.cos(theta), eps * np.sin(theta)]])
 
 
+def _ring_ext(ring: np.ndarray) -> float:
+    return max(
+        float(ring[:, 0].max() - ring[:, 0].min()),
+        float(ring[:, 1].max() - ring[:, 1].min()),
+        1e-30,
+    )
+
+
+def _clean_ring(r: np.ndarray, tol: float) -> np.ndarray:
+    """Collapse consecutive near-duplicate vertices and zero-width
+    backtrack spikes (prev == next) from a GH output ring. Traversal
+    over a perturbed shared-edge chain emits both: repeated intersection
+    nodes and pinched spikes a sliver wide, which (a) create zero-length
+    segments that destabilize later _seg_inter calls and (b) make the
+    interior-point probe meaningless. Area is preserved to O(tol * perimeter)."""
+    r = _open(np.asarray(r, dtype=np.float64))
+    changed = True
+    while changed and len(r) >= 3:
+        changed = False
+        d = np.hypot(*(r - np.roll(r, 1, axis=0)).T)
+        keep = d > tol
+        if not keep.all():
+            r = r[keep]
+            changed = True
+            continue
+        nxt, prv = np.roll(r, -1, axis=0), np.roll(r, 1, axis=0)
+        spike = np.hypot(*(nxt - prv).T) <= tol
+        if spike.any():
+            r = r[~spike]
+            changed = True
+    return r
+
+
+def _split_pinches(ring: np.ndarray, tol: float) -> list[np.ndarray]:
+    """Split a self-touching ring at near-duplicate vertex REVISITS into
+    separate lobes. GH traversal over a perturbed shared-edge chain can
+    emit one ring that runs out along a sliver arm and back (two real
+    lobes joined by a zero-width arm, or a lobe plus a sliver): the arm
+    width is eps/sin(theta), unbounded for chains oblique to the shift,
+    so no consecutive-vertex tolerance can despike it reliably. Splitting
+    at the revisit is area-exact regardless of arm width: signed areas of
+    the lobes sum to the original ring's. Candidate revisits are found by
+    4 shifted tol-grids (guaranteeing any pair within tol shares a cell in
+    one of them), so the common no-pinch case stays near-linear."""
+    if tol <= 0.0 or len(ring) < 6:
+        return [ring]
+    out: list[np.ndarray] = []
+    stack = [ring]
+    cell = 4.0 * tol
+    while stack:
+        r = stack.pop()
+        n = len(r)
+        pair = None
+        if n >= 6:
+            for ox, oy in ((0.0, 0.0), (0.5, 0.0), (0.0, 0.5), (0.5, 0.5)):
+                q = np.floor(r / cell + (ox, oy)).astype(np.int64)
+                cells: dict[tuple[int, int], list[int]] = {}
+                for idx in range(n):
+                    key = (int(q[idx, 0]), int(q[idx, 1]))
+                    for j in cells.get(key, ()):
+                        if (
+                            np.hypot(r[idx, 0] - r[j, 0], r[idx, 1] - r[j, 1])
+                            <= tol
+                        ):
+                            pair = (j, idx)
+                            break
+                    if pair:
+                        break
+                    cells.setdefault(key, []).append(idx)
+                if pair:
+                    break
+        if pair is None:
+            out.append(r)
+            continue
+        p, qi = pair
+        for sub in (r[p:qi], np.vstack([r[qi:], r[:p]])):
+            if len(sub) >= 3:
+                stack.append(sub)
+    return out
+
+
 def _pair_op(a_ring: np.ndarray, b_ring: np.ndarray, op: str) -> list[np.ndarray]:
     """GH with degeneracy-perturbation retries; containment/disjoint
-    fast paths when the rings don't cross."""
+    fast paths when the rings don't cross.
+
+    Degenerate-input guard: a ring whose area is at the float-noise /
+    collinear level relative to its own extent is treated as EMPTY —
+    GH's entry/exit marking assumes a ring with an interior, and feeding
+    it a zero-width ring returns the COMPLEMENT (observed: difference of
+    a two-vertex sliver minus C returned all of C, doubling unions).
+
+    Perturbation-noise culling: when a retry k>=1 resolved the pair, any
+    output ring with area below the noise floor of THAT perturbation
+    (sliver width ~ ext*1e-9*3^(k-1) times perimeter-scale length) is an
+    artifact of the shift, not geometry — emitting it poisons downstream
+    stages that feed pieces back through GH (the multi-part union /
+    difference piece loops)."""
+    area_a, area_b = abs(_ring_signed_area(a_ring)), abs(_ring_signed_area(b_ring))
+    a_empty = area_a < _ring_ext(a_ring) ** 2 * 1e-13 or len(a_ring) < 3
+    b_empty = area_b < _ring_ext(b_ring) ** 2 * 1e-13 or len(b_ring) < 3
+    if a_empty or b_empty:
+        if op == "intersection":
+            return []
+        if op == "difference":
+            return [] if a_empty else [a_ring]
+        if op == "union":
+            out = []
+            if not a_empty:
+                out.append(a_ring)
+            if not b_empty:
+                out.append(b_ring)
+            return out
+        raise ValueError(op)
     res = None
     for k in range(5):
         try:
@@ -592,6 +744,24 @@ def _pair_op(a_ring: np.ndarray, b_ring: np.ndarray, op: str) -> list[np.ndarray
     else:
         raise _Degenerate("unresolvable degeneracy after perturbation")
     if res is not None:
+        if res:
+            ext = max(_ring_ext(a_ring), _ring_ext(b_ring))
+            # dedupe/despike at the perturbation scale of the retry that
+            # resolved the pair (float-noise scale when k == 0); 8x the
+            # shift magnitude because a pinch across a chain OBLIQUE to
+            # the shift direction is eps/sin(theta) wide, not eps
+            tol = ext * (1e-12 if k == 0 else 8e-9 * (3 ** (k - 1)))
+            floor = 0.0 if k == 0 else 8.0 * ext * ext * 1e-9 * (3 ** (k - 1))
+            cleaned = []
+            for r in res:
+                r = _clean_ring(r, tol)
+                if len(r) < 3:
+                    continue
+                for sub in _split_pinches(r, tol):
+                    sub = _clean_ring(sub, tol)
+                    if len(sub) >= 3 and abs(_ring_signed_area(sub)) > floor:
+                        cleaned.append(sub)
+            res = cleaned
         return res
     # no crossings: disjoint, touching, or one ring contains the other.
     # Bbox-disjoint pairs (the common case in tree unions over sparse
@@ -1121,14 +1291,22 @@ def overlay_op(a, b, op: str):
                 for piece in pieces:
                     outer, holes = piece[0], piece[1:]
                     res = _pair_op(outer, y, "difference")
-                    for r in res:
-                        if isinstance(r, tuple) and r[0] == "HOLE":
-                            new_outer, carved = r[1], [r[2][::-1]]
-                        else:
-                            new_outer, carved = r, []
+                    # nest plain result rings by containment: a pinched
+                    # donut (b inside a, touching the boundary) comes back
+                    # as outer + hole LOBES — flattening each into its own
+                    # piece double-counts the hole's area (see _nest_rings)
+                    nested = _nest_rings(
+                        [np.asarray(r) for r in res if not isinstance(r, tuple)]
+                    ) + [
+                        [_ccw(r[1]), _cw(r[2])]
+                        for r in res
+                        if isinstance(r, tuple) and r[0] == "HOLE"
+                    ]
+                    for ring_set in nested:
+                        new_outer, carved = ring_set[0], list(ring_set[1:])
                         # when the clip SPLITS the outer, each carried
                         # hole belongs only to the piece containing it
-                        if len(res) > 1 and holes:
+                        if len(nested) > 1 and holes:
                             mine = [
                                 h
                                 for h in holes

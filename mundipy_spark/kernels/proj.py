@@ -393,7 +393,14 @@ def tm_inverse(x, y, lon0: float, lat0: float, k0: float,
 def oblique_stereo_forward(lon, lat, lon0: float, lat0: float, k0: float,
                            x0: float, y0: float, ellipsoid: str = "bessel1841"):
     """Ellipsoidal Oblique Stereographic (EPSG method 9809, via the
-    conformal sphere — the RD New / Amersfoort projection)."""
+    conformal sphere — the RD New / Amersfoort projection).
+
+    Domain: |lon - lon0| < 180/n degrees (n = conformal-sphere ratio,
+    <= ~1.0034): the conformal longitude is n*(lon-lon0), so beyond that
+    the seam wraps and the mapping is non-injective — inverse(forward(p))
+    then returns the alias on the other side of the antimeridian. This
+    is inherent to method 9809 (a national-grid projection), not an
+    implementation artifact."""
     a, f = ELLIPSOIDS[ellipsoid]
     e2 = f * (2.0 - f)
     e = np.sqrt(e2)

@@ -627,3 +627,64 @@ def test_overlay_shared_chain_edge_parallel_perturbation():
     ia = measure.geom_area_planar(i) if i else 0.0
     rhs = measure.geom_area_planar(a) + measure.geom_area_planar(b)
     assert abs((ua + ia) - rhs) < 1e-3 * rhs
+
+
+def _incl_excl(x, y):
+    u = overlay.overlay_op(x, y, "union")
+    i = overlay.overlay_op(x, y, "intersection")
+    ua = measure.geom_area_planar(u) if u else 0.0
+    ia = measure.geom_area_planar(i) if i else 0.0
+    rhs = measure.geom_area_planar(x) + measure.geom_area_planar(y)
+    assert abs((ua + ia) - rhs) < 1e-3 * max(1.0, rhs), (ua, ia, rhs)
+
+
+def test_overlay_difference_output_hygiene_composition():
+    """Regression battery: (a\\b) components that share boundary chains
+    with b, composed against a third ring c. Historically produced (1) a
+    CW-oriented outer whose GH re-feed returned the COMPLEMENT, (2) a
+    zero-width two-vertex sliver ring, (3) a pinched ring whose
+    zero-width arm put the containment probe point on the wrong side of
+    c. All found by hypothesis; pinned here exactly."""
+    p16 = lambda k: (np.cos(2 * np.pi * k / 16), np.sin(2 * np.pi * k / 16))
+    ring = lambda pts: np.array(pts + [pts[0]])
+    # case 3/4 family: 16-gon variants with spikes
+    a = ("Polygon", [ring([[0.92387953, 0.38268343], [0.55557023, 0.83146961],
+        [-0.38268343, 0.92387953], [-0.92387953, 0.38268343],
+        [-1.84775907, -0.76536686], [-0.09801714, -0.99518473],
+        [0.6863785, -7.9705009], [0.76516727, -0.64383154]])])
+    b = ("Polygon", [ring([[0.92387953, 0.38268343], [0.38268343, 0.92387953],
+        [-0.38268343, 0.92387953], [-0.92387953, 0.38268343],
+        [-0.92387953, -0.38268343], [-0.38268343, -0.92387953],
+        [0.6863785, -7.9705009], [0.76516727, -0.64383154]])])
+    c = ("Polygon", [ring([[0.92387953, 0.38268343], [0.38268343, 0.92387953],
+        [-0.76536686, 1.84775907], [-0.92387953, 0.38268343],
+        [-0.92387953, -0.38268343], [-0.38268343, -0.92387953],
+        [0.6863785, -7.9705009], [0.76516727, -0.64383154]])])
+    h = overlay.overlay_op(a, b, "difference")
+    _incl_excl(h, c)
+    # the pinched component must intersect c as empty (MC-verified truth)
+    comps = h[1] if h[0] == "MultiPolygon" else [h[1]]
+    small = min(comps, key=lambda p: abs(overlay._ring_signed_area(p[0])))
+    g = ("Polygon", [np.vstack([small[0], small[0][:1]])])
+    gi = overlay.overlay_op(g, c, "intersection")
+    assert (measure.geom_area_planar(gi) if gi else 0.0) < 1e-6
+
+
+def test_overlay_difference_pinched_donut_hole():
+    """b inside a, touching a's boundary at a vertex: a\\b is a pinched
+    donut. GH emits it as ONE self-touching ring; the pinch split must
+    recognize the inner lobe as a HOLE (flattening both lobes into
+    outers double-counted: returned |a|+|b| instead of |a|-|b|)."""
+    a = ("Polygon", [np.array([[0.70710678, 0.70710678], [-0.70710678, 0.70710678],
+        [-0.70710678, -0.70710678], [1.41421356, -1.41421356],
+        [0.70710678, 0.70710678]])])
+    b = ("Polygon", [np.array([[0.35355339, 0.35355339], [-0.35355339, 0.35355339],
+        [-0.70710678, -0.70710678], [0.70710678, -0.70710678],
+        [0.35355339, 0.35355339]])])
+    d = overlay.overlay_op(a, b, "difference")
+    i = overlay.overlay_op(a, b, "intersection")
+    da = measure.geom_area_planar(d)
+    ia = measure.geom_area_planar(i)
+    assert abs(ia - 1.125) < 1e-6
+    assert abs(da - 1.875) < 1e-6, da
+    assert d[0] == "Polygon" and len(d[1]) == 2  # outer + hole

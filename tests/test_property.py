@@ -102,19 +102,42 @@ def test_convex_hull_contains_and_convex(poly):
     assert overlay.is_convex(hull[1][0])
 
 
+def _ar(g):
+    return measure.geom_area_planar(g) if g else 0.0
+
+
 @given(star_polygon(), star_polygon())
 def test_overlay_inclusion_exclusion(a, b):
-    """|A∪B| + |A∩B| == |A| + |B| via the GEOMETRY outputs."""
-    u = overlay.overlay_op(a, b, "union")
-    i = overlay.overlay_op(a, b, "intersection")
-    ua = measure.geom_area_planar(u) if u else 0.0
-    ia = measure.geom_area_planar(i) if i else 0.0
-    lhs = ua + ia
-    rhs = measure.geom_area_planar(a) + measure.geom_area_planar(b)
+    """|A∪B| + |A∩B| == |A| + |B|, |A\\B| + |A∩B| == |A|, and
+    |AΔB| == |A∪B| - |A∩B| via the GEOMETRY outputs."""
+    ua = _ar(overlay.overlay_op(a, b, "union"))
+    ia = _ar(overlay.overlay_op(a, b, "intersection"))
+    da = _ar(overlay.overlay_op(a, b, "difference"))
+    sa = _ar(overlay.overlay_op(a, b, "symmetric_difference"))
+    ra = measure.geom_area_planar(a)
+    rhs = ra + measure.geom_area_planar(b)
     # tolerance covers the worst-case degeneracy-perturbation shift
     # (extent * 1e-9 * 3^4 * perimeter ≈ 1e-4 absolute on these sizes);
     # a traversal/marking bug would be O(component area), 1000x larger
-    assert abs(lhs - rhs) < 1e-3 * max(1.0, rhs)
+    tol = 1e-3 * max(1.0, rhs)
+    assert abs((ua + ia) - rhs) < tol
+    assert abs((da + ia) - ra) < tol
+    assert abs(sa - (ua - ia)) < tol
+
+
+@given(star_polygon(), star_polygon(), star_polygon())
+def test_overlay_multipart_composition(a, b, c):
+    """(A\\B) is often a MULTI-polygon whose components share boundary
+    chains with B — overlaying it with a third layer exercises the GH
+    output-hygiene path (orientation normalization, perturbation-sliver
+    culling, pinched-ring splitting: each historically broke this)."""
+    h = overlay.overlay_op(a, b, "difference")
+    if h is None:
+        return
+    ha, ca = _ar(h), measure.geom_area_planar(c)
+    u = _ar(overlay.overlay_op(h, c, "union"))
+    i = _ar(overlay.overlay_op(h, c, "intersection"))
+    assert abs((u + i) - (ha + ca)) < 1e-3 * max(1.0, ha + ca)
 
 
 @given(
