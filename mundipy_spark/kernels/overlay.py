@@ -29,18 +29,30 @@ import numpy as np
 from mundipy_spark.kernels import measure, predicates
 
 
+def _ends_coincide(r: np.ndarray) -> bool:
+    # inlined np.allclose(r[0], r[-1]) — allclose dominates kernel
+    # profiles when called per-ring in tree unions (it builds ufunc
+    # machinery for a 2-element comparison)
+    ax, ay = r[0, 0], r[0, 1]
+    bx, by = r[-1, 0], r[-1, 1]
+    return (
+        abs(ax - bx) <= 1e-8 + 1e-5 * abs(bx)
+        and abs(ay - by) <= 1e-8 + 1e-5 * abs(by)
+    )
+
+
 def _close(ring: np.ndarray) -> np.ndarray:
     r = np.asarray(ring, dtype=np.float64)
     if len(r) == 0:
         return r
-    if not np.allclose(r[0], r[-1]):
+    if not _ends_coincide(r):
         r = np.vstack([r, r[:1]])
     return r
 
 
 def _open(ring: np.ndarray) -> np.ndarray:
     r = np.asarray(ring, dtype=np.float64)
-    if len(r) > 1 and np.allclose(r[0], r[-1]):
+    if len(r) > 1 and _ends_coincide(r):
         return r[:-1]
     return r
 
@@ -350,7 +362,10 @@ class _GHNode:
 def _ring_signed_area(ring: np.ndarray) -> float:
     r = _open(ring)
     x, y = r[:, 0], r[:, 1]
-    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    # shoelace on views (no np.roll: two allocations per call dominate
+    # tree-union profiles)
+    wrap = x[-1] * y[0] - y[-1] * x[0]
+    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(y[:-1], x[1:]) + wrap)
 
 
 def _ccw(ring: np.ndarray) -> np.ndarray:
@@ -535,11 +550,16 @@ def _ring_interior_point(ring: np.ndarray) -> tuple[float, float]:
     ymin, ymax = float(ys.min()), float(ys.max())
     span = ymax - ymin
     x1, y1 = ring[:, 0], ring[:, 1]
-    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    x2 = np.concatenate((x1[1:], x1[:1]))
+    y2 = np.concatenate((y1[1:], y1[:1]))
     best = None  # (width, x, y) — keep the GLOBALLY widest interval: a
     # pinched ring's zero-width arm yields a technically-interior point
     # whose side against another ring is arbitrary; the fattest lobe's
-    # midpoint is the representative one.
+    # midpoint is the representative one. Early-exit once an interval is
+    # far above perturbation-arm scale (arms are <= ~1e-6 * extent): the
+    # single-scanline cost is what tree unions pay per nesting probe.
+    xspan = float(ring[:, 0].max() - ring[:, 0].min())
+    fat = 1e-4 * max(xspan, span)
     for frac in (0.5, 0.381966, 0.618034, 0.145898, 0.854102, 0.271286):
         y = ymin + span * frac
         if np.any(ys == y):  # avoid scanning exactly through a vertex
@@ -559,6 +579,8 @@ def _ring_interior_point(ring: np.ndarray) -> tuple[float, float]:
                     float((xs[2 * i] + xs[2 * i + 1]) / 2.0),
                     float(y),
                 )
+                if best[0] >= fat:
+                    return best[1], best[2]
     if best is not None:
         return best[1], best[2]
     return float(ring[:, 0].mean()), float(ring[:, 1].mean())
@@ -640,14 +662,15 @@ def _clean_ring(r: np.ndarray, tol: float) -> np.ndarray:
     changed = True
     while changed and len(r) >= 3:
         changed = False
-        d = np.hypot(*(r - np.roll(r, 1, axis=0)).T)
+        prv = np.concatenate((r[-1:], r[:-1]))
+        d = np.hypot(r[:, 0] - prv[:, 0], r[:, 1] - prv[:, 1])
         keep = d > tol
         if not keep.all():
             r = r[keep]
             changed = True
             continue
-        nxt, prv = np.roll(r, -1, axis=0), np.roll(r, 1, axis=0)
-        spike = np.hypot(*(nxt - prv).T) <= tol
+        nxt = np.concatenate((r[1:], r[:1]))
+        spike = np.hypot(nxt[:, 0] - prv[:, 0], nxt[:, 1] - prv[:, 1]) <= tol
         if spike.any():
             r = r[~spike]
             changed = True
@@ -677,19 +700,31 @@ def _split_pinches(ring: np.ndarray, tol: float) -> list[np.ndarray]:
         if n >= 6:
             for ox, oy in ((0.0, 0.0), (0.5, 0.0), (0.0, 0.5), (0.5, 0.5)):
                 q = np.floor(r / cell + (ox, oy)).astype(np.int64)
-                cells: dict[tuple[int, int], list[int]] = {}
-                for idx in range(n):
-                    key = (int(q[idx, 0]), int(q[idx, 1]))
-                    for j in cells.get(key, ()):
-                        if (
-                            np.hypot(r[idx, 0] - r[j, 0], r[idx, 1] - r[j, 1])
-                            <= tol
-                        ):
-                            pair = (j, idx)
+                # vectorized duplicate-cell detection (the common
+                # no-pinch case must stay numpy-only: this runs on every
+                # pair op of a tree union)
+                key = (q[:, 0] << np.int64(32)) ^ (q[:, 1] & np.int64(0xFFFFFFFF))
+                _, inv, counts = np.unique(
+                    key, return_inverse=True, return_counts=True
+                )
+                if (counts > 1).any():
+                    for ci in np.where(counts > 1)[0]:
+                        idxs = np.where(inv == ci)[0]
+                        for u in range(len(idxs)):
+                            for v in range(u + 1, len(idxs)):
+                                j, idx = int(idxs[u]), int(idxs[v])
+                                if (
+                                    np.hypot(
+                                        r[idx, 0] - r[j, 0], r[idx, 1] - r[j, 1]
+                                    )
+                                    <= tol
+                                ):
+                                    pair = (j, idx)
+                                    break
+                            if pair:
+                                break
+                        if pair:
                             break
-                    if pair:
-                        break
-                    cells.setdefault(key, []).append(idx)
                 if pair:
                     break
         if pair is None:
