@@ -74,8 +74,12 @@ def pagerank(
             ranks = ranks.localCheckpoint(eager=True)
     # materialize the final rounds BEFORE dropping the persisted build
     # side — otherwise every caller action replays the post-checkpoint
-    # rounds against an unpersisted `linked`
-    out = ranks.localCheckpoint(eager=True)
+    # rounds against an unpersisted `linked`. persist+count (not
+    # localCheckpoint) keeps the result cached for callers at the cost
+    # of one pass, without the checkpoint's RDD-conversion/storage job
+    # (measured ~1.5x the whole query at bench scale).
+    out = ranks.persist()
+    out.count()
     nodes.unpersist()
     linked.unpersist()
     return out
