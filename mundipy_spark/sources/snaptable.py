@@ -6,12 +6,14 @@ implements the three properties that actually matter for the pipeline,
 directly over parquet + JSON metadata (public Iceberg spec concepts,
 re-expressed — not a port):
 
-1. **Atomic snapshot commits.** A commit is the O_EXCL creation of
-   `metadata/snap-{v}.json`; whoever creates the file wins version v,
-   a concurrent writer's O_EXCL fails and it retries against the new
-   head (optimistic concurrency, Iceberg's commit protocol). Data and
-   manifest files written by a crashed job that never snapshotted are
-   invisible to every reader — no torn tables at any kill point.
+1. **Atomic snapshot commits.** A commit publishes a fully-written
+   tmp file onto `metadata/snap-{v}.json` via os.link — atomic AND
+   exclusive: whoever links the name wins version v, a concurrent
+   writer's link fails and it retries against the new head (optimistic
+   concurrency, Iceberg's commit protocol), and a snapshot file is
+   never visible with incomplete content. Data and manifest files
+   written by a crashed job that never snapshotted are invisible to
+   every reader — no torn tables at any kill point.
 2. **Scan planning from file-level stats, not file listing.** Each
    snapshot points at a manifest recording every data file's row count
    and per-column min/max. `scan()` prunes files whose [min,max]
@@ -220,16 +222,27 @@ def _commit(
             "committed_at": time.time(),
             **(extra or {}),
         }
-        try:
-            fd = os.open(
-                _snap_path(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-            )
-        except FileExistsError:
-            # lost the race; our manifest attempt is orphaned (no
-            # snapshot points at it) — retry against the new head
-            continue
-        with os.fdopen(fd, "w") as f:
+        # Publish = hard-link a fully-written tmp file onto the snap
+        # name: link() is atomic AND exclusive (fails if a winner got
+        # there first), and the content is COMPLETE before the file is
+        # visible. A bare O_EXCL create + write-after is torn: between
+        # the create and the json.dump, snapshots()/a retrying
+        # committer reads an empty snap-{v}.json and dies on
+        # JSONDecodeError — and a crash in that window corrupts the
+        # head permanently. The .tmp never matches current_version's
+        # snap-*.json filter, so half-written attempts are invisible;
+        # expire() reclaims orphaned tmps like orphaned manifests.
+        tmp = _snap_path(path, version) + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
             json.dump(snap, f)
+        try:
+            os.link(tmp, _snap_path(path, version))
+        except FileExistsError:
+            # lost the race; our manifest + tmp attempts are orphaned
+            # (no snapshot points at them) — retry against the new head
+            os.unlink(tmp)
+            continue
+        os.unlink(tmp)
         return version
     raise RuntimeError(f"snaptable commit to {path}: lost {max_retries} races")
 
@@ -512,12 +525,15 @@ def expire(path: str, keep_from: int) -> dict:
                 removed_data += 1
         os.remove(os.path.join(path, _load_snapshot(path, v)["manifest"]))
         os.remove(_snap_path(path, v))
-    # orphaned manifests (lost commit races, expired snapshots) are
-    # referenced by no surviving snapshot; reclaim them
+    # orphaned manifests and snap tmps (lost commit races, crashed
+    # attempts, expired snapshots) are referenced by no surviving
+    # snapshot; reclaim them
     meta = _meta_dir(path)
     for name in os.listdir(meta):
         rel = os.path.join(_META, name)
         if name.startswith("manifest-") and rel not in live_manifests:
+            os.remove(os.path.join(meta, name))
+        elif name.endswith(".tmp"):
             os.remove(os.path.join(meta, name))
     return {"removed_data_files": removed_data, "oldest_kept": keep_from}
 

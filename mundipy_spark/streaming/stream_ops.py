@@ -36,6 +36,31 @@ def windowed_event_counts(
     )
 
 
+def geocode_batch_handler(regions: DataFrame, out_path: str, res: int = 8):
+    """The foreachBatch handler geocode_stream installs, exposed for
+    direct (replay) testing: geocodes the batch with the exact batch
+    operator and overwrites the batch's own `_epoch` partition."""
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        geo = geoparse.parse_geo_tokens(batch, matched_only=True)
+        tagged = joins.tile_join_points(geo, regions, res=res, how="inner")
+        spark = batch.sparkSession
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        old_mode = spark.conf.get(conf_key, "static")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            (
+                tagged.withColumn("_epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .partitionBy("_epoch")
+                .parquet(out_path)
+            )
+        finally:
+            spark.conf.set(conf_key, old_mode)
+
+    return handle
+
+
 def geocode_stream(
     pages_stream: DataFrame,
     regions: DataFrame,
@@ -47,18 +72,15 @@ def geocode_stream(
     """Stream pages through the geoparse -> tile -> broadcast-join plan.
 
     foreachBatch reuses the exact batch operator (joins.tile_join_points)
-    so stream and batch results are identical by construction; Spark's
-    streaming checkpoint gives exactly-once parquet output per batch.
+    so stream and batch results are identical by construction. foreachBatch
+    alone is at-least-once — a crash between the sink write and the
+    streaming-checkpoint commit REPLAYS the batch — so the output is
+    partitioned by `_epoch` and written with DYNAMIC partition overwrite:
+    a replayed epoch overwrites exactly its own partition (idempotent),
+    instead of appending duplicate rows (the run_pipeline resume pattern,
+    plans/pipeline.py).
     """
-
-    def handle(batch: DataFrame, epoch_id: int) -> None:
-        geo = geoparse.parse_geo_tokens(batch, matched_only=True)
-        tagged = joins.tile_join_points(geo, regions, res=res, how="inner")
-        (
-            tagged.withColumn("_epoch", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(out_path)
-        )
+    handle = geocode_batch_handler(regions, out_path, res=res)
 
     writer = (
         pages_stream.writeStream.outputMode("append")

@@ -507,3 +507,78 @@ def test_streaming_sink_replayed_epoch_commits_once(spark, tmp_path):
     other = stream_ops.snaptable_batch_handler(path, ["doc_id"], "ckpt-B")
     other(batch, 0)
     assert snaptable.read(spark, path).count() == 150
+
+
+def test_commit_storm_never_exposes_torn_snapshot(tmp_path):
+    """A snapshot file must never be visible with incomplete content.
+
+    The old publish path O_EXCL-created snap-{v}.json and wrote the
+    JSON afterwards: in that window snapshots()/a retrying committer
+    read an empty file and died on JSONDecodeError (reproduced under
+    CPU contention), and a crash inside it corrupted the head forever.
+    The link-publish path writes a tmp fully, then os.link()s it onto
+    the snap name — atomic, exclusive, content-complete. Pin it with a
+    metadata-only commit storm: 8 committers x 20 appends racing 4
+    continuous readers, no Spark involved."""
+    import threading
+
+    path = str(tmp_path / "t")
+    snaptable._commit(
+        path, [{"path": "data/x0.parquet", "rows": 1}], "create", [], "{}", False
+    )
+    errs: list = []
+    stop = False
+
+    def committer(i):
+        try:
+            for j in range(20):
+                snaptable._commit(
+                    path,
+                    [{"path": f"data/x{i}_{j}.parquet", "rows": 1}],
+                    "append", [], "{}", True, max_retries=500,
+                )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def reader():
+        try:
+            while not stop:
+                snaptable.snapshots(path)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    rs = [threading.Thread(target=reader) for _ in range(4)]
+    cs = [threading.Thread(target=committer, args=(i,)) for i in range(8)]
+    [t.start() for t in rs + cs]
+    [t.join() for t in cs]
+    stop = True
+    [t.join() for t in rs]
+    assert not errs, errs
+    snaps = snaptable.snapshots(path)
+    assert len(snaps) == 161  # create + 160 appends, none lost
+    assert snaps[-1]["total_rows"] == 161
+    # no tmp leaks from won or lost attempts
+    assert not [
+        n for n in os.listdir(os.path.join(path, "metadata"))
+        if n.endswith(".tmp")
+    ]
+
+
+def test_crashed_commit_attempt_is_invisible_and_reclaimed(
+    spark, docs, tmp_path
+):
+    """A committer that dies after writing its snap tmp (before the
+    link publish) must not perturb the head, reads, or later commits;
+    expire() reclaims the orphaned tmp."""
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, docs, stats_cols=["doc_id"])
+    meta = os.path.join(path, "metadata")
+    orphan = os.path.join(meta, "snap-2.json.deadbeef.tmp")
+    with open(orphan, "w") as f:
+        f.write("")  # even torn content is fine: nothing reads tmps
+    assert snaptable.current_version(path) == 1
+    assert snaptable.read(spark, path).count() == 1000
+    v = snaptable.append(spark, path, docs.limit(5))
+    assert v == 2  # the crashed attempt never claimed version 2
+    snaptable.expire(path, keep_from=2)
+    assert not os.path.exists(orphan)

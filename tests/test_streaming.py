@@ -245,3 +245,26 @@ def test_ingest_stream_extracts_filters_and_collapses(spark):
         assert all(r.text == "t\n" + r.authored for r in rows)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_geocode_stream_replayed_epoch_is_idempotent(spark):
+    """foreachBatch is at-least-once: a crash between the sink write
+    and the streaming-checkpoint commit replays the batch. The handler
+    overwrites its own _epoch partition (dynamic partition overwrite),
+    so a replay changes nothing — a blind append would double rows."""
+    from mundipy_spark.streaming.stream_ops import geocode_batch_handler
+
+    pages = pages_src.synth_pages(spark, SF).drop("warc_ts", "html")
+    regions = pages_src.synth_regions(spark, step_deg=10.0)
+    tmp = tempfile.mkdtemp(prefix="geo_replay_")
+    try:
+        handle = geocode_batch_handler(regions, f"{tmp}/out", res=8)
+        handle(pages.limit(200), 0)
+        once = spark.read.parquet(f"{tmp}/out").count()
+        assert once > 0
+        handle(pages.limit(200), 0)  # replay after simulated crash
+        assert spark.read.parquet(f"{tmp}/out").count() == once
+        handle(pages.limit(50), 1)  # a NEW epoch still appends
+        assert spark.read.parquet(f"{tmp}/out").count() > once
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
