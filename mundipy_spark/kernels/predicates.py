@@ -353,6 +353,212 @@ def segments_cross_properly(a: np.ndarray, b: np.ndarray) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# interval-splitting primitives for exact DE-9IM interior tests
+#
+# The key fact: along one segment, strictly-inside/strictly-outside status
+# relative to another geometry can only change at a contact point with
+# that geometry's segments. So splitting a segment at ALL contact
+# parameters (proper crossings, endpoint touches, collinear-run
+# endpoints) and classifying each sub-interval's MIDPOINT classifies the
+# whole sub-interval — which is what boundary-contact configurations
+# (corner-threading lines, collinear shared edges, hole-spanning
+# polygons) need and what vertex- or proper-crossing-only tests miss.
+# ---------------------------------------------------------------------------
+
+
+def _contact_params(p: np.ndarray, q: np.ndarray, segs: np.ndarray, eps: float = 1e-9) -> np.ndarray:
+    """Sorted unique parameters t in [0,1] (always incl. 0 and 1) where
+    segment p->q contacts any of `segs` — proper crossings, touches, and
+    both endpoints of every collinear overlap run."""
+    ts = [np.array([0.0, 1.0])]
+    if len(segs):
+        d = q - p
+        a = segs[:, :2]
+        b = segs[:, 2:]
+        e = b - a
+        ap = a - p
+        denom = d[0] * e[:, 1] - d[1] * e[:, 0]
+        nz = np.abs(denom) > 1e-18
+        if nz.any():
+            t = (ap[nz, 0] * e[nz, 1] - ap[nz, 1] * e[nz, 0]) / denom[nz]
+            u = (ap[nz, 0] * d[1] - ap[nz, 1] * d[0]) / denom[nz]
+            ok = (t >= -eps) & (t <= 1 + eps) & (u >= -eps) & (u <= 1 + eps)
+            if ok.any():
+                ts.append(np.clip(t[ok], 0.0, 1.0))
+        co = ~nz
+        L2 = float(d[0] * d[0] + d[1] * d[1])
+        if co.any() and L2 > 0:
+            crossad = ap[co, 0] * d[1] - ap[co, 1] * d[0]
+            col = np.abs(crossad) <= eps * np.sqrt(L2)  # offset <= eps
+            if col.any():
+                aa, bb = a[co][col], b[co][col]
+                ta = ((aa[:, 0] - p[0]) * d[0] + (aa[:, 1] - p[1]) * d[1]) / L2
+                tb = ((bb[:, 0] - p[0]) * d[0] + (bb[:, 1] - p[1]) * d[1]) / L2
+                lo, hi = np.minimum(ta, tb), np.maximum(ta, tb)
+                keep = (hi >= -eps) & (lo <= 1 + eps)
+                if keep.any():
+                    ts.append(np.clip(lo[keep], 0.0, 1.0))
+                    ts.append(np.clip(hi[keep], 0.0, 1.0))
+    return np.unique(np.round(np.concatenate(ts), 12))
+
+
+def _split_midpoints(geom, other) -> np.ndarray:
+    """Midpoints of every sub-interval of geom's segments after
+    splitting at all contact points with other's segments, as (n,2).
+    Each midpoint's strict-interior / strict-exterior classification
+    w.r.t. `other` holds for its entire sub-interval."""
+    osegs = geom_segments(other)
+    mids = []
+    for s in geom_segments(geom):
+        p, q = s[:2], s[2:]
+        if p[0] == q[0] and p[1] == q[1]:
+            continue
+        t = _contact_params(p, q, osegs)
+        m = (t[:-1] + t[1:]) / 2.0
+        m = m[(t[1:] - t[:-1]) > 1e-12]
+        if len(m):
+            mids.append(p[None, :] + m[:, None] * (q - p)[None, :])
+    return np.vstack(mids) if mids else np.zeros((0, 2))
+
+
+def _line_boundary_points(geom) -> np.ndarray:
+    """Boundary of a (Multi)LineString: endpoints occurring an odd
+    number of times (the mod-2 rule — a closed line has empty
+    boundary), as (n,2)."""
+    from collections import Counter
+
+    t, data = geom
+    if t == "LineString":
+        lines = [data]
+    elif t == "MultiLineString":
+        lines = list(data)
+    elif t == "GeometryCollection":
+        parts = [_line_boundary_points(g) for g in data]
+        parts = [p for p in parts if len(p)]
+        return np.vstack(parts) if parts else np.zeros((0, 2))
+    else:
+        return np.zeros((0, 2))
+    cnt: Counter = Counter()
+    for l in lines:
+        l = np.asarray(l, dtype=np.float64)
+        if len(l) < 2:
+            continue
+        for pt in (l[0], l[-1]):
+            cnt[(round(float(pt[0]), 9), round(float(pt[1]), 9))] += 1
+    pts = [k for k, v in cnt.items() if v % 2 == 1]
+    return np.array(pts, dtype=np.float64) if pts else np.zeros((0, 2))
+
+
+def _near_any(pts: np.ndarray, targets: np.ndarray, eps: float = 1e-9) -> np.ndarray:
+    """For each point, True if within eps (Chebyshev) of any target."""
+    if len(targets) == 0:
+        return np.zeros(len(pts), dtype=bool)
+    return (
+        np.abs(pts[:, None, :] - targets[None, :, :]).max(axis=2) <= eps
+    ).any(axis=1)
+
+
+def _line_interior_enters(line, poly) -> bool:
+    """I(line) ∩ I(poly) ≠ ∅ — exact via split midpoints (any open
+    sub-interval inside the polygon's interior has its midpoint
+    strictly inside)."""
+    mids = _split_midpoints(line, poly)
+    return bool(
+        len(mids)
+        and points_in_geom(mids[:, 0], mids[:, 1], poly, boundary=False).any()
+    )
+
+
+def _part_outside(geom, poly) -> bool:
+    """Some sub-interval of geom's segments lies strictly outside
+    closure(poly)."""
+    mids = _split_midpoints(geom, poly)
+    return bool(
+        len(mids)
+        and (~points_in_geom(mids[:, 0], mids[:, 1], poly, boundary=True)).any()
+    )
+
+
+def _has_collinear_run(p: np.ndarray, q: np.ndarray, segs: np.ndarray, eps: float = 1e-9) -> bool:
+    """Does segment p->q share a positive-length collinear run (at the
+    kernel's eps tolerance) with any of `segs`? A segment is an
+    eps-run candidate iff BOTH its endpoints lie within eps
+    perpendicular offset of the line through p->q — this catches exact
+    collinearity AND eps-coincident near-parallels (directions differing
+    by 1e-14), while rejecting shallow-angle proper crossings (their
+    endpoints sit far off the line; a midpoint-proximity probe would
+    misread the micro-interval at the crossing as a run)."""
+    d = q - p
+    L2 = float(d[0] * d[0] + d[1] * d[1])
+    if L2 == 0 or len(segs) == 0:
+        return False
+    L = np.sqrt(L2)
+    a, b = segs[:, :2], segs[:, 2:]
+    offa = ((a[:, 0] - p[0]) * d[1] - (a[:, 1] - p[1]) * d[0]) / L
+    offb = ((b[:, 0] - p[0]) * d[1] - (b[:, 1] - p[1]) * d[0]) / L
+    col = (np.abs(offa) <= eps) & (np.abs(offb) <= eps)
+    if not col.any():
+        return False
+    aa, bb = a[col], b[col]
+    ta = ((aa[:, 0] - p[0]) * d[0] + (aa[:, 1] - p[1]) * d[1]) / L2
+    tb = ((bb[:, 0] - p[0]) * d[0] + (bb[:, 1] - p[1]) * d[1]) / L2
+    lo = np.clip(np.minimum(ta, tb), 0.0, 1.0)
+    hi = np.clip(np.maximum(ta, tb), 0.0, 1.0)
+    return bool(((hi - lo) * L > 10 * eps).any())
+
+
+def _line_line_ii_kind(a, b) -> str | None:
+    """How the INTERIORS of two (Multi)LineStrings meet: 'run'
+    (collinear overlap, dim 1), 'point' (isolated contact, dim 0), or
+    None (interiors disjoint). Boundary endpoints (mod-2) don't count —
+    an endpoint-to-endpoint or endpoint-to-interior contact is a touch,
+    not an interior intersection."""
+    sa, sb = geom_segments(a), geom_segments(b)
+    if len(sa) == 0 or len(sb) == 0:
+        return None
+    bnd_parts = [_line_boundary_points(a), _line_boundary_points(b)]
+    bnd_parts = [p for p in bnd_parts if len(p)]
+    bnd = np.vstack(bnd_parts) if bnd_parts else np.zeros((0, 2))
+    kind = None
+    for s in sa:
+        p, q = s[:2], s[2:]
+        if p[0] == q[0] and p[1] == q[1]:
+            continue
+        if _has_collinear_run(p, q, sb):
+            return "run"  # collinear overlap: dim-1 interior meet
+        t = _contact_params(p, q, sb)
+        cpts = p[None, :] + t[:, None] * (q - p)[None, :]
+        on = points_on_segments(cpts[:, 0], cpts[:, 1], sb)
+        if on.any():
+            interior = ~_near_any(cpts[on], bnd)
+            if interior.any():
+                kind = "point"
+    if segments_cross_properly(sa, sb):
+        kind = "point" if kind is None else kind
+    return kind
+
+
+def _poly_interiors_meet(a, b) -> bool:
+    """I(a) ∩ I(b) ≠ ∅ for two area geometries. Fast positives (strict
+    vertex containment, proper edge crossing) first; the remaining
+    configurations are collinear-edge overlaps, decided exactly by the
+    overlay kernel's intersection area (valid inputs)."""
+    va, vb = geom_vertices(a), geom_vertices(b)
+    if len(va) and points_in_geom(va[:, 0], va[:, 1], b, boundary=False).any():
+        return True
+    if len(vb) and points_in_geom(vb[:, 0], vb[:, 1], a, boundary=False).any():
+        return True
+    if segments_cross_properly(geom_segments(a), geom_segments(b)):
+        return True
+    from mundipy_spark.kernels import overlay
+
+    area = overlay.intersection_area_planar(a, b)
+    ba, bb = wkb.bounds(a), wkb.bounds(b)
+    scale = max(1.0, *(abs(v) for v in (*ba, *bb)))
+    return bool(area > 1e-9 * scale * scale)
+
+
+# ---------------------------------------------------------------------------
 # rect batches vs one geometry (tile-covering refinement)
 # ---------------------------------------------------------------------------
 
@@ -441,9 +647,13 @@ def _segs_cross_rects(segs: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
 
 
 def bbox_disjoint(a, b) -> bool:
+    """Padded by the kernel's 1e-9 'on' tolerance: geometries within
+    eps of each other are touching for every distance-based predicate,
+    so the bbox gate must not reject them."""
     a0, a1, a2, a3 = wkb.bounds(a)
     b0, b1, b2, b3 = wkb.bounds(b)
-    return a2 < b0 or b2 < a0 or a3 < b1 or b3 < a1
+    eps = 1e-9
+    return a2 < b0 - eps or b2 < a0 - eps or a3 < b1 - eps or b3 < a1 - eps
 
 
 def _points_of(geom) -> np.ndarray | None:
@@ -478,13 +688,22 @@ def intersects(a, b) -> bool:
     sa, sb = geom_segments(a), geom_segments(b)
     if segments_intersect_any(sa, sb):
         return True
+    # eps-coherence with the 1e-9 'on' tolerance every other predicate
+    # uses (points_on_segments / points_in_geom): a vertex within eps of
+    # the other's boundary intersects it — the exact orientation-sign
+    # test above misses sub-tolerance near-contacts that covers/touches
+    # accept, which would let covers(a,b) hold while intersects(a,b)
+    # fails
+    va, vb = geom_vertices(a), geom_vertices(b)
+    if len(va) and len(sb) and points_on_segments(va[:, 0], va[:, 1], sb).any():
+        return True
+    if len(vb) and len(sa) and points_on_segments(vb[:, 0], vb[:, 1], sa).any():
+        return True
     # containment without boundary touch
     if has_area(b):
-        va = geom_vertices(a)
         if len(va) and points_in_geom(va[:1, 0], va[:1, 1], b).any():
             return True
     if has_area(a):
-        vb = geom_vertices(b)
         if len(vb) and points_in_geom(vb[:1, 0], vb[:1, 1], a).any():
             return True
     return False
@@ -507,34 +726,87 @@ def disjoint(a, b) -> bool:
 
 
 def covers(a, b) -> bool:
-    """Every point of b within a (boundary-inclusive)."""
+    """Every point of b within a (boundary-inclusive).
+
+    Exactness notes (valid inputs): b's boundary is split at every
+    contact with a's boundary and the sub-interval midpoints must stay
+    in closure(a) — a vertex-plus-proper-crossing test alone misses
+    corner-threading exits. For area b, a's boundary must additionally
+    stay out of b's INTERIOR (otherwise b spills over ∂a, e.g. b
+    spanning a hole of a), and a representative interior point of b
+    must land in a (coincident-ring degeneracies)."""
     if bbox_disjoint(a, b):
         return False
     a0, a1, a2, a3 = wkb.bounds(a)
     b0, b1, b2, b3 = wkb.bounds(b)
-    if b0 < a0 - EPS or b1 < a1 - EPS or b2 > a2 + EPS or b3 > a3 + EPS:
+    eps = 1e-9  # match the 'on' tolerance, not the cross-product EPS
+    if b0 < a0 - eps or b1 < a1 - eps or b2 > a2 + eps or b3 > a3 + eps:
         return False
     pb = _points_of(b)
     if pb is not None:
         return bool(_points_hit_geom(pb, a).all())
     if not has_area(a):
-        return False  # a line covers only points/collinear lines; rare — conservative
+        if has_area(b):
+            return False  # a line never covers area
+        # line covers line: every vertex and every split-midpoint of b on a
+        sa = geom_segments(a)
+        if len(sa) == 0:
+            return False
+        vb = geom_vertices(b)
+        if len(vb) and not points_on_segments(vb[:, 0], vb[:, 1], sa).all():
+            return False
+        mids = _split_midpoints(b, a)
+        if len(mids) and not points_on_segments(mids[:, 0], mids[:, 1], sa).all():
+            return False
+        return True
     vb = geom_vertices(b)
     if not points_in_geom(vb[:, 0], vb[:, 1], a).all():
         return False
-    # no edge of b may properly exit a
-    return not segments_cross_properly(geom_segments(b), geom_segments(a))
+    # no part of b's boundary may leave closure(a)
+    if _part_outside(b, a):
+        return False
+    if has_area(b):
+        # a's boundary may not pass through b's interior (b would spill
+        # across it: a hole of a inside b, or b engulfing a's edge)
+        va = geom_vertices(a)
+        if len(va) and points_in_geom(va[:, 0], va[:, 1], b, boundary=False).any():
+            return False
+        amids = _split_midpoints(a, b)
+        if len(amids) and points_in_geom(
+            amids[:, 0], amids[:, 1], b, boundary=False
+        ).any():
+            return False
+        # coincident-ring degeneracy (b == a hole of a): boundary tests
+        # all pass, but b's interior is outside a
+        from mundipy_spark.kernels import constructive
+
+        rp = constructive.representative_point(b)[1]
+        if not points_in_geom(
+            np.array([float(rp[0])]), np.array([float(rp[1])]), a, boundary=True
+        )[0]:
+            return False
+    return True
 
 
 def contains(a, b) -> bool:
-    """Like covers, but b must touch a's interior and (for points) not lie
-    solely on a's boundary."""
+    """covers ∧ interiors intersect: b must touch a's interior — a point
+    (or line) lying solely on a's boundary is covered but not
+    contained."""
     if not covers(a, b):
         return False
     pb = _points_of(b)
-    if pb is not None and has_area(a):
-        strict = points_in_geom(pb[:, 0], pb[:, 1], a, boundary=False)
-        return bool(strict.any())
+    if pb is not None:
+        if has_area(a):
+            strict = points_in_geom(pb[:, 0], pb[:, 1], a, boundary=False)
+            return bool(strict.any())
+        if _points_of(a) is not None:
+            return True  # point set contains covered point set
+        # a is a line: some point of b must be off a's boundary endpoints
+        bnd = _line_boundary_points(a)
+        return bool((~_near_any(pb, bnd)).any())
+    if has_area(a) and not has_area(b):
+        # line b inside polygon a, but possibly lying entirely ON ∂a
+        return _line_interior_enters(b, a)
     return True
 
 
@@ -546,61 +818,89 @@ def covered_by(a, b) -> bool:
     return covers(b, a)
 
 
+def _point_interiors_meet(pt_geom, g) -> bool:
+    """I(points) ∩ I(g) ≠ ∅: some point strictly inside an area, or on a
+    line but off the line's boundary endpoints."""
+    pts = _points_of(pt_geom)
+    if pts is None or len(pts) == 0:
+        return False
+    if has_area(g):
+        return bool(points_in_geom(pts[:, 0], pts[:, 1], g, boundary=False).any())
+    segs = geom_segments(g)
+    if len(segs) == 0:  # g is also points: interiors ARE the points
+        pg = _points_of(g)
+        d = np.abs(pts[:, None, :] - pg[None, :, :]).max(axis=2)
+        return bool((d <= 1e-9).any())
+    on = points_on_segments(pts[:, 0], pts[:, 1], segs)
+    if not on.any():
+        return False
+    bnd = _line_boundary_points(g)
+    return bool((~_near_any(pts[on], bnd)).any())
+
+
+def _interiors_meet(a, b) -> bool:
+    """I(a) ∩ I(b) ≠ ∅, exact per dimension pair (valid inputs)."""
+    da, db = _dim(a), _dim(b)
+    if da == 0:
+        return _point_interiors_meet(a, b)
+    if db == 0:
+        return _point_interiors_meet(b, a)
+    if da == 1 and db == 1:
+        return _line_line_ii_kind(a, b) is not None
+    if da == 1 and db == 2:
+        return _line_interior_enters(a, b)
+    if da == 2 and db == 1:
+        return _line_interior_enters(b, a)
+    return _poly_interiors_meet(a, b)
+
+
 def touches(a, b) -> bool:
-    """Boundaries meet, interiors don't."""
+    """They intersect but their INTERIORS don't (GEOS semantics): shared
+    boundary contact only. Notably False for: identical geometries,
+    polygons whose interiors overlap across collinear shared edges, a
+    point in a line's interior, collinear overlapping lines — each of
+    which a crossing/vertex-only test misreports."""
     if not intersects(a, b):
         return False
-    pa = _points_of(a)
-    if pa is not None and has_area(b):
-        inside = points_in_geom(pa[:, 0], pa[:, 1], b, boundary=False)
-        on = _points_hit_geom(pa, b)
-        return bool(on.any() and not inside.any())
-    pb = _points_of(b)
-    if pb is not None and has_area(a):
-        return touches(b, a)
-    if segments_cross_properly(geom_segments(a), geom_segments(b)):
-        return False
-    if has_area(a):
-        vb = geom_vertices(b)
-        if points_in_geom(vb[:, 0], vb[:, 1], a, boundary=False).any():
-            return False
-    if has_area(b):
-        va = geom_vertices(a)
-        if points_in_geom(va[:, 0], va[:, 1], b, boundary=False).any():
-            return False
-    return True
+    return not _interiors_meet(a, b)
 
 
 def crosses(a, b) -> bool:
-    """Interiors intersect in a lower dimension (line/line point crossing,
-    line passing through a polygon)."""
+    """Interiors intersect in a LOWER dimension than max(dim a, dim b),
+    and neither geometry is swallowed: line/line isolated interior
+    contact, a line passing through a polygon's interior AND exiting,
+    points split on/off a higher-dim geometry."""
     dim_a, dim_b = _dim(a), _dim(b)
     if dim_a == 1 and dim_b == 1:
-        return segments_cross_properly(geom_segments(a), geom_segments(b))
+        # dim(II) must be 0: an isolated interior contact (proper cross
+        # or interior-vertex touch); a collinear run is overlaps
+        return _line_line_ii_kind(a, b) == "point"
     if dim_a == 1 and dim_b == 2:
-        va = geom_vertices(a)
-        ins = points_in_geom(va[:, 0], va[:, 1], b, boundary=False)
-        if ins.any() and not ins.all():
-            return True
-        # all vertices on one side: a proper boundary crossing still means
-        # the line interior enters and exits the polygon
-        return segments_cross_properly(geom_segments(a), geom_segments(b))
+        return _line_interior_enters(a, b) and _part_outside(a, b)
     if dim_a == 2 and dim_b == 1:
         return crosses(b, a)
     if dim_a == 0 and dim_b >= 1:
         pa = _points_of(a)
-        hit = _points_hit_geom(pa, b)
-        return bool(hit.any() and not hit.all())
+        out = ~_points_hit_geom(pa, b)
+        return _point_interiors_meet(a, b) and bool(out.any())
     if dim_b == 0 and dim_a >= 1:
         return crosses(b, a)
     return False
 
 
 def overlaps(a, b) -> bool:
-    """Same dimension, interiors intersect, neither covers the other."""
-    if _dim(a) != _dim(b):
+    """Same dimension, interiors intersect IN THAT DIMENSION, neither
+    covers the other. (A point-crossing of two lines is crosses, not
+    overlaps; edge-touching polygons are touches, not overlaps.)"""
+    da, db = _dim(a), _dim(b)
+    if da != db:
         return False
-    return intersects(a, b) and not covers(a, b) and not covers(b, a)
+    if da == 1:
+        if _line_line_ii_kind(a, b) != "run":
+            return False
+    elif not (intersects(a, b) and _interiors_meet(a, b)):
+        return False
+    return not covers(a, b) and not covers(b, a)
 
 
 def _dim(geom) -> int:

@@ -1,0 +1,266 @@
+"""DE-9IM predicate semantics on boundary-contact configurations.
+
+The reference exposes shapely/GEOS predicates on every geometry
+(mundipy/geometry.py:92-99); these pin the configurations a
+proper-crossing + vertex-containment test family misreports — interiors
+meeting across collinear shared edges, corner-threading lines,
+hole-spanning covers, point/line boundary rules — against hand-derived
+GEOS truth. Pure numpy, no SparkSession.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import Phase, given, settings
+from hypothesis import strategies as st
+
+from mundipy_spark.kernels import measure, overlay
+from mundipy_spark.kernels import predicates as P
+
+settings.register_profile("de9im", max_examples=60, deadline=None)
+settings.load_profile("de9im")
+
+
+def rect(x0, y0, x1, y1):
+    return (
+        "Polygon",
+        [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)],
+    )
+
+
+def line(*pts):
+    return ("LineString", np.array(pts, float))
+
+
+def point(x, y):
+    return ("Point", np.array([x, y], float))
+
+
+SQ = rect(0, 0, 1, 1)
+HSEG = line((0, 0), (1, 0))
+
+
+# --- interiors meeting across collinear shared edges -----------------------
+
+
+def test_touches_vs_overlaps_collinear_edge_rects():
+    """[0,2]x[0,1] and [1,3]x[0,1]: interiors overlap on [1,2]x[0,1] but
+    no vertex of either is strictly inside the other and no edge crossing
+    is proper — GEOS: overlaps, NOT touches."""
+    a, b = rect(0, 0, 2, 1), rect(1, 0, 3, 1)
+    assert not P.touches(a, b)
+    assert P.overlaps(a, b)
+
+
+def test_identical_polygons_do_not_touch_or_overlap():
+    a = rect(0, 0, 2, 1)
+    assert not P.touches(a, a)
+    assert not P.overlaps(a, a)  # covers both ways
+    assert P.equals(a, a) and P.covers(a, a) and P.contains(a, a)
+
+
+def test_edge_adjacent_rects_touch_only():
+    a, c = rect(0, 0, 2, 1), rect(2, 0, 3, 1)
+    assert P.touches(a, c)
+    assert not P.overlaps(a, c)
+    assert P.intersects(a, c)
+
+
+# --- point boundary rules ----------------------------------------------------
+
+
+def test_point_point_never_touches():
+    assert not P.touches(point(0.5, 0), point(0.5, 0))
+    assert P.intersects(point(0.5, 0), point(0.5, 0))
+
+
+def test_point_on_line_interior_vs_endpoint():
+    assert not P.touches(point(0.5, 0), HSEG)  # interior: within, not touch
+    assert P.touches(point(0, 0), HSEG)  # endpoint = line boundary
+    assert P.contains(HSEG, point(0.5, 0))
+    assert not P.contains(HSEG, point(0, 0))
+    assert P.covers(HSEG, point(0, 0))
+
+
+def test_point_on_polygon_boundary_vs_interior():
+    assert P.touches(point(0, 0.5), SQ)
+    assert not P.touches(point(0.5, 0.5), SQ)
+    assert P.contains(SQ, point(0.5, 0.5))
+    assert not P.contains(SQ, point(0, 0.5))
+
+
+def test_multipoint_crosses_needs_strict_interior_and_exterior():
+    inside_out = ("MultiPoint", np.array([[0.5, 0.5], [5.0, 5.0]]))
+    boundary_out = ("MultiPoint", np.array([[0.0, 0.5], [5.0, 5.0]]))
+    assert P.crosses(inside_out, SQ)
+    assert not P.crosses(boundary_out, SQ)  # II empty: only boundary contact
+    assert P.touches(boundary_out, SQ)
+
+
+# --- line/line interior kinds -------------------------------------------------
+
+
+def test_collinear_overlapping_lines_overlap_not_touch():
+    l2 = line((0.5, 0), (2, 0))
+    assert not P.touches(HSEG, l2)
+    assert P.overlaps(HSEG, l2)
+    assert not P.crosses(HSEG, l2)  # dim(II)=1, not a point crossing
+
+
+def test_endpoint_meeting_lines_touch():
+    l3 = line((1, 0), (2, 0))
+    assert P.touches(HSEG, l3)
+    assert not P.overlaps(HSEG, l3)
+
+
+def test_x_crossing_is_crosses_not_overlaps():
+    v = line((0, -1), (0, 1))
+    h = line((-1, 0), (1, 0))
+    assert P.crosses(v, h)
+    assert not P.touches(v, h)
+    assert not P.overlaps(v, h)  # dim(II)=0 for lines is crosses
+
+
+def test_t_junction_touches():
+    stem = line((-1, 0.5), (0, 0.5))
+    bar = line((0, 0), (0, 1))
+    assert P.touches(stem, bar)
+    assert not P.crosses(stem, bar)
+
+
+def test_v_apex_on_line_interior_crosses():
+    """An interior VERTEX of one line touching the other's interior is a
+    dim-0 interior intersection (crosses) even with no proper segment
+    crossing."""
+    v = line((-1, 1), (0, 0), (1, 1))
+    h = line((-2, 0), (2, 0))
+    assert P.crosses(v, h)
+    assert not P.touches(v, h)
+
+
+def test_shallow_angle_crossing_is_point_not_run():
+    """Near-parallel proper crossings must not be misread as collinear
+    runs (the micro-interval-midpoint trap)."""
+    l1 = line((1.22070312e-04, -59.0), (3.10093467, -51.0))
+    l2 = line((3.10093467, -59.0), (3.10086364, -51.0))
+    assert P._line_line_ii_kind(l1, l2) == "point"
+    assert P._line_line_ii_kind(l2, l1) == "point"
+    assert P.crosses(l1, l2) and P.crosses(l2, l1)
+
+
+def test_closed_ring_has_empty_boundary():
+    ring = line((0, 0), (1, 0), (1, 1), (0, 0))
+    probe = line((-1, 0), (0, 0))  # its endpoint hits the ring's interior
+    assert P.touches(probe, ring)  # the contact IS probe's boundary point
+    assert len(P._line_boundary_points(ring)) == 0
+
+
+# --- corner-threading lines ----------------------------------------------------
+
+
+def test_corner_threading_diagonal_crosses_square():
+    diag = line((-0.5, -0.5), (2, 2))
+    assert P.crosses(diag, SQ)
+    assert not P.touches(diag, SQ)
+
+
+def test_chord_is_within_not_crosses():
+    chord = line((0, 0.5), (1, 0.5))
+    assert P.within(chord, SQ)
+    assert P.contains(SQ, chord)
+    assert not P.crosses(chord, SQ)
+
+
+def test_boundary_lying_line_covered_not_contained():
+    assert P.covers(SQ, HSEG)
+    assert not P.contains(SQ, HSEG)
+    assert P.touches(SQ, HSEG)
+
+
+# --- covers exactness ----------------------------------------------------------
+
+
+def test_covers_rejects_hole_spanning_polygon():
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], float)
+    a = ("Polygon", [outer, hole])
+    assert not P.covers(a, rect(3, 3, 7, 7))  # b includes the hole
+    assert not P.covers(a, rect(4.4, 4.4, 5.6, 5.6))  # b inside the hole
+    assert P.covers(a, rect(1, 1, 3, 3))
+    assert P.contains(a, rect(1, 1, 3, 3))
+
+
+def test_line_covers_line():
+    assert P.covers(HSEG, HSEG)
+    sub = line((0.2, 0), (0.7, 0))
+    assert P.covers(HSEG, sub) and P.contains(HSEG, sub)
+    assert not P.covers(sub, HSEG)
+    assert not P.covers(HSEG, line((0.2, 0), (0.7, 0.1)))
+    assert P.equals(HSEG, HSEG)
+
+
+# --- coherence properties (compact; the full campaign ran at 2000 examples) ----
+
+
+coord = st.floats(-150.0, 150.0, allow_nan=False, width=64)
+
+
+@st.composite
+def star_polygon_c(draw):
+    n = draw(st.integers(4, 10))
+    cx = draw(coord)
+    cy = draw(st.floats(-60.0, 60.0))
+    jit = [draw(st.floats(0.1, 0.9)) for _ in range(n)]
+    rad = [draw(st.floats(0.5, 8.0)) for _ in range(n)]
+    ang = 2 * np.pi * (np.arange(n) + np.array(jit)) / n
+    pts = np.c_[
+        cx + np.array(rad) * np.cos(ang), cy + np.array(rad) * np.sin(ang)
+    ]
+    return ("Polygon", [np.vstack([pts, pts[:1]])]), np.array([cx, cy])
+
+
+@st.composite
+def nearby_pair(draw):
+    a, c = draw(star_polygon_c())
+    dx = draw(st.floats(-4.0, 4.0))
+    dy = draw(st.floats(-4.0, 4.0))
+    s = draw(st.floats(0.3, 1.5))
+    b = ("Polygon", [(a[1][0] - c) * s + c + [dx, dy]])
+    return a, b
+
+
+def _coherent(a, b):
+    it, to, ov = P.intersects(a, b), P.touches(a, b), P.overlaps(a, b)
+    ct, cr = P.contains(a, b), P.crosses(a, b)
+    assert it == P.intersects(b, a)
+    assert to == P.touches(b, a)
+    assert ov == P.overlaps(b, a)
+    assert P.covers(a, b) == P.covered_by(b, a)
+    assert ct == P.within(b, a)
+    assert not (to and ov) and not (to and ct) and not (to and cr)
+    assert it == (to or P._interiors_meet(a, b))
+
+
+@given(nearby_pair())
+@settings(max_examples=60, deadline=None, phases=[Phase.generate])
+def test_poly_pair_coherence(ab):
+    a, b = ab
+    _coherent(a, b)
+    area = overlay.intersection_area_planar(a, b)
+    amin = 1e-6 * max(measure.geom_area_planar(a), measure.geom_area_planar(b))
+    if area > amin:
+        assert P._interiors_meet(a, b)
+    if P.covers(a, b):
+        ab_area = measure.geom_area_planar(b)
+        assert abs(area - ab_area) <= max(1e-6, 1e-5 * ab_area)
+
+
+@given(star_polygon_c())
+@settings(max_examples=60, deadline=None, phases=[Phase.generate])
+def test_shrunken_copy_contained(ac):
+    a, c = ac
+    small = ("Polygon", [(a[1][0] - c) * 0.4 + c])
+    assert P.within(small, a)
+    assert P.contains(a, small)
+    assert not P.touches(a, small)
