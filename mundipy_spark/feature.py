@@ -114,6 +114,14 @@ class Feature:
     def overlaps(self, other) -> bool:
         return predicates.overlaps(self.geom, _as_geom(other))
 
+    def relate(self, other) -> str:
+        """DE-9IM matrix string (reference geometry.py:141)."""
+        return predicates.relate(self.geom, _as_geom(other))
+
+    def relate_pattern(self, other, pattern: str) -> bool:
+        """DE-9IM pattern match (reference geometry.py:142)."""
+        return predicates.relate_pattern(self.geom, _as_geom(other), pattern)
+
     def equals(self, other) -> bool:
         return predicates.equals(self.geom, _as_geom(other))
 

@@ -385,6 +385,18 @@ st_overlaps = _pairwise_predicate("overlaps")
 st_disjoint = _pairwise_predicate("disjoint")
 
 
+@F.pandas_udf(T.StringType())
+def st_relate(a: pd.Series, b: pd.Series) -> pd.Series:
+    """DE-9IM matrix string per pair (reference geometry.py:141)."""
+    out = []
+    for ba, bb in zip(a, b):
+        if ba is None or bb is None:
+            out.append(None)
+            continue
+        out.append(predicates.relate(wkb.loads(bytes(ba)), wkb.loads(bytes(bb))))
+    return pd.Series(out, dtype="string")
+
+
 @F.pandas_udf(T.BooleanType())
 def st_dwithin(a: pd.Series, b: pd.Series, dist_m: pd.Series) -> pd.Series:
     """distance(a,b) <= d without materializing the buffer (the reference
@@ -935,6 +947,7 @@ _SQL_FUNCTIONS = {
     "st_crosses": st_crosses,
     "st_overlaps": st_overlaps,
     "st_disjoint": st_disjoint,
+    "st_relate": st_relate,
     "st_dwithin": st_dwithin,
     "st_cells": st_cells,
     "st_cells_classified": st_cells_classified,

@@ -928,6 +928,186 @@ PREDICATES = {
 
 
 # ---------------------------------------------------------------------------
+# DE-9IM relate matrix (reference geometry.py:141-142 — shapely's
+# relate / relate_pattern are part of the per-geometry dispatch surface)
+#
+# Each entry is the dimension of one pairwise intersection between the
+# interior / boundary / exterior decompositions:
+#   point sets:   I = the points,      B = empty
+#   line sets:    I = lines minus the mod-2 endpoints, B = those endpoints
+#   area sets:    I = open area,       B = the rings (closed lines)
+# computed with the same split-midpoint / interior-kind primitives the
+# named predicates use, so relate() and the named predicates cannot drift.
+# ---------------------------------------------------------------------------
+
+
+def _rings_of(geom):
+    """Polygon boundary as a MultiLineString of closed rings (whose own
+    mod-2 boundary is empty), or None for non-area geometries."""
+    t, data = geom
+    if t == "Polygon":
+        rings = [np.asarray(r, dtype=np.float64) for r in data]
+    elif t == "MultiPolygon":
+        rings = [np.asarray(r, dtype=np.float64) for poly in data for r in poly]
+    else:
+        return None
+    return ("MultiLineString", rings) if rings else None
+
+
+def _pts_near_pts(pa: np.ndarray, pb: np.ndarray, eps: float = 1e-9) -> bool:
+    if len(pa) == 0 or len(pb) == 0:
+        return False
+    return bool((np.abs(pa[:, None, :] - pb[None, :, :]).max(axis=2) <= eps).any())
+
+
+def _part_off_lines(geom, other) -> bool:
+    """Some sub-interval of geom's segments lies off other's segments
+    (other treated as a closed line set)."""
+    osegs = geom_segments(other)
+    mids = _split_midpoints(geom, other)
+    if len(mids) == 0:
+        return False
+    if len(osegs) == 0:
+        return True
+    return bool((~points_on_segments(mids[:, 0], mids[:, 1], osegs)).any())
+
+
+_KIND_DIM = {"run": "1", "point": "0", None: "F"}
+
+
+def relate(a, b) -> str:
+    """DE-9IM matrix string, row-major [II IB IE; BI BB BE; EI EB EE]
+    with rows = a's interior/boundary/exterior and entries in
+    {'F','0','1','2'}. GEOS semantics on valid (Multi)Point/Line/Polygon
+    inputs; GeometryCollections raise (as in JTS/GEOS relate)."""
+    for g in (a, b):
+        if g[0] == "GeometryCollection":
+            raise ValueError("relate is not supported on GeometryCollection")
+    da, db = _dim(a), _dim(b)
+
+    def ii() -> str:
+        if da == 0 or db == 0:
+            return "0" if _interiors_meet(a, b) else "F"
+        if da == 1 and db == 1:
+            return _KIND_DIM[_line_line_ii_kind(a, b)]
+        if da == 2 and db == 2:
+            return "2" if _poly_interiors_meet(a, b) else "F"
+        line, poly = (a, b) if da == 1 else (b, a)
+        return "1" if _line_interior_enters(line, poly) else "F"
+
+    def ib(x, dx, y, dy) -> str:
+        """dim(I(x) ∩ B(y))."""
+        if dy == 0:
+            return "F"
+        if dy == 1:
+            bnd = _line_boundary_points(y)
+            if len(bnd) == 0:
+                return "F"
+            if dx == 0:
+                return "0" if _pts_near_pts(_points_of(x), bnd) else "F"
+            if dx == 1:
+                segs = geom_segments(x)
+                if len(segs) == 0:
+                    return "F"
+                on = points_on_segments(bnd[:, 0], bnd[:, 1], segs)
+                if on.any() and (~_near_any(bnd[on], _line_boundary_points(x))).any():
+                    return "0"
+                return "F"
+            inside = points_in_geom(bnd[:, 0], bnd[:, 1], x, boundary=False)
+            return "0" if inside.any() else "F"
+        rings = _rings_of(y)
+        if rings is None:
+            return "F"
+        if dx == 0:
+            px = _points_of(x)
+            segs = geom_segments(rings)
+            hit = len(px) and points_on_segments(px[:, 0], px[:, 1], segs).any()
+            return "0" if hit else "F"
+        if dx == 1:
+            # rings have empty boundary, so the interior-kind primitive
+            # computes I(x) ∩ rings directly
+            return _KIND_DIM[_line_line_ii_kind(x, rings)]
+        return "1" if _line_interior_enters(rings, x) else "F"
+
+    def ie(x, dx, y, dy) -> str:
+        """dim(I(x) ∩ E(y)). E(y) is open, so a line interior meeting it
+        meets it in dim 1 and an area interior in dim 2."""
+        if dx == 0:
+            px = _points_of(x)
+            return "0" if (~_points_hit_geom(px, y)).any() else "F"
+        if dx == 1:
+            if dy == 0:
+                return "1" if len(geom_segments(x)) else "F"
+            if dy == 1:
+                return "1" if _part_off_lines(x, y) else "F"
+            return "1" if _part_outside(x, y) else "F"
+        if dy == 2:
+            return "F" if covers(y, x) else "2"
+        return "2"  # an area never fits inside a line/point closure
+
+    def be(x, y, dy) -> str:
+        """dim(B(x) ∩ E(y))."""
+        dx = _dim(x)
+        if dx == 0:
+            return "F"
+        if dx == 1:
+            bnd = _line_boundary_points(x)
+            if len(bnd) == 0:
+                return "F"
+            return "0" if (~_points_hit_geom(bnd, y)).any() else "F"
+        rings = _rings_of(x)
+        if rings is None:
+            return "F"
+        if dy == 0:
+            return "1"
+        if dy == 1:
+            return "1" if _part_off_lines(rings, y) else "F"
+        return "1" if _part_outside(rings, y) else "F"
+
+    def bb() -> str:
+        if da == 0 or db == 0:
+            return "F"
+        if da == 1 and db == 1:
+            return (
+                "0"
+                if _pts_near_pts(_line_boundary_points(a), _line_boundary_points(b))
+                else "F"
+            )
+        if da == 1 or db == 1:
+            ln, ar = (a, b) if da == 1 else (b, a)
+            bnd = _line_boundary_points(ln)
+            segs = geom_segments(_rings_of(ar))
+            hit = len(bnd) and points_on_segments(bnd[:, 0], bnd[:, 1], segs).any()
+            return "0" if hit else "F"
+        return _KIND_DIM[_line_line_ii_kind(_rings_of(a), _rings_of(b))]
+
+    return "".join(
+        [
+            ii(), ib(a, da, b, db), ie(a, da, b, db),
+            ib(b, db, a, da), bb(), be(a, b, db),
+            ie(b, db, a, da), be(b, a, da), "2",
+        ]
+    )
+
+
+def relate_pattern(a, b, pattern: str) -> bool:
+    """Does relate(a, b) match a DE-9IM pattern ('T' = any non-F,
+    '*' = anything, 'F'/'0'/'1'/'2' exact; case-insensitive)."""
+    pattern = pattern.strip().upper()
+    if len(pattern) != 9 or any(c not in "TF012*" for c in pattern):
+        raise ValueError(f"invalid DE-9IM pattern: {pattern!r}")
+    for mc, pc in zip(relate(a, b), pattern):
+        if pc == "*":
+            continue
+        if pc == "T":
+            if mc == "F":
+                return False
+        elif pc != mc:
+            return False
+    return True
+
+
+# ---------------------------------------------------------------------------
 # unary predicates + equality (reference geometry.py:75,111-112,125-129)
 # ---------------------------------------------------------------------------
 

@@ -443,3 +443,31 @@ def test_within_distance_geom_join_matches_bruteforce(spark):
         if predicates.points_in_geom(np.array([x]), np.array([y]), geom)[0]
     }
     assert ins <= zero | set()
+
+
+def test_st_relate_spark_surface(spark):
+    """st_relate returns the DE-9IM matrix per pair through the Arrow
+    UDF path, matching the kernel (reference geometry.py:141)."""
+    from pyspark.sql import functions as F
+
+    from mundipy_spark.functions import st
+    from mundipy_spark.kernels import predicates, wkb
+
+    def rect(x0, y0, x1, y1):
+        return (
+            "Polygon",
+            [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)],
+        )
+
+    pairs = [
+        (rect(0, 0, 2, 1), rect(2, 0, 3, 1)),
+        (rect(0, 0, 2, 1), rect(1, 0, 3, 1)),
+        (("Point", np.array([0.5, 0.5])), rect(0, 0, 1, 1)),
+        (("LineString", np.array([[-1.0, 0.5], [3.0, 0.5]])), rect(0, 0, 1, 1)),
+    ]
+    rows = [(wkb.dumps(a), wkb.dumps(b)) for a, b in pairs]
+    df = spark.createDataFrame(rows, "a binary, b binary")
+    got = [r.m for r in df.select(st.st_relate(F.col("a"), F.col("b")).alias("m")).collect()]
+    want = [predicates.relate(a, b) for a, b in pairs]
+    assert got == want
+    assert got[0] == "FF2F11212" and got[3] == "101FF0212"

@@ -458,6 +458,11 @@ def test_feature_predicate_parity():
     assert a.overlaps(overlap) and overlap.overlaps(a)
     assert not a.overlaps(inner) and not a.overlaps(far)
 
+    # relate / relate_pattern (reference geometry.py:141-142)
+    assert a.relate(edge) == "212F11FF2"  # covers with shared boundary
+    assert edge.relate_pattern(a, "T*F**F***")  # covered_by-with-interior
+    assert a.relate(far) == "FF2FF1212"
+
     # equality family
     shifted = Feature(
         ("Polygon", [a.geom[1][0] + np.array([1e-8, 1e-8])])

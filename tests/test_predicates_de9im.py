@@ -264,3 +264,112 @@ def test_shrunken_copy_contained(ac):
     assert P.within(small, a)
     assert P.contains(a, small)
     assert not P.touches(a, small)
+
+
+# --- relate: pinned GEOS matrices --------------------------------------------
+
+
+RELATE_GOLDENS = [
+    # (a, b, GEOS relate(a,b))
+    (rect(0, 0, 2, 1), rect(2, 0, 3, 1), "FF2F11212"),  # edge-adjacent
+    (rect(0, 0, 2, 1), rect(1, 0, 3, 1), "212111212"),  # collinear-edge overlap
+    (rect(0, 0, 2, 1), rect(0, 0, 2, 1), "2FFF1FFF2"),  # identical
+    (point(0.5, 0.5), SQ, "0FFFFF212"),  # point in interior
+    (point(0, 0.5), SQ, "F0FFFF212"),  # point on boundary
+    (line((-1, 0.5), (3, 0.5)), rect(0, 0, 1, 1), "101FF0212"),  # through-cross
+    (line((0, 0.5), (1, 0.5)), SQ, "1FFF0F212"),  # chord, endpoints on boundary
+    (HSEG, SQ, "F1FF0F212"),  # line lying on the boundary
+    (line((0, -1), (0, 1)), line((-1, 0), (1, 0)), "0F1FF0102"),  # X cross
+    (HSEG, line((0.5, 0), (2, 0)), "1010F0102"),  # collinear line overlap
+    (HSEG, line((1, 0), (2, 0)), "FF1F00102"),  # endpoint-to-endpoint touch
+    (point(0.5, 0), HSEG, "0FFFFF102"),  # point in line interior
+    (point(0, 0), HSEG, "F0FFFF102"),  # point at line endpoint
+    (rect(1, 1, 3, 3), rect(0, 0, 10, 10), "2FF1FF212"),  # strictly inside
+]
+
+
+@pytest.mark.parametrize("a,b,want", RELATE_GOLDENS)
+def test_relate_goldens(a, b, want):
+    assert P.relate(a, b) == want
+    # symmetry: relate(b,a) is the transpose
+    m = P.relate(a, b)
+    t = "".join(m[3 * c + r] for r in range(3) for c in range(3))
+    assert P.relate(b, a) == t
+
+
+def test_relate_hole_spanning():
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], float)
+    a = ("Polygon", [outer, hole])
+    m = P.relate(a, rect(3, 3, 7, 7))
+    assert m[0] == "2"  # interiors meet (the annulus part)
+    assert m[6] == "2"  # b's interior spills into a's exterior (the hole)
+    assert not P.relate_pattern(a, rect(3, 3, 7, 7), "T*****FF*")  # not covers
+
+
+def test_relate_pattern_semantics():
+    assert P.relate_pattern(point(0.5, 0.5), SQ, "T*F**F***")  # within
+    assert P.relate_pattern(rect(0, 0, 2, 1), rect(2, 0, 3, 1), "F***T****")
+    assert not P.relate_pattern(rect(0, 0, 2, 1), rect(1, 0, 3, 1), "F***T****")
+    assert P.relate_pattern(HSEG, line((0.5, 0), (2, 0)), "1*T***T**")  # overlaps
+    with pytest.raises(ValueError):
+        P.relate_pattern(SQ, SQ, "T*F")
+    with pytest.raises(ValueError):
+        P.relate_pattern(SQ, SQ, "T*F**F**X")
+    with pytest.raises(ValueError):
+        P.relate(("GeometryCollection", [SQ]), SQ)
+
+
+def _named_from_relate(a, b):
+    """The OGC pattern definitions of every named predicate."""
+    da, db = P._dim(a), P._dim(b)
+    inter = not P.relate_pattern(a, b, "FF*FF****")
+    touch = any(
+        P.relate_pattern(a, b, p) for p in ("FT*******", "F**T*****", "F***T****")
+    )
+    if da == db == 1:
+        crosses = P.relate_pattern(a, b, "0********")
+    elif da < db:
+        crosses = P.relate_pattern(a, b, "T*T******")
+    elif da > db:
+        crosses = P.relate_pattern(a, b, "T*****T**")
+    else:
+        crosses = False
+    if da != db:
+        over = False
+    elif da == 1:
+        over = P.relate_pattern(a, b, "1*T***T**")
+    else:
+        over = P.relate_pattern(a, b, "T*T***T**")
+    covers = any(
+        P.relate_pattern(a, b, p)
+        for p in ("T*****FF*", "*T****FF*", "***T**FF*", "****T*FF*")
+    )
+    within = P.relate_pattern(a, b, "T*F**F***")
+    return inter, touch, crosses, over, covers, within
+
+
+def _relate_coherent(a, b):
+    inter, touch, crosses, over, covers, within = _named_from_relate(a, b)
+    assert inter == P.intersects(a, b)
+    assert touch == P.touches(a, b)
+    assert crosses == P.crosses(a, b)
+    assert over == P.overlaps(a, b)
+    assert covers == P.covers(a, b)
+    assert within == P.within(a, b)
+
+
+@pytest.mark.parametrize("a,b,want", RELATE_GOLDENS)
+def test_named_predicates_match_relate_patterns(a, b, want):
+    _relate_coherent(a, b)
+    _relate_coherent(b, a)
+
+
+@given(nearby_pair())
+@settings(max_examples=40, deadline=None, phases=[Phase.generate])
+def test_poly_pair_relate_coherence(ab):
+    a, b = ab
+    _relate_coherent(a, b)
+    m = P.relate(a, b)
+    t = "".join(m[3 * c + r] for r in range(3) for c in range(3))
+    assert P.relate(b, a) == t
