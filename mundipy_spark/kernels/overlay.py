@@ -698,8 +698,14 @@ def _split_pinches(ring: np.ndarray, tol: float) -> list[np.ndarray]:
         n = len(r)
         pair = None
         if n >= 6:
+            # grid in ring-local coordinates: r/cell for a small-extent
+            # ring far from the origin (web-mercator magnitudes with a
+            # tol ~ ext*1e-12 cell) overflows the int64 cast; r - min is
+            # bounded by extent/cell, and cell equality is translation-
+            # invariant so the detection is unchanged
+            rl = r - r.min(axis=0)
             for ox, oy in ((0.0, 0.0), (0.5, 0.0), (0.0, 0.5), (0.5, 0.5)):
-                q = np.floor(r / cell + (ox, oy)).astype(np.int64)
+                q = np.floor(rl / cell + (ox, oy)).astype(np.int64)
                 # vectorized duplicate-cell detection (the common
                 # no-pinch case must stay numpy-only: this runs on every
                 # pair op of a tree union)

@@ -425,8 +425,6 @@ def _line_boundary_points(geom) -> np.ndarray:
     """Boundary of a (Multi)LineString: endpoints occurring an odd
     number of times (the mod-2 rule — a closed line has empty
     boundary), as (n,2)."""
-    from collections import Counter
-
     t, data = geom
     if t == "LineString":
         lines = [data]
@@ -438,14 +436,24 @@ def _line_boundary_points(geom) -> np.ndarray:
         return np.vstack(parts) if parts else np.zeros((0, 2))
     else:
         return np.zeros((0, 2))
-    cnt: Counter = Counter()
+    # cluster endpoints by the kernel's 1e-9 Chebyshev tolerance (NOT by
+    # decimal rounding: a seam closed to float noise can straddle a
+    # rounding boundary and count as two phantom odd endpoints)
+    reps: list[np.ndarray] = []
+    counts: list[int] = []
     for l in lines:
         l = np.asarray(l, dtype=np.float64)
         if len(l) < 2:
             continue
         for pt in (l[0], l[-1]):
-            cnt[(round(float(pt[0]), 9), round(float(pt[1]), 9))] += 1
-    pts = [k for k, v in cnt.items() if v % 2 == 1]
+            for i, r in enumerate(reps):
+                if abs(pt[0] - r[0]) <= 1e-9 and abs(pt[1] - r[1]) <= 1e-9:
+                    counts[i] += 1
+                    break
+            else:
+                reps.append(pt)
+                counts.append(1)
+    pts = [r for r, c in zip(reps, counts) if c % 2 == 1]
     return np.array(pts, dtype=np.float64) if pts else np.zeros((0, 2))
 
 
@@ -711,13 +719,18 @@ def intersects(a, b) -> bool:
 
 def _points_hit_geom(pts: np.ndarray, g, eps: float = 1e-9) -> np.ndarray:
     """Which points intersect geometry g (area: PIP incl. boundary;
-    lines: within eps of a segment)."""
+    lines: within eps of a segment; points: within eps of a point)."""
     hit = np.zeros(len(pts), dtype=bool)
     if has_area(g):
         hit |= points_in_geom(pts[:, 0], pts[:, 1], g)
     segs = geom_segments(g)
     if len(segs) and not has_area(g):
         hit |= points_on_segments(pts[:, 0], pts[:, 1], segs, eps)
+    pg = _points_of(g)
+    if pg is not None and len(pg):
+        hit |= (np.abs(pts[:, None, :] - pg[None, :, :]).max(axis=2) <= eps).any(
+            axis=1
+        )
     return hit
 
 
@@ -777,14 +790,19 @@ def covers(a, b) -> bool:
         ).any():
             return False
         # coincident-ring degeneracy (b == a hole of a): boundary tests
-        # all pass, but b's interior is outside a
+        # all pass, but b's interior is outside a. Probe EVERY component
+        # of b — one coincident member of a MultiPolygon must not hide
+        # behind a sibling's representative point.
         from mundipy_spark.kernels import constructive
 
-        rp = constructive.representative_point(b)[1]
-        if not points_in_geom(
-            np.array([float(rp[0])]), np.array([float(rp[1])]), a, boundary=True
-        )[0]:
-            return False
+        t, data = b
+        parts = [b] if t == "Polygon" else [("Polygon", rings) for rings in data]
+        for part in parts:
+            rp = constructive.representative_point(part)[1]
+            if not points_in_geom(
+                np.array([float(rp[0])]), np.array([float(rp[1])]), a, boundary=True
+            )[0]:
+                return False
     return True
 
 
@@ -941,23 +959,31 @@ PREDICATES = {
 # ---------------------------------------------------------------------------
 
 
+def _close_ring(r: np.ndarray) -> np.ndarray:
+    """Append the closing vertex when the ring is stored open (the
+    polygon kernels accept both forms; as a LINE the closing edge must
+    be explicit or mod-2 counts phantom boundary endpoints)."""
+    r = np.asarray(r, dtype=np.float64)
+    if len(r) >= 3 and (r[0] != r[-1]).any():
+        return np.vstack([r, r[:1]])
+    return r
+
+
 def _rings_of(geom):
     """Polygon boundary as a MultiLineString of closed rings (whose own
     mod-2 boundary is empty), or None for non-area geometries."""
     t, data = geom
     if t == "Polygon":
-        rings = [np.asarray(r, dtype=np.float64) for r in data]
+        rings = [_close_ring(r) for r in data]
     elif t == "MultiPolygon":
-        rings = [np.asarray(r, dtype=np.float64) for poly in data for r in poly]
+        rings = [_close_ring(r) for poly in data for r in poly]
     else:
         return None
     return ("MultiLineString", rings) if rings else None
 
 
 def _pts_near_pts(pa: np.ndarray, pb: np.ndarray, eps: float = 1e-9) -> bool:
-    if len(pa) == 0 or len(pb) == 0:
-        return False
-    return bool((np.abs(pa[:, None, :] - pb[None, :, :]).max(axis=2) <= eps).any())
+    return len(pa) > 0 and bool(_near_any(pa, pb, eps).any())
 
 
 def _part_off_lines(geom, other) -> bool:

@@ -149,17 +149,14 @@ def run_pipeline(
 
     if todo_keys:
         slice_df = out.filter(F.col("part_key").isin(todo_keys))
-        conf_key = "spark.sql.sources.partitionOverwriteMode"
-        old_mode = spark.conf.get(conf_key, "static")
-        spark.conf.set(conf_key, "dynamic")
-        try:
-            (
-                slice_df.write.mode("overwrite")
-                .partitionBy("part_key")
-                .parquet(data_path)
-            )
-        finally:
-            spark.conf.set(conf_key, old_mode)
+        # per-writer option, not the session conf: toggling the global
+        # races with concurrent writes in the same session
+        (
+            slice_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part_key")
+            .parquet(data_path)
+        )
         # the write succeeded, so the written slice IS the input slice
         # whose metrics were just computed — record those rows verbatim
         done = spark.createDataFrame(

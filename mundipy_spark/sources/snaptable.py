@@ -49,6 +49,14 @@ from pyspark.sql import functions as F
 
 _META = "metadata"
 _DATA = "data"
+_TMP_MIN_AGE_S = 300.0  # expire() won't reap tmps younger than this
+
+
+def _unlink_quiet(p: str) -> None:
+    try:
+        os.unlink(p)
+    except FileNotFoundError:
+        pass
 
 
 class ConflictError(RuntimeError):
@@ -240,9 +248,13 @@ def _commit(
         except FileExistsError:
             # lost the race; our manifest + tmp attempts are orphaned
             # (no snapshot points at them) — retry against the new head
-            os.unlink(tmp)
+            _unlink_quiet(tmp)
             continue
-        os.unlink(tmp)
+        except FileNotFoundError:
+            # a concurrent expire() reaped our tmp before the link —
+            # same outcome as a lost race: rewrite and retry
+            continue
+        _unlink_quiet(tmp)
         return version
     raise RuntimeError(f"snaptable commit to {path}: lost {max_retries} races")
 
@@ -529,12 +541,22 @@ def expire(path: str, keep_from: int) -> dict:
     # attempts, expired snapshots) are referenced by no surviving
     # snapshot; reclaim them
     meta = _meta_dir(path)
+    now = time.time()
     for name in os.listdir(meta):
         rel = os.path.join(_META, name)
+        full = os.path.join(meta, name)
         if name.startswith("manifest-") and rel not in live_manifests:
-            os.remove(os.path.join(meta, name))
+            os.remove(full)
         elif name.endswith(".tmp"):
-            os.remove(os.path.join(meta, name))
+            # min-age guard (the Iceberg orphan-file rule): a FRESH tmp
+            # may belong to a commit in flight between its write and
+            # os.link — reaping it would turn that commit's publish into
+            # a spurious retry; _commit also tolerates the race
+            try:
+                if now - os.path.getmtime(full) > _TMP_MIN_AGE_S:
+                    os.remove(full)
+            except FileNotFoundError:
+                pass
     return {"removed_data_files": removed_data, "oldest_kept": keep_from}
 
 

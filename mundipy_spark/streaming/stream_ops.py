@@ -44,19 +44,16 @@ def geocode_batch_handler(regions: DataFrame, out_path: str, res: int = 8):
     def handle(batch: DataFrame, epoch_id: int) -> None:
         geo = geoparse.parse_geo_tokens(batch, matched_only=True)
         tagged = joins.tile_join_points(geo, regions, res=res, how="inner")
-        spark = batch.sparkSession
-        conf_key = "spark.sql.sources.partitionOverwriteMode"
-        old_mode = spark.conf.get(conf_key, "static")
-        spark.conf.set(conf_key, "dynamic")
-        try:
-            (
-                tagged.withColumn("_epoch", F.lit(epoch_id))
-                .write.mode("overwrite")
-                .partitionBy("_epoch")
-                .parquet(out_path)
-            )
-        finally:
-            spark.conf.set(conf_key, old_mode)
+        (
+            tagged.withColumn("_epoch", F.lit(epoch_id))
+            # per-writer option, not the session conf: toggling the
+            # session global races with concurrent writes that expect
+            # static semantics
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(out_path)
+        )
 
     return handle
 

@@ -688,3 +688,35 @@ def test_overlay_difference_pinched_donut_hole():
     assert abs(ia - 1.125) < 1e-6
     assert abs(da - 1.875) < 1e-6, da
     assert d[0] == "Polygon" and len(d[1]) == 2  # outer + hole
+
+
+def test_split_pinches_far_from_origin_no_overflow():
+    """Grid keys are computed in ring-local coordinates: a small-extent
+    ring at web-mercator magnitudes with a tol ~ ext*1e-12 cell must not
+    overflow the int64 cast (which raises under warnings-as-errors and
+    collapses the dedup grid to one bucket)."""
+    import warnings
+
+    from mundipy_spark.kernels import overlay as ov
+
+    x0 = 2.0e7
+    ring = np.array(
+        [[x0, 0.0], [x0 + 0.1, 0.0], [x0 + 0.1, 0.1], [x0, 0.1]], float
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = ov._split_pinches(ring, tol=0.1 * 1e-12)
+    assert len(out) == 1 and len(out[0]) == 4
+
+    # a genuine pinch at the same magnitude still splits into two lobes
+    pinched = np.array(
+        [
+            [x0, 0.0], [x0 + 1.0, 0.0], [x0 + 1.0, 1.0], [x0, 1.0],
+            [x0, 0.0], [x0 - 1.0, 0.0], [x0 - 1.0, -1.0], [x0, -1.0],
+        ],
+        float,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        lobes = ov._split_pinches(pinched, tol=1e-9)
+    assert len(lobes) == 2

@@ -373,3 +373,56 @@ def test_poly_pair_relate_coherence(ab):
     m = P.relate(a, b)
     t = "".join(m[3 * c + r] for r in range(3) for c in range(3))
     assert P.relate(b, a) == t
+
+
+# --- review-pass regressions ---------------------------------------------------
+
+
+def test_point_point_covers_contains_relate():
+    """_points_hit_geom must match point-geometry targets: identical
+    points cover/contain each other and relate as '0FFFFFFF2'."""
+    p = point(1, 1)
+    assert P.covers(p, p) and P.contains(p, p) and P.covered_by(p, p)
+    assert P.relate(p, p) == "0FFFFFFF2"
+    q = point(2, 2)
+    assert P.relate(p, q) == "FF0FFF0F2"
+    mp = ("MultiPoint", np.array([[1.0, 1.0], [2.0, 2.0]]))
+    assert P.covers(mp, p) and not P.covers(p, mp)
+    assert P.relate(mp, p) == "0F0FFFFF2"
+    assert P.contains(mp, p) and P.within(p, mp)
+
+
+def test_covers_rejects_multipolygon_hole_coincident_member():
+    """The coincident-ring degeneracy probe must test EVERY component
+    of a MultiPolygon b, not one representative point."""
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    hole = np.array([[6, 6], [7, 6], [7, 7], [6, 7], [6, 6]], float)
+    a = ("Polygon", [outer, hole])
+    solid = rect(1, 1, 5, 5)[1][0]
+    b = ("MultiPolygon", [[solid], [hole.copy()]])
+    assert not P.covers(a, b)  # the hole-shaped member's interior is outside a
+    assert P.relate(a, b)[6] == "2"  # EI: b spills into a's exterior
+    good = ("MultiPolygon", [[solid], [rect(8, 8, 9, 9)[1][0]]])
+    assert P.covers(a, good)
+
+
+def test_relate_open_ring_polygon_matches_closed():
+    """_rings_of must emit the implicit closing edge of open-form rings;
+    the crossing on that edge is a BI contact."""
+    a_open = ("Polygon", [np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float)])
+    a_closed = rect(0, 0, 4, 4)
+    l = line((-1, 2), (1, 2))  # crosses the LEFT (closing) edge, ends inside
+    assert P.relate(a_open, l) == P.relate(a_closed, l) == "1020F1102"
+
+
+def test_float_noise_closed_seam_has_empty_boundary():
+    """Endpoint dedup must use the 1e-9 tolerance, not decimal rounding:
+    a seam closed to 3e-16 straddling a 9th-decimal rounding boundary is
+    still closed (empty mod-2 boundary)."""
+    e1 = 0.1234567894999999
+    e2 = 0.1234567895000002
+    assert round(e1, 9) != round(e2, 9)  # the construction is on the boundary
+    ring = line((e1, 0.0), (1.0, 0.0), (1.0, 1.0), (e2, 0.0))
+    assert len(P._line_boundary_points(ring)) == 0
+    probe = line((e1, 0.0), (e1 - 1.0, 0.0))
+    assert P.touches(probe, ring)  # probe's endpoint hits ring INTERIOR

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -580,5 +581,11 @@ def test_crashed_commit_attempt_is_invisible_and_reclaimed(
     assert snaptable.read(spark, path).count() == 1000
     v = snaptable.append(spark, path, docs.limit(5))
     assert v == 2  # the crashed attempt never claimed version 2
+    # a FRESH tmp may belong to an in-flight commit: expire must keep it
+    snaptable.expire(path, keep_from=2)
+    assert os.path.exists(orphan)
+    # ...and reap it once it is older than the min-age guard
+    old = time.time() - 3600
+    os.utime(orphan, (old, old))
     snaptable.expire(path, keep_from=2)
     assert not os.path.exists(orphan)
