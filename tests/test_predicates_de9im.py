@@ -426,3 +426,57 @@ def test_float_noise_closed_seam_has_empty_boundary():
     assert len(P._line_boundary_points(ring)) == 0
     probe = line((e1, 0.0), (e1 - 1.0, 0.0))
     assert P.touches(probe, ring)  # probe's endpoint hits ring INTERIOR
+
+
+# --- mixed-dimension + hole-bearing coherence campaigns ------------------------
+
+
+@st.composite
+def polyline_c(draw):
+    n = draw(st.integers(2, 6))
+    cx = draw(coord)
+    cy = draw(st.floats(-60.0, 60.0))
+    pts = np.c_[
+        [cx + draw(st.floats(-6.0, 6.0)) for _ in range(n)],
+        [cy + draw(st.floats(-6.0, 6.0)) for _ in range(n)],
+    ]
+    return ("LineString", pts)
+
+
+@st.composite
+def holed_polygon_c(draw):
+    a, c = draw(star_polygon_c())
+    ring = a[1][0]
+    hole = (ring - c) * draw(st.floats(0.15, 0.45)) + c
+    return ("Polygon", [ring, hole[::-1].copy()]), c
+
+
+@given(star_polygon_c(), polyline_c())
+@settings(max_examples=50, deadline=None, phases=[Phase.generate])
+def test_line_poly_relate_coherence(ac, l):
+    a, c = ac
+    # anchor the line near the polygon so contact configurations occur
+    l = ("LineString", l[1] - l[1][:1] + c + [1.0, 0.5])
+    _relate_coherent(a, l)
+    _relate_coherent(l, a)
+    m = P.relate(a, l)
+    t = "".join(m[3 * cc + r] for r in range(3) for cc in range(3))
+    assert P.relate(l, a) == t
+
+
+@given(holed_polygon_c(), st.floats(-3.0, 3.0), st.floats(-3.0, 3.0), st.floats(0.2, 1.2))
+@settings(max_examples=50, deadline=None, phases=[Phase.generate])
+def test_holed_poly_pair_relate_coherence(ac, dx, dy, s):
+    a, c = ac
+    b = ("Polygon", [(a[1][0] - c) * s + c + [dx, dy]])
+    _relate_coherent(a, b)
+    _relate_coherent(b, a)
+
+
+@given(holed_polygon_c(), polyline_c())
+@settings(max_examples=50, deadline=None, phases=[Phase.generate])
+def test_holed_poly_line_relate_coherence(ac, l):
+    a, c = ac
+    l = ("LineString", l[1] - l[1][:1] + c)  # start at the centroid (in the hole)
+    _relate_coherent(a, l)
+    _relate_coherent(l, a)
