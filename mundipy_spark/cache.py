@@ -96,8 +96,13 @@ def union_spatial_cache(fn=None, maxsize: int = 128):
     union. One sound deviation from the reference: new results are
     keyed by the area fn actually ran on (the reference keys by the
     full query geometry, which can serve later queries an incomplete
-    list for the already-covered part). `wrapped.cache_info` counts a
-    hit per cached region used and a miss per fn invocation."""
+    list for the already-covered part). Reference-parity caveat kept
+    as-is: an item straddling the boundary between a cached region and
+    the freshly-queried remainder is returned once from each side —
+    the reference has the same behavior (its `# TODO drop duplicates`,
+    cache/__init__.py:97); deduping would need geometry equality the
+    reference does not define. `wrapped.cache_info` counts a hit per
+    cached region used and a miss per fn invocation."""
     if fn is None:
         return lambda f: union_spatial_cache(f, maxsize=maxsize)
 

@@ -317,14 +317,26 @@ def st_convexhull(g: pd.Series) -> pd.Series:
     )
 
 
+def _num(v):
+    """Numeric UDF argument -> float, or None for SQL null (which Arrow
+    delivers as None or NaN depending on the column dtype). SQL
+    semantics: null argument in, null result out — without this a null
+    distance silently became False/NaN-coordinate garbage."""
+    if v is None:
+        return None
+    f = float(v)
+    return None if f != f else f
+
+
 @F.pandas_udf(T.BinaryType())
 def st_buffer(g: pd.Series, dist_m: pd.Series) -> pd.Series:
     out = []
     for b, d in zip(g, dist_m):
-        if b is None:
+        d = _num(d)
+        if b is None or d is None:
             out.append(None)
             continue
-        out.append(wkb.dumps(constructive.buffer_m(wkb.loads(b), float(d))))
+        out.append(wkb.dumps(constructive.buffer_m(wkb.loads(b), d)))
     return pd.Series(out)
 
 
@@ -332,10 +344,11 @@ def st_buffer(g: pd.Series, dist_m: pd.Series) -> pd.Series:
 def st_simplify(g: pd.Series, tol: pd.Series) -> pd.Series:
     out = []
     for b, t in zip(g, tol):
-        if b is None:
+        t = _num(t)
+        if b is None or t is None:
             out.append(None)
             continue
-        out.append(wkb.dumps(constructive.simplify(wkb.loads(b), float(t))))
+        out.append(wkb.dumps(constructive.simplify(wkb.loads(b), t)))
     return pd.Series(out)
 
 
@@ -363,11 +376,13 @@ def _pairwise_predicate(name: str):
                 out.append(None)
                 continue
             ka = bytes(ba)
-            if ka not in ga_cache:  # polygon side repeats a lot in joins
-                ga_cache[ka] = wkb.loads(ka)
-                if len(ga_cache) > 4096:
+            ga = ga_cache.get(ka)
+            if ga is None:  # polygon side repeats a lot in joins
+                ga = wkb.loads(ka)
+                if len(ga_cache) >= 4096:
                     ga_cache.clear()
-            out.append(fn(ga_cache[ka], wkb.loads(bb)))
+                ga_cache[ka] = ga
+            out.append(fn(ga, wkb.loads(bb)))
         return pd.Series(out, dtype="boolean")
 
     _udf.__name__ = f"st_{name}"
@@ -404,10 +419,11 @@ def st_dwithin(a: pd.Series, b: pd.Series, dist_m: pd.Series) -> pd.Series:
     — equivalent semantics, cheaper plan)."""
     out = []
     for ba, bb, d in zip(a, b, dist_m):
-        if ba is None or bb is None:
+        d = _num(d)
+        if ba is None or bb is None or d is None:
             out.append(None)
             continue
-        out.append(measure.geom_distance_m(wkb.loads(ba), wkb.loads(bb)) <= float(d))
+        out.append(measure.geom_distance_m(wkb.loads(ba), wkb.loads(bb)) <= d)
     return pd.Series(out, dtype="boolean")
 
 
@@ -417,7 +433,8 @@ def st_cells(g: pd.Series, res: pd.Series) -> pd.Series:
     tile join (flatMap-style via F.explode downstream)."""
     out = []
     for b, r in zip(g, res):
-        if b is None:
+        r = _num(r)
+        if b is None or r is None:
             out.append(None)
             continue
         out.append(tiling.cover_geometry(wkb.loads(b), int(r)).tolist())
@@ -441,7 +458,8 @@ def st_cells_classified(g: pd.Series, res: pd.Series) -> pd.Series:
     join skips exact refinement for them (S2-style interior covering)."""
     out = []
     for b, r in zip(g, res):
-        if b is None:
+        r = _num(r)
+        if b is None or r is None:
             out.append(None)
             continue
         cells, full = tiling.cover_geometry_classified(wkb.loads(b), int(r))
@@ -610,10 +628,18 @@ def pip_refine_agg_expr(
 
 @F.pandas_udf(T.LongType())
 def st_cell_of_geom(g: pd.Series, res: pd.Series) -> pd.Series:
-    """Cell of a geometry's representative point (points: the point)."""
+    """Cell of a geometry's representative point (points: the point).
+    res is vectorized per unique value, so a per-row resolution column
+    (multi-res layers) computes correctly, while the common literal-res
+    case stays one kernel call for the whole batch."""
     xs, ys = _xy(g)
-    r = int(res.iloc[0]) if len(res) else 0
-    return pd.Series(tiling.point_cell(xs, ys, r))
+    rv = pd.to_numeric(res, errors="coerce").to_numpy(dtype="float64")
+    uniq = np.unique(rv[~np.isnan(rv)])
+    out = np.zeros(len(res), dtype=np.int64)
+    for r in uniq:
+        m = rv == r
+        out[m] = tiling.point_cell(xs[m], ys[m], int(r))
+    return pd.Series(out)
 
 
 _POINT_INTERSECTS_CACHE_LIMIT = 4096
@@ -803,10 +829,11 @@ st_minimum_rotated_rectangle = _unary_geom(
 def st_interpolate(g: pd.Series, dist: pd.Series) -> pd.Series:
     out = []
     for b, d in zip(g, dist):
-        if not isinstance(b, (bytes, bytearray, memoryview)):
+        d = _num(d)
+        if not isinstance(b, (bytes, bytearray, memoryview)) or d is None:
             out.append(None)
             continue
-        out.append(wkb.dumps(constructive.interpolate(wkb.loads(bytes(b)), float(d))))
+        out.append(wkb.dumps(constructive.interpolate(wkb.loads(bytes(b)), d)))
     return pd.Series(out)
 
 
@@ -816,10 +843,11 @@ def st_line_locate_point(g: pd.Series, px: pd.Series, py: pd.Series) -> pd.Serie
     line of the closest point."""
     out = []
     for b, x, y in zip(g, px, py):
-        if not isinstance(b, (bytes, bytearray, memoryview)):
+        x, y = _num(x), _num(y)
+        if not isinstance(b, (bytes, bytearray, memoryview)) or x is None or y is None:
             out.append(None)
             continue
-        out.append(constructive.line_project(wkb.loads(bytes(b)), (float(x), float(y))))
+        out.append(constructive.line_project(wkb.loads(bytes(b)), (x, y)))
     return pd.Series(out, dtype="float64")
 
 
@@ -868,13 +896,16 @@ def st_equals(a: pd.Series, b: pd.Series) -> pd.Series:
 def st_equals_exact(a: pd.Series, b: pd.Series, tol: pd.Series) -> pd.Series:
     out = []
     for ba, bb, t in zip(a, b, tol):
-        if not isinstance(ba, (bytes, bytearray, memoryview)) or not isinstance(
-            bb, (bytes, bytearray, memoryview)
+        t = _num(t)
+        if (
+            not isinstance(ba, (bytes, bytearray, memoryview))
+            or not isinstance(bb, (bytes, bytearray, memoryview))
+            or t is None
         ):
             out.append(None)
             continue
         out.append(
-            predicates.equals_exact(wkb.loads(bytes(ba)), wkb.loads(bytes(bb)), float(t))
+            predicates.equals_exact(wkb.loads(bytes(ba)), wkb.loads(bytes(bb)), t)
         )
     return pd.Series(out, dtype="boolean")
 

@@ -8,6 +8,8 @@ definition the DuckDB oracle can reproduce in SQL (see __spark_entry__).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
@@ -149,7 +151,7 @@ def lang_id(text: pd.Series) -> pd.Series:
         if n_cjk > max(4, len(t[:2000]) * 0.05):
             out.append("zh")
             continue
-        toks = t.lower().split()
+        toks = _ascii_tokens(t)
         if not toks:
             out.append("und")
             continue
@@ -160,6 +162,18 @@ def lang_id(text: pd.Series) -> pd.Series:
                 best, best_hits = lang, hits
         out.append(best if best_hits > 0 else "und")
     return pd.Series(out)
+
+
+# ASCII \s == Java regex \s == the twins' RE2 [\s\x0b] — exactly the set
+# Spark's F.split(r"\s+") breaks on. Python str.split() splits on ALL
+# Unicode whitespace (U+00A0 etc., ubiquitous in scraped HTML), which
+# silently diverged the pandas-UDF tokenizers from both the Spark
+# column tokenizers and the DuckDB oracles on real web text.
+_ASCII_WS_SPLIT = re.compile(r"\s+", re.ASCII).split
+
+
+def _ascii_tokens(t: str) -> list[str]:
+    return [w for w in _ASCII_WS_SPLIT(t.lower()) if w]
 
 
 # Executor-local token-hash memo (Zipfian vocab: most tokens repeat, so
@@ -192,7 +206,7 @@ def _simhash_batch(text: pd.Series, counters=None) -> pd.Series:
     misses (tokens hashed) to the driver."""
     n = len(text)
     out = np.zeros(n, dtype=np.int64)
-    tok_lists = [t.lower().split() if t else [] for t in text]
+    tok_lists = [_ascii_tokens(t) if t else [] for t in text]
 
     batch_vocab = {w for toks in tok_lists for w in toks}
     new = [w for w in batch_vocab if w not in _TOKEN_HASH_MEMO]

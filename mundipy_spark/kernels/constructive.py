@@ -122,7 +122,6 @@ def _dp_mask(coords: np.ndarray, tol: float) -> np.ndarray:
         i, j = stack.pop()
         if j <= i + 1:
             continue
-        seg = coords[[i, j]].reshape(1, 4)
         seg = np.array([[coords[i, 0], coords[i, 1], coords[j, 0], coords[j, 1]]])
         mid = coords[i + 1 : j]
         d = predicates.point_segs_min_dist(mid[:, 0], mid[:, 1], seg)
@@ -229,25 +228,29 @@ def buffer_planar(geom, dist: float, quad_segs: int = QUAD_SEGS):
         pts = np.asarray(data, dtype=np.float64).reshape(-1, 2)
         return ("MultiPolygon", [[_circle(p[0], p[1], dist, quad_segs)] for p in pts])
     if t in ("LineString", "MultiLineString"):
+        from mundipy_spark.kernels import overlay
+
         lines = [data] if t == "LineString" else list(data)
-        polys = []
+        caps = []
         for line in lines:
             l = np.asarray(line, dtype=np.float64)
             # capsule chain: one hull per segment (round caps via circles)
             for i in range(len(l) - 1):
-                seg_hull = convex_hull(
-                    (
-                        "MultiPoint",
-                        np.vstack(
-                            [
-                                _circle(l[i, 0], l[i, 1], dist, quad_segs)[:-1],
-                                _circle(l[i + 1, 0], l[i + 1, 1], dist, quad_segs)[:-1],
-                            ]
-                        ),
-                    )
+                caps.append(
+                    ("Polygon", [_segment_capsule(l[i], l[i + 1], dist, quad_segs)])
                 )
-                polys.append(seg_hull[1])
-        return ("MultiPolygon", polys)
+        if not caps:
+            return ("MultiPolygon", [])
+        # consecutive capsules overlap by ~a full disc at every interior
+        # vertex: raw parts would double-count area in every measure
+        # consumer, so union them (pairwise tree, same as dissolve)
+        while len(caps) > 1:
+            caps = [
+                overlay.union(caps[i], caps[i + 1]) if i + 1 < len(caps) else caps[i]
+                for i in range(0, len(caps), 2)
+            ]
+        u = caps[0]
+        return u if u[0] in ("Polygon", "MultiPolygon") else ("MultiPolygon", [])
     if t == "Polygon":
         from mundipy_spark.kernels import overlay
 

@@ -75,7 +75,10 @@ def _read_header(r: _Reader) -> tuple[str, int, int]:
     if code & 0x40000000:  # EWKB M flag
         ndim += 1
         code &= 0xBFFFFFFF
-    code &= 0x1FFFFFFF  # strip EWKB SRID flag bits if any
+    if code & 0x20000000:  # EWKB SRID flag: the 4-byte SRID payload
+        r.pos += 4  # follows the type code and must be consumed
+        code &= 0xDFFFFFFF
+    code &= 0x1FFFFFFF  # strip any remaining EWKB flag bits
     if code >= 3000:
         code -= 3000
         ndim = 4
@@ -286,8 +289,16 @@ def geom_type(geom) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _fmt_num(x) -> str:
+    # shortest round-trip decimal (Python repr): WKT stays lossless —
+    # %.10g truncated to 10 significant digits, so astext->fromtext
+    # round-trips moved coordinates by up to ~1e-8 deg (cm on Earth)
+    s = repr(float(x))
+    return s[:-2] if s.endswith(".0") else s
+
+
 def _fmt_xy(p) -> str:
-    return f"{p[0]:.10g} {p[1]:.10g}"
+    return f"{_fmt_num(p[0])} {_fmt_num(p[1])}"
 
 
 def _fmt_seq(pts) -> str:

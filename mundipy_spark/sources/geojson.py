@@ -92,15 +92,23 @@ def _py(v):
 
 
 def write_geojson(df: DataFrame, path: str, geom_col: str = "geometry") -> None:
-    """Distributed sink: one JSON feature per line."""
+    """Distributed sink: one JSON feature per line.
+
+    The geometry member is spliced in as raw JSON text (st_asgeojson
+    already returns a serialized object) — wrapping it in to_json would
+    re-escape it into a JSON *string*, which external GeoJSON consumers
+    reject."""
     cols = [c for c in df.columns if c != geom_col]
+    props = (
+        F.to_json(F.struct(*[F.col(c) for c in cols])) if cols else F.lit("{}")
+    )
     out = df.select(
-        F.to_json(
-            F.struct(
-                F.lit("Feature").alias("type"),
-                st.st_asgeojson(F.col(geom_col)).alias("geometry"),
-                F.struct(*[F.col(c) for c in cols]).alias("properties"),
-            )
+        F.concat(
+            F.lit('{"type":"Feature","geometry":'),
+            F.coalesce(st.st_asgeojson(F.col(geom_col)), F.lit("null")),
+            F.lit(',"properties":'),
+            F.coalesce(props, F.lit("{}")),
+            F.lit("}"),
         ).alias("value")
     )
     out.write.mode("overwrite").text(path)

@@ -100,5 +100,12 @@ def read_kml(spark, path: str, geom_col: str = "geometry"):
     import pandas as pd
 
     feats = parse_kml(open(path, encoding="utf-8").read())
-    rows = [{geom_col: wkb_mod.dumps(g), **p} for g, p in feats]
+    rows = []
+    for g, p in feats:
+        row = {geom_col: wkb_mod.dumps(g)}
+        for k, v in p.items():
+            # ExtendedData named like the geometry column must not
+            # clobber the encoded WKB
+            row[k if k != geom_col else f"{k}_prop"] = v
+        rows.append(row)
     return spark.createDataFrame(pd.DataFrame(rows))

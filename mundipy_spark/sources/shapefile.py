@@ -101,8 +101,10 @@ def read_shp(path: str) -> list:
     return geoms
 
 
-def read_dbf(path: str) -> list[dict]:
-    """dBASE III attribute records."""
+def read_dbf(path: str, keep_deleted: bool = False) -> list[dict]:
+    """dBASE III attribute records. keep_deleted=True emits None for
+    soft-deleted rows so the list stays index-aligned with the .shp
+    record sequence (deleted rows still occupy a .shp slot)."""
     data = open(path, "rb").read()
     nrec, hdr_sz, rec_sz = struct.unpack("<IHH", data[4:12])
     fields = []
@@ -118,6 +120,8 @@ def read_dbf(path: str) -> list[dict]:
     for i in range(nrec):
         rec = data[hdr_sz + i * rec_sz : hdr_sz + (i + 1) * rec_sz]
         if rec[:1] == b"*":  # deleted
+            if keep_deleted:
+                out.append(None)
             continue
         row, off = {}, 1
         for name, ftype, flen, fdec in fields:
@@ -146,14 +150,24 @@ def read_shapefile(spark, path: str, geom_col: str = "geometry"):
     geoms = read_shp(base + ".shp")
     import os
 
-    props = read_dbf(base + ".dbf") if os.path.exists(base + ".dbf") else [
-        {} for _ in geoms
-    ]
+    # keep_deleted keeps the .dbf list index-aligned with the .shp
+    # records; a soft-deleted record (None) drops geometry AND props
+    # together instead of shifting every later attribute row up one
+    props = read_dbf(base + ".dbf", keep_deleted=True) if os.path.exists(
+        base + ".dbf"
+    ) else [{} for _ in geoms]
     import pandas as pd
 
     rows = []
     for g, p in zip(geoms, props):
-        rows.append({geom_col: wkb_mod.dumps(g) if g is not None else None, **p})
+        if p is None:  # deleted record
+            continue
+        row = {geom_col: wkb_mod.dumps(g) if g is not None else None}
+        for k, v in p.items():
+            # an attribute field named like the geometry column must not
+            # clobber the encoded WKB
+            row[k if k != geom_col else f"{k}_prop"] = v
+        rows.append(row)
     pdf = pd.DataFrame(rows)
     return spark.createDataFrame(pdf)
 

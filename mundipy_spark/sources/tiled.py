@@ -36,16 +36,22 @@ def write_tiled(
 ) -> dict:
     """df must carry minx/miny/maxx/maxy (Dataset layers do). Returns
     the sidecar metadata."""
+    from pyspark.sql import Observation
+
     cx = (F.col("minx") + F.col("maxx")) / 2.0
     cy = (F.col("miny") + F.col("maxy")) / 2.0
-    out = df.withColumn("tile", st.cell_expr(cx, cy, res))
-    out.write.partitionBy("tile").mode(mode).parquet(path)
-    he = df.agg(
+    # piggyback the half-extent aggregate on the write job via observe()
+    # instead of a second full scan of the input
+    obs = Observation("tiled_meta")
+    out = df.withColumn("tile", st.cell_expr(cx, cy, res)).observe(
+        obs,
         F.max(
             F.greatest(F.col("maxx") - F.col("minx"), F.col("maxy") - F.col("miny"))
             / 2.0
-        )
-    ).first()[0]
+        ).alias("he"),
+    )
+    out.write.partitionBy("tile").mode(mode).parquet(path)
+    he = obs.get["he"]
     meta = {"res": res, "max_half_extent_deg": float(he or 0.0)}
     with open(os.path.join(path, SIDEPATH), "w") as f:
         json.dump(meta, f)
