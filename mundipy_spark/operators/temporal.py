@@ -10,9 +10,15 @@ composition is the classic union-and-window plan:
      with right rows ordered BEFORE left rows at equal timestamps (so
      a reference row effective exactly at the probe ts is visible —
      backward as-of is ts_right <= ts_left);
-  3. `last(payload, ignorenulls=True)` over the running window fills
-     each left row with the most recent right payload;
-  4. keep left rows.
+  3. pack the right payload columns into ONE struct (non-null even
+     when every member is null) and fill left rows with
+     `last(struct, ignorenulls=True)` over the running window — the
+     struct keeps the payload row-atomic: filling each column
+     independently would let a genuine NULL in one right column be
+     back-filled from an OLDER right row, emitting a row that never
+     existed (and diverging from DuckDB's native ASOF JOIN, the
+     oracle twin);
+  4. keep left rows, unpack the struct.
 
 Cost: exactly ONE shuffle on `by` (same as any keyed join), no
 broadcast needed, no range explosion — this is how production
@@ -60,10 +66,15 @@ def asof_join(
     if clash:
         raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
 
+    from pyspark.sql import types as T
+
+    payload_t = T.StructType(
+        [T.StructField(v, right.schema[v].dataType) for v in value_cols]
+    )
     l_cols = left.columns
     lu = left.select(
         *l_cols,
-        *[F.lit(None).cast(right.schema[v].dataType).alias(v) for v in value_cols],
+        F.lit(None).cast(payload_t).alias("_payload"),
         F.lit(1).alias("_src"),
         F.col(ts_col).alias("_ts"),
     )
@@ -72,7 +83,7 @@ def asof_join(
             F.col(by).alias(by) if c == by else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in l_cols
         ],
-        *[F.col(v) for v in value_cols],
+        F.struct(*[F.col(v) for v in value_cols]).alias("_payload"),
         F.lit(0).alias("_src"),
         F.col(right_ts).alias("_ts"),
     )
@@ -85,6 +96,8 @@ def asof_join(
     filled = unioned.select(
         *l_cols,
         "_src",
-        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in value_cols],
+        F.last("_payload", ignorenulls=True).over(w).alias("_payload"),
     )
-    return filled.filter(F.col("_src") == 1).drop("_src")
+    return filled.filter(F.col("_src") == 1).select(
+        *l_cols, *[F.col(f"_payload.{v}").alias(v) for v in value_cols]
+    )

@@ -152,6 +152,25 @@ def test_asof_join_right_ts_alias_and_value_cols(spark):
     assert "effective_at" not in out.columns
 
 
+def test_asof_join_null_payload_member_is_row_atomic(spark):
+    """A genuine NULL in one value column of the matched right row must
+    NOT be back-filled from an older right row: the payload is filled
+    as one atomic struct (matches DuckDB's native ASOF JOIN)."""
+    left = spark.createDataFrame(
+        [("u1", 20, "e1")], "uid string, ts long, ev string"
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 5, 1.0, "old"),
+            ("u1", 15, 7.0, None),  # matched row: note is genuinely NULL
+        ],
+        "uid string, ts long, price double, note string",
+    )
+    row = temporal.asof_join(left, right, by="uid", ts_col="ts").collect()[0]
+    assert row.price == 7.0
+    assert row.note is None  # NOT "old"
+
+
 def test_asof_join_rejects_column_clash(spark):
     left, right = _asof_frames(spark)
     with pytest.raises(ValueError, match="collide"):
