@@ -1411,6 +1411,47 @@ def q_snap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE into the snapshot table
+    (sources/snaptable.py merge_into — Iceberg's MERGE INTO role, the
+    recrawl upsert): documents land as snapshot 1 range-partitioned on
+    doc_id; a recrawl delta (every doc_id%10==3 re-fetched with a new
+    source tag and text_len+1, plus 100 brand-new ids) merges on
+    doc_id — matched rows are REPLACED in-place by rewriting only the
+    manifest-pruned + exactly-probed files, unseen keys append. The
+    DuckDB twin computes the same anti-join + union directly, so a
+    merge that loses survivors, double-applies the delta, or rewrites
+    the wrong file set breaks value-exactness."""
+    import tempfile
+
+    from mundipy_spark.sources import snaptable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.length("text").alias("text_len")
+    )
+    path = tempfile.mkdtemp(prefix="snaptable_m_")
+    snaptable.create(
+        spark, path, docs.repartitionByRange(8, "doc_id"), stats_cols=["doc_id"]
+    )
+    delta = (
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .select(
+            "doc_id",
+            F.lit("recrawl").alias("source"),
+            (F.col("text_len") + 1).alias("text_len"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 100).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                "source",
+                "text_len",
+            )
+        )
+    )
+    snaptable.merge_into(spark, path, delta, key_cols=["doc_id"])
+    return snaptable.read(spark, path).select("doc_id", "source", "text_len")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver-verification priority (VERDICT r03
     item 1): the harness records the FIRST 50 entries in
@@ -1423,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     67 remain covered by tools/check_oracle.py and pytest."""
     return {
         # (a) never / newly oracle-checked
+        "snap_merge": q_snap_merge,
         "snap_scan": q_snap_scan,
         "warc_extract": q_warc_extract,
         "lsh_ann": q_lsh_ann,
@@ -1474,8 +1516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "events_hourly": q_events_hourly,
         "ann_topk": q_ann_topk,
-        "bpe_tokens": q_bpe_tokens,
         # --- driver window boundary: exactly 50 entries above ---
+        "bpe_tokens": q_bpe_tokens,
         "splits": q_splits,
         "source_topk": q_source_topk,
         "sample_stats": q_sample_stats,
@@ -1534,6 +1576,21 @@ def oracle_sql() -> dict[str, str]:
     cities_values = ", ".join(f"('{n}', {lo}, {la})" for n, lo, la in CITIES)
 
     return {
+        "snap_merge": """
+WITH base AS (
+  SELECT doc_id, source, length(text) AS text_len FROM documents
+), delta AS (
+  SELECT doc_id, 'recrawl' AS source, length(text) + 1 AS text_len
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, length(text) AS text_len
+  FROM documents WHERE doc_id < 100
+)
+SELECT b.doc_id, b.source, b.text_len
+FROM base b ANTI JOIN delta d ON b.doc_id = d.doc_id
+UNION ALL
+SELECT doc_id, source, text_len FROM delta
+""",
         "snap_scan": """
 WITH both_batches AS (
   SELECT doc_id, source, length(text) AS text_len FROM documents

@@ -285,6 +285,29 @@ def create(
     )
 
 
+def _check_additive(path: str, snap: dict, df: DataFrame, op: str) -> None:
+    """Additive-only schema evolution guard shared by append and merge:
+    df may grow columns beyond the table schema, but every existing
+    column must keep its name and type (dropping or retyping would
+    silently corrupt reads of pre-evolution files)."""
+    from pyspark.sql.types import StructType
+
+    old = StructType.fromJson(json.loads(snap["schema"]))
+    new_fields = {f.name: f.dataType for f in df.schema.fields}
+    for f in old.fields:
+        if f.name not in new_fields:
+            raise ValueError(
+                f"snaptable {path}: {op} drops column {f.name!r} — "
+                "schema evolution is additive only"
+            )
+        if new_fields[f.name] != f.dataType:
+            raise ValueError(
+                f"snaptable {path}: {op} retypes column {f.name!r} "
+                f"({f.dataType.simpleString()} -> "
+                f"{new_fields[f.name].simpleString()})"
+            )
+
+
 def append(
     spark: SparkSession, path: str, df: DataFrame, extra: dict | None = None
 ) -> int:
@@ -298,27 +321,12 @@ def append(
     null-fills the new columns in pre-evolution files (no rewrite).
     Dropping or retyping a column is rejected — that would silently
     corrupt old snapshots' reads."""
-    from pyspark.sql.types import StructType
-
     head = current_version(path)
     if head == 0:
         raise ValueError(f"snaptable {path}: append to missing table")
     snap = _load_snapshot(path, head)
     stats_cols = snap["stats_cols"]
-    old = StructType.fromJson(json.loads(snap["schema"]))
-    new_fields = {f.name: f.dataType for f in df.schema.fields}
-    for f in old.fields:
-        if f.name not in new_fields:
-            raise ValueError(
-                f"snaptable {path}: append drops column {f.name!r} — "
-                "schema evolution is additive only"
-            )
-        if new_fields[f.name] != f.dataType:
-            raise ValueError(
-                f"snaptable {path}: append retypes column {f.name!r} "
-                f"({f.dataType.simpleString()} -> "
-                f"{new_fields[f.name].simpleString()})"
-            )
+    _check_additive(path, snap, df, "append")
     sub = _write_data(df, path)
     entries = _collect_file_stats(spark, sub, stats_cols)
     return _commit(
@@ -510,6 +518,147 @@ def delete_where(
     )
 
 
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    validate_source_keys: bool = True,
+) -> int:
+    """Copy-on-write MERGE (upsert by key) — the recrawl write path:
+    a re-fetched URL's new row REPLACES the stored row with the same
+    key; unseen keys are appended. Iceberg's MERGE INTO, re-expressed:
+
+    - **Touch detection is two-stage.** Manifest stats first (files
+      whose [min,max] on a stats key column cannot contain ANY source
+      key are never opened — at 10^12 docs a nightly recrawl delta
+      touches a tiny time/id slice of ~10^6 files), then an EXACT
+      probe: candidates read once with input_file_name(), left-semi
+      joined against the broadcast source keys, distinct file names
+      collected (O(files), not O(rows)). Files with no true key match
+      keep their manifest entries untouched — the rewrite cost is
+      proportional to the matched fraction, not the table.
+    - **Rewrite = anti-join survivors + the whole source.** Only the
+      truly-touched files are read a second time; rows whose key
+      appears in the source are dropped (every-key-NULL rows never
+      match, like SQL MERGE), the source union-by-names on top, and
+      the result lands as new data files. Commit carries the untouched
+      entries + the new ones under `require_parent`, so a concurrent
+      append forces a re-plan instead of being silently dropped.
+    - **Source keys must be unique** (SQL MERGE's cardinality rule:
+      two source rows matching one target row is nondeterministic).
+      Validated with one small agg over the (persisted) source;
+      disable via validate_source_keys=False when the caller already
+      dedup'd (e.g. recrawl_dedup output).
+    - Schema evolution matches append(): source may ADD columns
+      (survivors null-fill), never drop or retype.
+
+    Like compact/delete this is a rewrite snapshot: read_incremental
+    cannot cross it (operation "merge" is fenced there)."""
+    from pyspark.sql.types import StructType
+
+    if not key_cols:
+        raise ValueError("snaptable merge_into: key_cols must be non-empty")
+    files, snap = _files_for(path, None)
+    stats_cols = snap["stats_cols"]
+    _check_additive(path, snap, source, "merge")
+    for k in key_cols:
+        if k not in {f.name for f in source.schema.fields}:
+            raise ValueError(f"snaptable merge_into: source lacks key {k!r}")
+    source = source.persist()
+    try:
+        if validate_source_keys:
+            # a row with ANY NULL key can never match (equi-join
+            # semantics) — duplicates among those are plain inserts,
+            # only matchable keys are held to the cardinality rule
+            dup = (
+                source.na.drop(subset=key_cols)
+                .groupBy(*key_cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .head(1)
+            )
+            if dup:
+                raise ValueError(
+                    "snaptable merge_into: source has duplicate keys "
+                    f"(e.g. {tuple(dup[0][k] for k in key_cols)}); "
+                    "dedup the source first (SQL MERGE cardinality rule)"
+                )
+        # stage 1: manifest prune — bounds of every stats-covered key col
+        bound_keys = [k for k in key_cols if k in stats_cols]
+        candidates = files
+        if bound_keys:
+            bounds = source.agg(
+                *[F.min(k).alias(f"_mn_{k}") for k in bound_keys],
+                *[F.max(k).alias(f"_mx_{k}") for k in bound_keys],
+            ).head()
+            for k in bound_keys:
+                mn, mx = bounds[f"_mn_{k}"], bounds[f"_mx_{k}"]
+                if mn is None:
+                    candidates = []
+                    break
+                candidates = [
+                    e
+                    for e in candidates
+                    if _survives(e, k, ">=", mn) and _survives(e, k, "<=", mx)
+                ]
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        touched_paths: set[str] = set()
+        if candidates:
+            # stage 2: exact probe — which candidate files really hold a
+            # source key. Broadcast the (delta-sized) key set; only file
+            # NAMES come back to the driver.
+            cand = spark.read.schema(schema).parquet(
+                *[os.path.join(path, e["path"]) for e in candidates]
+            )
+            src_keys = F.broadcast(source.select(*key_cols).distinct())
+            hit_files = (
+                cand.withColumn("_file", F.input_file_name())
+                .join(src_keys, on=key_cols, how="left_semi")
+                .select("_file")
+                .distinct()
+                .collect()
+            )
+            for r in hit_files:
+                idx = r["_file"].rfind(f"/{_DATA}/")
+                touched_paths.add(r["_file"][idx + 1 :] if idx >= 0 else r["_file"])
+        keep_entries = [e for e in files if e["path"] not in touched_paths]
+        # widened output schema = the source's (append()'s evolution rule)
+        out_cols = [f.name for f in source.schema.fields]
+        old_names = {f.name for f in schema.fields}
+        if touched_paths:
+            survivors = spark.read.schema(schema).parquet(
+                *[os.path.join(path, p) for p in sorted(touched_paths)]
+            )
+            src_keys = F.broadcast(source.select(*key_cols).distinct())
+            survivors = survivors.join(src_keys, on=key_cols, how="left_anti")
+            survivors = survivors.select(
+                *[
+                    F.col(c) if c in old_names
+                    else F.lit(None).cast(source.schema[c].dataType).alias(c)
+                    for c in out_cols
+                ]
+            )
+            out = survivors.unionByName(source.select(*out_cols))
+        else:
+            out = source.select(*out_cols)
+        sub = _write_data(out, path)
+        new_entries = [
+            e for e in _collect_file_stats(spark, sub, stats_cols) if e["rows"] > 0
+        ]
+        return _commit(
+            path,
+            keep_entries + new_entries,
+            "merge",
+            stats_cols,
+            source.schema.json(),
+            False,
+            require_parent=snap["version"],
+        )
+    finally:
+        source.unpersist()
+
+
 def expire(path: str, keep_from: int) -> dict:
     """Delete data/manifest files referenced ONLY by snapshots older
     than `keep_from`, then the old metadata itself — Iceberg's
@@ -581,7 +730,7 @@ def read_incremental(
     for v in range(since + 1, head + 1):
         if (
             os.path.exists(_snap_path(path, v))
-            and _load_snapshot(path, v)["operation"] in ("replace", "delete")
+            and _load_snapshot(path, v)["operation"] in ("replace", "delete", "merge")
         ):
             # a compaction/delete rewrote files: "files added since"
             # would re-deliver already-consumed rows. Same constraint

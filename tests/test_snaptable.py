@@ -589,3 +589,119 @@ def test_crashed_commit_attempt_is_invisible_and_reclaimed(
     os.utime(orphan, (old, old))
     snaptable.expire(path, keep_from=2)
     assert not os.path.exists(orphan)
+
+
+def test_merge_upsert_rewrites_only_touched_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 1000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("v1-"), F.col("id")).alias("text"),
+        )
+        .repartitionByRange(10, "doc_id")
+    )
+    snaptable.create(spark, path, df, stats_cols=["doc_id"])
+    before = set(snaptable.plan_scan(path)["files"])
+    # recrawl delta: 50 updated docs in one id slice + 10 brand-new ids
+    src = spark.range(0, 60).select(
+        F.when(F.col("id") < 50, F.col("id") + 100)
+        .otherwise(F.col("id") - 50 + 5000)
+        .alias("doc_id"),
+        F.lit("v2").alias("text"),
+    )
+    v = snaptable.merge_into(spark, path, src, key_cols=["doc_id"])
+    assert v == 2
+    head = snaptable.read(spark, path)
+    assert head.count() == 1010  # 1000 - 50 replaced + 60 source
+    assert head.filter(F.col("text") == "v2").count() == 60
+    # updated ids carry the new text, untouched ids the old
+    assert (
+        head.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+        .filter(F.col("text") != "v2")
+        .count()
+        == 0
+    )
+    assert head.filter(F.col("doc_id") == 99).first()["text"] == "v1-99"
+    # only the file(s) whose range covers 100..149 were rewritten:
+    # untouched manifest entries keep their original paths
+    after = set(snaptable.plan_scan(path)["files"])
+    assert len(before & after) >= 8  # >= 8 of 10 original files survive
+    # time travel still sees v1
+    assert (
+        snaptable.read(spark, path, snapshot_id=1)
+        .filter(F.col("text") == "v2")
+        .count()
+        == 0
+    )
+
+
+def test_merge_schema_evolution_and_null_keys(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("old").alias("text")
+    )
+    snaptable.create(spark, path, df, stats_cols=["doc_id"])
+    # source adds a column AND carries two null-key rows (pure inserts)
+    src = spark.createDataFrame(
+        [(5, "new", 0.9), (None, "nk1", 0.1), (None, "nk2", 0.2)],
+        "doc_id long, text string, quality double",
+    )
+    snaptable.merge_into(spark, path, src, key_cols=["doc_id"])
+    head = snaptable.read(spark, path)
+    assert head.count() == 102
+    assert head.filter(F.col("doc_id") == 5).first()["text"] == "new"
+    # survivors null-fill the evolved column
+    assert head.filter(F.col("doc_id") == 6).first()["quality"] is None
+    assert head.filter(F.col("doc_id").isNull()).count() == 2
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(
+        spark,
+        path,
+        spark.range(0, 10).select(F.col("id").alias("doc_id")),
+        stats_cols=["doc_id"],
+    )
+    dup = spark.createDataFrame([(1,), (1,)], "doc_id long")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        snaptable.merge_into(spark, path, dup, key_cols=["doc_id"])
+    # but duplicate NULL keys are plain inserts, not a violation
+    nulls = spark.createDataFrame([(None,), (None,)], "doc_id long")
+    snaptable.merge_into(spark, path, nulls, key_cols=["doc_id"])
+    assert snaptable.read(spark, path).count() == 12
+
+
+def test_merge_fences_incremental_read(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(
+        spark,
+        path,
+        spark.range(0, 10).select(F.col("id").alias("doc_id")),
+        stats_cols=["doc_id"],
+    )
+    snaptable.merge_into(
+        spark,
+        path,
+        spark.createDataFrame([(3,)], "doc_id long"),
+        key_cols=["doc_id"],
+    )
+    with pytest.raises(ValueError, match="incremental read cannot cross"):
+        snaptable.read_incremental(spark, path, since=1)
+
+
+def test_merge_no_matches_appends_without_rewrites(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 1000)
+        .select(F.col("id").alias("doc_id"))
+        .repartitionByRange(4, "doc_id")
+    )
+    snaptable.create(spark, path, df, stats_cols=["doc_id"])
+    before = set(snaptable.plan_scan(path)["files"])
+    src = spark.range(5000, 5020).select(F.col("id").alias("doc_id"))
+    snaptable.merge_into(spark, path, src, key_cols=["doc_id"])
+    after = set(snaptable.plan_scan(path)["files"])
+    assert before <= after  # nothing rewritten, only new files
+    assert snaptable.read(spark, path).count() == 1020
