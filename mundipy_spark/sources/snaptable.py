@@ -584,6 +584,8 @@ def merge_into(
                     f"(e.g. {tuple(dup[0][k] for k in key_cols)}); "
                     "dedup the source first (SQL MERGE cardinality rule)"
                 )
+        if not source.head(1):
+            return snap["version"]  # empty delta: no-op, no commit
         # stage 1: manifest prune — bounds of every stats-covered key col
         bound_keys = [k for k in key_cols if k in stats_cols]
         candidates = files
@@ -612,16 +614,25 @@ def merge_into(
                 *[os.path.join(path, e["path"]) for e in candidates]
             )
             src_keys = F.broadcast(source.select(*key_cols).distinct())
+            # input_file_name() must be projected BEFORE the join (it
+            # is ambiguous once two file sources are in the plan); the
+            # pre-join select keeps only the keys + file name, so no
+            # user column can collide with the probe alias
+            fcol = "__snap_probe_file__"
+            while fcol in key_cols:
+                fcol += "_"
+            cand_keys = cand.select(
+                *key_cols, F.input_file_name().alias(fcol)
+            )
             hit_files = (
-                cand.withColumn("_file", F.input_file_name())
-                .join(src_keys, on=key_cols, how="left_semi")
-                .select("_file")
+                cand_keys.join(src_keys, on=key_cols, how="left_semi")
+                .select(fcol)
                 .distinct()
                 .collect()
             )
             for r in hit_files:
-                idx = r["_file"].rfind(f"/{_DATA}/")
-                touched_paths.add(r["_file"][idx + 1 :] if idx >= 0 else r["_file"])
+                idx = r[fcol].rfind(f"/{_DATA}/")
+                touched_paths.add(r[fcol][idx + 1 :] if idx >= 0 else r[fcol])
         keep_entries = [e for e in files if e["path"] not in touched_paths]
         # widened output schema = the source's (append()'s evolution rule)
         out_cols = [f.name for f in source.schema.fields]

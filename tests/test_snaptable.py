@@ -705,3 +705,17 @@ def test_merge_no_matches_appends_without_rewrites(spark, tmp_path):
     after = set(snaptable.plan_scan(path)["files"])
     assert before <= after  # nothing rewritten, only new files
     assert snaptable.read(spark, path).count() == 1020
+
+
+def test_merge_empty_source_is_noop(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(
+        spark,
+        path,
+        spark.range(0, 10).select(F.col("id").alias("doc_id")),
+        stats_cols=["doc_id"],
+    )
+    empty = spark.range(0, 0).select(F.col("id").alias("doc_id"))
+    v = snaptable.merge_into(spark, path, empty, key_cols=["doc_id"])
+    assert v == 1  # no new snapshot
+    assert snaptable.read(spark, path).count() == 10
