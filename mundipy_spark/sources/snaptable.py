@@ -433,6 +433,7 @@ def compact(
     path: str,
     target_files: int = 8,
     snapshot_id: int | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Rewrite the current file set into `target_files` files and
     commit the result as a REPLACE snapshot (same rows, new files) —
@@ -441,10 +442,56 @@ def compact(
     scan time. Readers pinned to older snapshots keep working (their
     files are not deleted — see expire()); the swap is atomic like any
     other commit, and a concurrent append simply wins or loses the
-    O_EXCL race as usual."""
+    O_EXCL race as usual.
+
+    `zorder_by=[c1, c2]` makes the rewrite a clustering one (Iceberg/
+    Delta OPTIMIZE ZORDER): rows are range-partitioned AND sorted on
+    the Morton interleave of the two columns (quantized into their
+    observed global bounds, one tiny agg job), so every output file
+    covers a tight rectangle in (c1, c2) — a conjunctive range
+    predicate on BOTH columns then manifest-prunes to ~the overlap,
+    where a linear sort on c1 alone leaves every file spanning the
+    full c2 range. Ordering changes rows' file placement only, never
+    the row set, so value-exactness is untouched."""
     files, snap = _files_for(path, snapshot_id)
     stats_cols = snap["stats_cols"]
-    df = read(spark, path, snap["version"]).repartition(target_files)
+    df = read(spark, path, snap["version"])
+    if zorder_by:
+        if len(zorder_by) != 2:
+            raise ValueError(
+                "snaptable compact: zorder_by takes exactly two columns "
+                f"(got {zorder_by!r})"
+            )
+        from mundipy_spark.sources.zorder import _quant, _spread
+
+        c1, c2 = zorder_by
+        b = df.agg(
+            F.min(c1).cast("double").alias("mn1"),
+            F.max(c1).cast("double").alias("mx1"),
+            F.min(c2).cast("double").alias("mn2"),
+            F.max(c2).cast("double").alias("mx2"),
+        ).head()
+        # degenerate (constant / all-null) axes quantize to bucket 0
+        lo1, hi1 = b["mn1"] or 0.0, b["mx1"] or 0.0
+        lo2, hi2 = b["mn2"] or 0.0, b["mx2"] or 0.0
+        if hi1 <= lo1:
+            hi1 = lo1 + 1.0
+        if hi2 <= lo2:
+            hi2 = lo2 + 1.0
+        x = _spread(_quant(F.col(c1).cast("double"), lo1, hi1))
+        y = _spread(_quant(F.col(c2).cast("double"), lo2, hi2))
+        zkey = x.bitwiseOR(F.shiftleft(y, 1)).cast("long")
+        kc = "__zkey__"
+        while kc in df.columns:
+            kc += "_"
+        df = (
+            df.withColumn(kc, zkey)
+            .repartitionByRange(target_files, kc)
+            .sortWithinPartitions(kc)
+            .drop(kc)
+        )
+    else:
+        df = df.repartition(target_files)
     sub = _write_data(df, path)
     entries = _collect_file_stats(spark, sub, stats_cols)
     return _commit(
@@ -524,6 +571,7 @@ def merge_into(
     source: DataFrame,
     key_cols: list[str],
     validate_source_keys: bool = True,
+    extra: dict | None = None,
 ) -> int:
     """Copy-on-write MERGE (upsert by key) — the recrawl write path:
     a re-fetched URL's new row REPLACES the stored row with the same
@@ -665,6 +713,7 @@ def merge_into(
             source.schema.json(),
             False,
             require_parent=snap["version"],
+            extra=extra,
         )
     finally:
         source.unpersist()

@@ -209,12 +209,22 @@ def ingest_stream(
 
 
 def snaptable_batch_handler(
-    path: str, stats_cols: list[str] | None, sink_id: str
+    path: str,
+    stats_cols: list[str] | None,
+    sink_id: str,
+    key_cols: list[str] | None = None,
 ):
     """The foreachBatch handler snaptable_sink installs, exposed for
     direct (replay) testing: commits the batch as one append snapshot
     tagged (sink_id, sink_epoch), skipping epochs some committed
-    snapshot already carries — replay-idempotent."""
+    snapshot already carries — replay-idempotent.
+
+    With `key_cols`, batches after the first UPSERT instead of append
+    (snaptable.merge_into): the continuous-recrawl sink, where a
+    re-fetched URL's newest version replaces the stored row. merge is
+    a require_parent rewrite, so a concurrent batch committer can
+    raise ConflictError — streaming queries are the sole writer of
+    their table by contract (same as Iceberg streaming upsert)."""
     from mundipy_spark.sources import snaptable
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
@@ -232,6 +242,8 @@ def snaptable_batch_handler(
             snaptable.create(
                 spark, path, batch, stats_cols=stats_cols or [], extra=tag
             )
+        elif key_cols:
+            snaptable.merge_into(spark, path, batch, key_cols, extra=tag)
         else:
             snaptable.append(spark, path, batch, extra=tag)
 
@@ -244,6 +256,7 @@ def snaptable_sink(
     stats_cols: list[str] | None = None,
     checkpoint_dir: str | None = None,
     trigger_once: bool = False,
+    key_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """Write a stream into a snapshot-manifest table: every micro-batch
     commits as ONE atomic append snapshot (sources/snaptable.py), so
@@ -262,7 +275,9 @@ def snaptable_sink(
     the checkpoint dir, which is what makes epoch numbering stable
     across restarts AND distinct across different queries writing the
     same table."""
-    handle = snaptable_batch_handler(path, stats_cols, checkpoint_dir or "")
+    handle = snaptable_batch_handler(
+        path, stats_cols, checkpoint_dir or "", key_cols
+    )
     writer = stream.writeStream.foreachBatch(handle).outputMode("append")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)

@@ -719,3 +719,69 @@ def test_merge_empty_source_is_noop(spark, tmp_path):
     v = snaptable.merge_into(spark, path, empty, key_cols=["doc_id"])
     assert v == 1  # no new snapshot
     assert snaptable.read(spark, path).count() == 10
+
+
+def test_zorder_compact_prunes_2d_box(spark, tmp_path):
+    """compact(zorder_by=[x,y]) clusters files into tight 2-D rectangles:
+    a conjunctive box predicate prunes far more files than the linear
+    clustering a plain sort would give, and the row set is unchanged."""
+    path = str(tmp_path / "t")
+    # 64x64 grid, written in row-major order (linear in x)
+    grid = spark.range(0, 4096).select(
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.col("id") / 64).cast("long").cast("double").alias("y"),
+    )
+    snaptable.create(
+        spark, path, grid.repartitionByRange(64, "y"), stats_cols=["x", "y"]
+    )
+    box = [("x", ">=", 10.0), ("x", "<=", 20.0), ("y", ">=", 10.0), ("y", "<=", 20.0)]
+    before = snaptable.plan_scan(path, box)
+    # y-range-partitioned layout: x spans the full range in every file,
+    # so every file whose y slice touches [10, 20] survives (~11 of 64)
+    assert before["files_kept"] >= 10
+    v = snaptable.compact(spark, path, target_files=64, zorder_by=["x", "y"])
+    after = snaptable.plan_scan(path, box)
+    assert after["files_kept"] < before["files_kept"]
+    # ~8x8 Morton quadrants: the 11x11 box touches 2x2 of them (+ slack
+    # for range-sampler boundaries not landing exactly on quadrant edges)
+    assert after["files_kept"] <= 8
+    got = snaptable.scan(spark, path, box)
+    assert got.count() == 11 * 11
+    # full table unchanged by the rewrite
+    assert snaptable.read(spark, path).count() == 4096
+    assert snaptable._load_snapshot(path, v)["operation"] == "replace"
+
+
+def test_streaming_merge_sink_upserts_by_key(spark, tmp_path):
+    """snaptable_sink(key_cols=...): first batch creates, later batches
+    UPSERT — a re-crawled url replaces its stored row; replayed epochs
+    commit once."""
+    from mundipy_spark.streaming import stream_ops
+
+    path = str(tmp_path / "t")
+    handle = stream_ops.snaptable_batch_handler(
+        path, ["doc_id"], "ckpt-M", key_cols=["url"]
+    )
+    b0 = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u-"), F.col("id") % 30).alias("url"),
+        F.lit("v1").alias("body"),
+    ).dropDuplicates(["url"])
+    handle(b0, 0)
+    assert snaptable.read(spark, path).count() == 30
+    # batch 1 re-fetches 5 urls (u-25..u-29) + 10 new (u-30..u-39)
+    b1 = spark.range(0, 15).select(
+        (F.col("id") + 100).alias("doc_id"),
+        F.concat(F.lit("u-"), F.col("id") + 25).alias("url"),
+        F.lit("v2").alias("body"),
+    )
+    handle(b1, 1)
+    head = snaptable.read(spark, path)
+    assert head.count() == 40  # 30 stored - 5 replaced (u-25..29) + 15
+    assert head.filter(F.col("body") == "v2").count() == 15
+    # replay of epoch 1 must not double-apply
+    handle(b1, 1)
+    assert snaptable.read(spark, path).count() == 40
+    assert snaptable._load_snapshot(
+        path, snaptable.current_version(path)
+    )["operation"] == "merge"
