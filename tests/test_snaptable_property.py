@@ -94,3 +94,118 @@ def test_random_interleavings_match_model(spark, tmp_path_factory, ops):
             assert got.count() == len(want)
             if want:
                 assert got.agg(F.sum("doc_id")).first()[0] == sum(want)
+
+
+# ---------------------------------------------------------------------------
+# Richer model: appends + keyed MERGEs + (z-order) compactions over
+# (doc_id, val) rows. Merge semantics under arbitrary interleavings are
+# the thing the unit tests under-cover: merge after duplicate-key
+# appends (ALL stored rows with a matched key are replaced by the one
+# source row), merge-then-compact-then-merge, z-order rewrites between
+# merges, and incremental windows that must refuse to cross any rewrite
+# (replace OR merge) but still work on append-only suffixes after one.
+
+append2 = st.tuples(
+    st.just("append"),
+    st.integers(min_value=0, max_value=300),
+    st.integers(min_value=1, max_value=30),
+)
+merge2 = st.tuples(
+    st.just("merge"),
+    st.integers(min_value=0, max_value=300),
+    st.integers(min_value=1, max_value=30),
+)
+compact2 = st.tuples(st.just("compact"))
+zcompact2 = st.tuples(st.just("zcompact"))
+op_seqs2 = st.lists(
+    st.one_of(append2, merge2, compact2, zcompact2), min_size=1, max_size=5
+)
+
+
+def _batch2(spark, start, n, gen):
+    return spark.range(start, start + n).select(
+        F.col("id").alias("doc_id"), F.lit(gen).cast("long").alias("val")
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=op_seqs2)
+def test_merge_zorder_interleavings_match_model(spark, tmp_path_factory, ops):
+    path = str(tmp_path_factory.mktemp("snapprop2") / "t")
+    rows: list[tuple[int, int]] = []  # (doc_id, val) multiset, model
+    history: list[tuple[str, list[tuple[int, int]]]] = []
+    for gen, op in enumerate(ops, start=1):
+        if op[0] in ("append", "merge") and snaptable.current_version(path) == 0:
+            _, start, n = op
+            snaptable.create(
+                spark, path, _batch2(spark, start, n, gen), stats_cols=["doc_id"]
+            )
+            rows = rows + [(i, gen) for i in range(start, start + n)]
+            history.append(("append", list(rows)))
+        elif op[0] == "append":
+            _, start, n = op
+            snaptable.append(spark, path, _batch2(spark, start, n, gen))
+            rows = rows + [(i, gen) for i in range(start, start + n)]
+            history.append(("append", list(rows)))
+        elif op[0] == "merge":
+            _, start, n = op
+            snaptable.merge_into(
+                spark, path, _batch2(spark, start, n, gen), key_cols=["doc_id"]
+            )
+            keys = set(range(start, start + n))
+            rows = [r for r in rows if r[0] not in keys] + [
+                (i, gen) for i in range(start, start + n)
+            ]
+            history.append(("merge", list(rows)))
+        else:
+            if snaptable.current_version(path) == 0:
+                continue
+            if op[0] == "zcompact":
+                snaptable.compact(
+                    spark, path, target_files=2, zorder_by=["doc_id", "val"]
+                )
+            else:
+                snaptable.compact(spark, path, target_files=1)
+            history.append(("replace", list(rows)))
+
+    assert len(snaptable.snapshots(path)) == len(history)
+    if not history:
+        assert snaptable.current_version(path) == 0
+        return
+
+    def check(df, want):
+        assert df.count() == len(want)
+        if want:
+            got = df.agg(
+                F.sum("doc_id").alias("sid"), F.sum("val").alias("sval")
+            ).first()
+            assert got["sid"] == sum(r[0] for r in want)
+            assert got["sval"] == sum(r[1] for r in want)
+
+    # head + time travel agree with the model at every point
+    check(snaptable.read(spark, path), rows)
+    for v, (kind, snap_rows) in enumerate(history, start=1):
+        check(snaptable.read(spark, path, snapshot_id=v), snap_rows)
+
+    # manifest-pruned scan == model filter on the final state
+    if rows:
+        lo = sorted({r[0] for r in rows})[len(rows) // 3]
+        want = [r for r in rows if r[0] >= lo]
+        check(snaptable.scan(spark, path, [("doc_id", ">=", lo)]), want)
+
+    # incremental windows: append-only windows deliver exactly the
+    # suffix; any window crossing a rewrite (replace OR merge) raises
+    for since in range(0, len(history) + 1):
+        for until in range(max(since, 1), len(history) + 1):
+            crossed = any(
+                history[v - 1][0] in ("replace", "merge")
+                for v in range(since + 1, until + 1)
+            )
+            if crossed:
+                with pytest.raises(ValueError, match="rewrite"):
+                    snaptable.read_incremental(spark, path, since, until)
+                continue
+            want = history[until - 1][1][
+                len(history[since - 1][1]) if since else 0 :
+            ]
+            check(snaptable.read_incremental(spark, path, since, until), want)
