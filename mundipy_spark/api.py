@@ -73,8 +73,13 @@ def isochrones_df(df, radius: float, units: str, accessToken=None, opener=None,
     del url_params
 
     cols = [c for c in ([id_col] if id_col else []) if c]
-    schema = (", ".join(f"`{c}` long" for c in cols) + ", " if cols else "") + \
-        "geometry binary, props string"
+    # carry the id column through with ITS OWN type (url strings, uuids,
+    # longs all work) — hard-coding long would crash int() on any
+    # non-integer id
+    schema = (
+        ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols)
+        + ", " if cols else ""
+    ) + "geometry binary, props string"
 
     def run(batches):
         for pdf in batches:
@@ -86,7 +91,7 @@ def isochrones_df(df, radius: float, units: str, accessToken=None, opener=None,
                 )
                 if feat is None:
                     continue
-                out = {c: int(r[c]) for c in cols}
+                out = {c: r[c] for c in cols}
                 out["geometry"] = wkb.dumps(feat.geom)
                 out["props"] = json.dumps(feat.features)
                 rows.append(out)

@@ -111,11 +111,24 @@ def interpolate_m(geom, dist_m: float):
 def line_project_m(geom, other) -> float:
     """Distance in METERS along `geom` of the point nearest `other`
     (shapely `project` through the local-PCS sandwich,
-    reference geometry.py:139)."""
+    reference geometry.py:139). For a non-Point `other` the probe is
+    the VERTEX of `other` nearest `geom` (vertex-sampled, matching the
+    discrete Hausdorff convention) — not the vertex mean, which is an
+    arbitrary interior point nowhere near the closest approach."""
     from mundipy_spark.kernels import constructive
 
     (g, o), _, _, _ = _projected(geom, other, purpose="distance")
-    pt = o[1] if o[0] == "Point" else np.asarray(predicates.geom_vertices(o)).mean(axis=0)
+    if o[0] == "Point":
+        pt = o[1]
+    else:
+        vo = np.asarray(predicates.geom_vertices(o), dtype=np.float64)
+        sg = predicates.geom_segments(g)
+        if len(sg):
+            d = predicates.point_segs_min_dist(vo[:, 0], vo[:, 1], sg)
+        else:
+            vg = np.asarray(predicates.geom_vertices(g), dtype=np.float64)
+            d = np.sqrt(((vo[:, None, :] - vg[None, :, :]) ** 2).sum(axis=2)).min(axis=1)
+        pt = vo[int(np.argmin(d))]
     return constructive.line_project(g, pt)
 
 

@@ -28,9 +28,14 @@ def schedule_frontier(
     k_per_round: int = 1,
     max_rounds: int | None = None,
 ) -> DataFrame:
-    """urls + (host, host_rank, round); highest priority first within
-    each host (ties: url asc, deterministic). `max_rounds` drops URLs
-    scheduled beyond the cap (deferred to the next frontier cycle)."""
+    """urls + (host, host_rank, round, deferred); highest priority first
+    within each host (ties: url asc, deterministic). URLs scheduled
+    beyond `max_rounds` are NOT silently dropped: they come back with
+    deferred=true so the caller can carry them into the next frontier
+    cycle without re-running the host window (filter ~deferred for this
+    cycle's fetch set). round uses integer `div`, exact at any rank —
+    double division truncated by cast drifts from the integer twin
+    beyond 2^53."""
     w = Window.partitionBy("host").orderBy(
         F.col(priority_col).desc(), F.col(url_col).asc()
     )
@@ -39,12 +44,12 @@ def schedule_frontier(
         .withColumn("host_rank", F.row_number().over(w).cast("long"))
         .withColumn(
             "round",
-            ((F.col("host_rank") - 1) / k_per_round).cast("long") + 1,
+            F.expr(f"(host_rank - 1) div {int(k_per_round)}") + F.lit(1).cast("long"),
         )
     )
     if max_rounds is not None:
-        out = out.filter(F.col("round") <= max_rounds)
-    return out
+        return out.withColumn("deferred", F.col("round") > max_rounds)
+    return out.withColumn("deferred", F.lit(False))
 
 
 def schedule_frontier_sql(
@@ -59,7 +64,9 @@ def schedule_frontier_sql(
         f"lower(regexp_extract({url_col},"
         " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
     )
-    cap = f"WHERE round <= {max_rounds}" if max_rounds is not None else ""
+    deferred = (
+        f"round > {max_rounds}" if max_rounds is not None else "FALSE"
+    )
     return f"""
 WITH u AS ({urls_sql}),
 ranked AS (
@@ -73,5 +80,5 @@ ranked AS (
   SELECT *, CAST((host_rank - 1) // {k_per_round} + 1 AS BIGINT) AS round
   FROM ranked
 )
-SELECT * FROM rounds {cap}
+SELECT *, {deferred} AS deferred FROM rounds
 """

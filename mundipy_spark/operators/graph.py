@@ -57,6 +57,18 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    def _ckpt_rdd(df):
+        # the checkpointed Dataset is a LogicalRDD wrapping the RDD that
+        # holds the checkpoint blocks; DataFrame.unpersist() only touches
+        # the CacheManager, so freeing the previous round means
+        # unpersisting THAT rdd (no-op for reliable-checkpoint rounds,
+        # whose storage is files)
+        try:
+            return df._jdf.queryExecution().analyzed().rdd()
+        except Exception:
+            return None
+
+    prev_rdd = _ckpt_rdd(labels)
     for rnd in range(max_iter):
         # (1) min over neighbor labels
         nbr = (
@@ -93,6 +105,12 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the changed-count above is the last reader of the previous
+        # round: free its checkpoint blocks now (one live label table at
+        # a time instead of one per round accumulating in storage)
+        if prev_rdd is not None:
+            prev_rdd.unpersist(False)
+        prev_rdd = _ckpt_rdd(jumped)
         labels = jumped
         if changed == 0:
             break

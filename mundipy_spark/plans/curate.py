@@ -59,6 +59,12 @@ def curate(
         (F.col("n_kept") * 10 >= F.col("n_pars") * keep_ratio_tenths)
         & (F.col("n_kept") > 0)
     ).select(id_col, "kept_text")
+    # decontaminate consumes sel TWICE (corpus side + eval-slice side);
+    # without a cache the eval side re-executes the whole quality-gate +
+    # paragraph-dedup subplan — the pipeline's most expensive stage —
+    # just to keep ~1/eval_mod of its rows. Persist so the subplan runs
+    # once and the eval side reads the cached table.
+    sel = sel.persist()
     dc = decontam.decontaminate(
         sel,
         sel.filter(F.col(id_col) % eval_mod == 0),

@@ -129,7 +129,13 @@ def run_pipeline(
     # without this, metrics.count() and the 'done' recompute each
     # re-ran the whole geoparse+join pipeline (4 executions per run
     # instead of 2: one metrics pass + the data write).
-    metric_rows = ckpt.lineage_metrics(out, "part_key", ["url", "text"]).collect()
+    # rows_in = distinct pages feeding the key (the join fans a page out
+    # to one row PER matched region, so plain count(*) here is the
+    # OUTPUT size); rows_out = written rows. An audit comparing rows_in
+    # against the true input slice now sees the real number.
+    metric_rows = ckpt.lineage_metrics(
+        out, "part_key", ["url", "text"], in_key_cols=["url"]
+    ).collect()
     if resume:
         done_pairs = {
             (r.part_key, r.fingerprint)
@@ -161,7 +167,7 @@ def run_pipeline(
         # whose metrics were just computed — record those rows verbatim
         done = spark.createDataFrame(
             [
-                (r.part_key, r.rows_in, r.fingerprint, r.rows_in)
+                (r.part_key, r.rows_in, r.fingerprint, r.rows_out)
                 for r in todo_rows
             ],
             "part_key long, rows_in long, fingerprint long, rows_out long",

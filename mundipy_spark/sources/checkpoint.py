@@ -32,9 +32,20 @@ CKPT_SCHEMA = (
 )
 
 
-def lineage_metrics(df: DataFrame, part_key: str, fingerprint_cols: list[str]) -> DataFrame:
-    """Per-partition-key metrics: row count + order-insensitive content
+def lineage_metrics(
+    df: DataFrame,
+    part_key: str,
+    fingerprint_cols: list[str],
+    in_key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-partition-key metrics: row counts + order-insensitive content
     fingerprint.
+
+    `rows_out` is always the row count of `df` per key. `rows_in` is the
+    DISTINCT count of `in_key_cols` per key when given (the true input-
+    unit count when `df` is a post-join output with fan-out — e.g. one
+    page matching two regions emits two rows but is ONE input); without
+    in_key_cols the two are the same count.
 
     The fingerprint hashes THREE independent order-insensitive
     combiners of the per-row xxhash64 — count, bit_xor, and exact
@@ -44,17 +55,24 @@ def lineage_metrics(df: DataFrame, part_key: str, fingerprint_cols: list[str]) -
     input). The sum runs as decimal(38,0): order-insensitive, exact,
     and overflow-free under ANSI mode up to ~10^19 rows per key."""
     h = f"xxhash64({', '.join(fingerprint_cols)})"
+    rows_in = (
+        F.countDistinct(*[F.col(c) for c in in_key_cols])
+        if in_key_cols
+        else F.count("*")
+    )
     return (
         df.groupBy(F.col(part_key).alias("part_key"))
         .agg(
-            F.count("*").alias("rows_in"),
+            rows_in.alias("rows_in"),
+            F.count("*").alias("rows_out"),
             F.expr(f"bit_xor({h})").alias("_fp_xor"),
             F.expr(f"sum(cast({h} as decimal(38, 0)))").alias("_fp_sum"),
         )
         .select(
             "part_key",
             "rows_in",
-            F.xxhash64("rows_in", "_fp_xor", "_fp_sum").alias("fingerprint"),
+            "rows_out",
+            F.xxhash64("rows_out", "_fp_xor", "_fp_sum").alias("fingerprint"),
         )
     )
 
@@ -87,9 +105,16 @@ def record_completion(
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
-    if path.startswith(("s3://", "s3a://", "hdfs://")):
+    # resolve through the Hadoop filesystem for ANY path — an explicit
+    # scheme (s3a://, gs://, abfss://, file://, ...) picks its connector
+    # and a bare path resolves against the default FS, exactly as
+    # spark.read will; falling back to os.path on schemes Hadoop lacks.
+    # (os.path.exists("gs://...") is silently False, which would disable
+    # resume for every remote checkpoint.)
+    try:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
         p = jvm.org.apache.hadoop.fs.Path(path)
         return p.getFileSystem(conf).exists(p)
-    return os.path.exists(path)
+    except Exception:
+        return os.path.exists(path)

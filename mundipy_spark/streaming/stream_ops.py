@@ -125,7 +125,14 @@ def sessionize_stream(events_stream: DataFrame, gap_s: int = 1800) -> DataFrame:
                 closed.append((start_s, end_s, n, round(s, 2)))
                 start_s, end_s, n, s = t, t, 1, v
             else:
-                end_s, n, s = t, n + 1, s + v
+                # events can arrive out of order ACROSS micro-batches
+                # (no ordering guard between files): an event earlier
+                # than the open session's span must widen it, never
+                # rewind end_s — a rewound end corrupts every later
+                # gap decision and splits sessions the batch twin
+                # keeps open
+                start_s, end_s = min(start_s, t), max(end_s, t)
+                n, s = n + 1, s + v
         state.update((start_s, end_s, n, s))
         if closed:
             yield pd.DataFrame(
@@ -274,9 +281,15 @@ def snaptable_sink(
     (Iceberg stores the same tag in its snapshot summary). sink_id is
     the checkpoint dir, which is what makes epoch numbering stable
     across restarts AND distinct across different queries writing the
-    same table."""
+    same table. Without a checkpoint_dir there is no replay across
+    restarts (Spark assigns a throwaway checkpoint), but epoch ids
+    RESTART at 0 per run — a shared constant sink_id would make run 2's
+    first batch look like a replay of run 1's and silently drop it, so
+    each checkpoint-less query gets a fresh uuid sink_id instead."""
+    import uuid
+
     handle = snaptable_batch_handler(
-        path, stats_cols, checkpoint_dir or "", key_cols
+        path, stats_cols, checkpoint_dir or f"nockpt-{uuid.uuid4()}", key_cols
     )
     writer = stream.writeStream.foreachBatch(handle).outputMode("append")
     if checkpoint_dir:

@@ -123,11 +123,18 @@ def test_frontier_politeness_rounds(spark):
         (f"https://h{i % 2}.org/p/{i}", float(100 - i)) for i in range(10)
     ]
     urls = spark.createDataFrame(rows, "url string, priority double")
-    out = frontier.schedule_frontier(urls, k_per_round=2, max_rounds=2).collect()
+    all_rows = frontier.schedule_frontier(
+        urls, k_per_round=2, max_rounds=2
+    ).collect()
+    # nothing is silently dropped: capped URLs come back deferred=true
+    assert len(all_rows) == 10
+    deferred = [r for r in all_rows if r.deferred]
+    assert len(deferred) == 2 and all(r.round > 2 for r in deferred)
+    out = [r for r in all_rows if not r.deferred]
     by_host_round = {}
     for r in out:
         by_host_round.setdefault((r.host, r.round), []).append(r)
-    # cap: at most 2 rounds of 2 per host -> 8 rows total
+    # cap: at most 2 rounds of 2 per host -> 8 fetchable rows
     assert len(out) == 8
     for (_, rnd), grp in by_host_round.items():
         assert rnd <= 2 and len(grp) <= 2
