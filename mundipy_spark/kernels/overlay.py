@@ -900,26 +900,92 @@ def _split_at_crossings(sa: np.ndarray, sb: np.ndarray, tol: float):
         t = (qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]) / denom
         u = (qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]) / denom
     ok = (np.abs(denom) > 1e-300) & (t > -tol) & (t < 1 + tol) & (u > -tol) & (u < 1 + tol)
+    # a crossing EXACTLY at a segment endpoint is regular geometry, not
+    # degeneracy: vertex-vertex contact (identical/shared rings meeting
+    # at their common vertices) needs no cut at all, and a T-contact
+    # (one operand's vertex ON the other's edge interior) cuts only the
+    # crossed side — at the toucher's EXACT endpoint coordinate, so the
+    # stitcher's keys and the coincident-chunk dedup match bit-for-bit.
+    # Perturb-retrying these never converges for coincident boundary
+    # chains: every retry offsets the twin rings by eps and re-creates
+    # the contact eps away from the endpoint.
+    e_at = 1e-13
+    t_at0, t_at1 = np.abs(t) <= e_at, np.abs(1 - t) <= e_at
+    u_at0, u_at1 = np.abs(u) <= e_at, np.abs(1 - u) <= e_at
+    t_at, u_at = t_at0 | t_at1, u_at0 | u_at1
     # endpoint-contact threshold is WIDER than the inclusion window:
-    # crossings within ~1e-9 of an endpoint spawn micro sub-segments
+    # crossings NEAR (not at) an endpoint spawn micro sub-segments
     # whose quantized stitch keys and side probes are unreliable —
     # degenerate, resolved by the perturbation retry
     t_end = 3e-9
-    near_end = ok & (
+    near_end = ok & ~(t_at | u_at) & (
         (np.abs(t) < t_end) | (np.abs(1 - t) < t_end)
         | (np.abs(u) < t_end) | (np.abs(1 - u) < t_end)
     )
     if near_end.any():
         raise _Degenerate("crossing at segment endpoint")
+    # ... and a crossing AT one side's endpoint but NEAR (micro-offset
+    # from) the other's is the classic almost-T degeneracy: still retry
+    if (ok & t_at & ~u_at & ((np.abs(u) < t_end) | (np.abs(1 - u) < t_end))).any():
+        raise _Degenerate("T-contact within micro tolerance of an endpoint")
+    if (ok & u_at & ~t_at & ((np.abs(t) < t_end) | (np.abs(1 - t) < t_end))).any():
+        raise _Degenerate("T-contact within micro tolerance of an endpoint")
 
-    ii, jj = np.nonzero(ok)
-    cx = sa[ii, 0] + t[ii, jj] * (sa[ii, 2] - sa[ii, 0])
-    cy = sa[ii, 1] + t[ii, jj] * (sa[ii, 3] - sa[ii, 1])
     cuts_a: dict[int, list] = {}
     cuts_b: dict[int, list] = {}
+    # vertex-vertex contacts (t_at & u_at): no cut on either side
+    cut_both = ok & ~t_at & ~u_at
+    ii, jj = np.nonzero(cut_both)
+    cx = sa[ii, 0] + t[ii, jj] * (sa[ii, 2] - sa[ii, 0])
+    cy = sa[ii, 1] + t[ii, jj] * (sa[ii, 3] - sa[ii, 1])
     for m in range(len(ii)):
         cuts_a.setdefault(int(ii[m]), []).append((t[ii[m], jj[m]], cx[m], cy[m]))
         cuts_b.setdefault(int(jj[m]), []).append((u[ii[m], jj[m]], cx[m], cy[m]))
+    # T-contacts: cut the crossed side at the toucher's exact endpoint
+    for i, j in zip(*np.nonzero(ok & t_at & ~u_at)):
+        ex, ey = (sa[i, 0], sa[i, 1]) if t_at0[i, j] else (sa[i, 2], sa[i, 3])
+        cuts_b.setdefault(int(j), []).append((float(u[i, j]), float(ex), float(ey)))
+    for i, j in zip(*np.nonzero(ok & u_at & ~t_at)):
+        ex, ey = (sb[j, 0], sb[j, 1]) if u_at0[i, j] else (sb[j, 2], sb[j, 3])
+        cuts_a.setdefault(int(i), []).append((float(t[i, j]), float(ex), float(ey)))
+
+    # COINCIDENT (collinear, overlapping) pairs: identical outer rings,
+    # or a piece of a previous overlay re-composed against an operand it
+    # shares boundary chains with. These are exactly parallel (denom=0),
+    # so the crossing machinery above never sees them and no degeneracy
+    # is raised — yet BOTH copies of the shared chain would pass the
+    # side-probe keep test and emit the result boundary twice (observed:
+    # union(holed-A, A) returned 2x|A|). Split each segment at the
+    # other's endpoint projections (reusing the other's EXACT endpoint
+    # coords, so the overlap chunks match bit-for-bit 1:1) and report
+    # the pairs; the caller drops the b-side twin of every matched chunk.
+    ra_v = sa[:, 2:4] - sa[:, 0:2]
+    sb_v = sb[:, 2:4] - sb[:, 0:2]
+    la = np.hypot(ra_v[:, 0], ra_v[:, 1])[:, None]
+    lb = np.hypot(sb_v[:, 0], sb_v[:, 1])[None, :]
+    par = np.abs(denom) <= la * lb * 1e-12
+    qp2 = qp + s  # sb end relative to sa start
+    cross0 = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
+    cross1 = qp2[..., 0] * r[..., 1] - qp2[..., 1] * r[..., 0]
+    ctol = np.maximum(la, lb) * 1e-12
+    collinear = par & (np.abs(cross0) <= la * ctol) & (np.abs(cross1) <= la * ctol)
+    if collinear.any():
+        rr = np.maximum((ra_v * ra_v).sum(1)[:, None], 1e-300)
+        t0 = (qp * r).sum(-1) / rr
+        t1 = (qp2 * r).sum(-1) / rr
+        lo = np.minimum(t0, t1)
+        hi = np.maximum(t0, t1)
+        ovl = collinear & (np.minimum(hi, 1.0) - np.maximum(lo, 0.0) > 1e-9)
+        bb = np.maximum((sb_v * sb_v).sum(1)[None, :], 1e-300)
+        for i, j in zip(*np.nonzero(ovl)):
+            i, j = int(i), int(j)
+            for tv, ex, ey in ((t0[i, j], sb[j, 0], sb[j, 1]), (t1[i, j], sb[j, 2], sb[j, 3])):
+                if 1e-9 < tv < 1 - 1e-9:
+                    cuts_a.setdefault(i, []).append((float(tv), float(ex), float(ey)))
+            for px_, py_ in ((sa[i, 0], sa[i, 1]), (sa[i, 2], sa[i, 3])):
+                uv = ((px_ - sb[j, 0]) * sb_v[j, 0] + (py_ - sb[j, 1]) * sb_v[j, 1]) / bb[0, j]
+                if 1e-9 < uv < 1 - 1e-9:
+                    cuts_b.setdefault(j, []).append((float(uv), float(px_), float(py_)))
 
     def split(segs, cuts):
         out = []
@@ -1036,6 +1102,21 @@ def _overlay_eo_once(a, b, op: str, k: int):
     for r in (*ra, *rb):
         ext = max(ext, float(np.abs(r).max()))
     sa, sb = _split_at_crossings(_ring_segs(ra), _ring_segs(rb), 1e-12)
+    # drop the b-side copy of every coincident chunk (split 1:1 with
+    # exact coordinate reuse above, so unordered-endpoint keys match
+    # bit-for-bit): a shared boundary chain must appear in the
+    # arrangement ONCE or the kept result boundary is emitted twice.
+    # Parity probes are ring-based, so removing the duplicate segment
+    # changes nothing about classification.
+    if len(sa) and len(sb):
+        akeys = {
+            tuple(sorted(((s_[0], s_[1]), (s_[2], s_[3])))) for s_ in sa
+        }
+        keep_b = [
+            tuple(sorted(((s_[0], s_[1]), (s_[2], s_[3])))) not in akeys
+            for s_ in sb
+        ]
+        sb = sb[np.asarray(keep_b, dtype=bool)]
     subs = np.vstack([s for s in (sa, sb) if len(s)])
     if len(subs) == 0:
         return None

@@ -5,7 +5,7 @@ SparkSession."""
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from mundipy_spark.kernels import constructive, measure, overlay, predicates, tiling, wkb
@@ -126,6 +126,23 @@ def test_overlay_inclusion_exclusion(a, b):
 
 
 @given(star_polygon(), star_polygon(), star_polygon())
+@example(
+    a=('Polygon', [np.array([[ 2.95342712,  2.82842712],
+             [-0.26518064,  1.96157056],
+             [-0.58210678, -0.70710678],
+             [ 1.97275907, -0.76536686],
+             [ 2.95342712,  2.82842712]])]),
+    b=('Polygon', [np.array([[ 0.70710678,  0.70710678],
+             [-0.35355339,  0.35355339],
+             [-0.35355339, -0.35355339],
+             [ 0.70710678, -0.70710678],
+             [ 0.70710678,  0.70710678]])]),
+    c=('Polygon', [np.array([[ 2.95342712,  2.82842712],
+             [-0.26518064,  1.96157056],
+             [-0.58210678, -0.70710678],
+             [ 1.97275907, -0.76536686],
+             [ 2.95342712,  2.82842712]])]),
+).via('discovered failure')
 def test_overlay_multipart_composition(a, b, c):
     """(A\\B) is often a MULTI-polygon whose components share boundary
     chains with B — overlaying it with a third layer exercises the GH
