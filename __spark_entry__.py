@@ -1452,6 +1452,35 @@ def q_snap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snaptable.read(spark, path).select("doc_id", "source", "text_len")
 
 
+def q_snap_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning on the snapshot table (sources/snaptable.py
+    partition transforms — Iceberg's partition-spec role): events land
+    partitioned by days(ts) x bucket(8, event_type); the read then
+    predicates ONLY on the source columns (a ts window + an event_type
+    equality) and scan planning derives the day-range and bucket prunes
+    itself. The DuckDB twin applies the same filter to the raw table,
+    so a transform that mis-buckets a value, a writer that drops a
+    partition, or a pruner that discards a live file (e.g. a
+    Spark-vs-driver day-boundary disagreement) breaks value-exactness."""
+    import datetime as _dt
+    import tempfile
+
+    from mundipy_spark.sources import snaptable
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="snaptable_p_")
+    snaptable.create(
+        spark, path, ev, stats_cols=["event_id"],
+        partition_by=["days(ts)", "bucket(8, event_type)"],
+    )
+    cut = _dt.datetime(2024, 1, 25, 0, 0, 0)
+    return snaptable.scan(
+        spark, path, [("ts", ">=", cut), ("event_type", "=", "click")]
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver-verification priority (VERDICT r03
     item 1): the harness records the FIRST 50 entries in
@@ -1464,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     67 remain covered by tools/check_oracle.py and pytest."""
     return {
         # (a) never / newly oracle-checked
+        "snap_part": q_snap_part,
         "snap_merge": q_snap_merge,
         "snap_scan": q_snap_scan,
         "warc_extract": q_warc_extract,
@@ -1576,6 +1606,11 @@ def oracle_sql() -> dict[str, str]:
     cities_values = ", ".join(f"('{n}', {lo}, {la})" for n, lo, la in CITIES)
 
     return {
+        "snap_part": """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' AND event_type = 'click'
+""",
         "snap_merge": """
 WITH base AS (
   SELECT doc_id, source, length(text) AS text_len FROM documents

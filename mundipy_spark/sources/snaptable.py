@@ -119,11 +119,24 @@ def _load_manifest(path: str, version: int) -> list[dict]:
 
 
 def _collect_file_stats(
-    spark: SparkSession, data_dir: str, stats_cols: list[str]
+    spark: SparkSession,
+    data_dir: str,
+    stats_cols: list[str],
+    spec: list[dict] | None = None,
 ) -> list[dict]:
-    """Per-file (rows, min/max, null_count per stats col) in ONE
-    distributed job — the writer-side stats pass an Iceberg writer does
-    inline. Missing/all-null columns record null bounds (never pruned)."""
+    """Per-file (rows, min/max, null_count per stats col; partition
+    tuple when a spec is set) in ONE distributed job — the writer-side
+    stats pass an Iceberg writer does inline. Missing/all-null columns
+    record null bounds (never pruned)."""
+    # a partitionBy write of ZERO rows creates no part files at all
+    # (unlike a plain write's empty part) — nothing to record, and the
+    # schema-inferring read below would fail on the bare directory
+    if not any(
+        name.endswith(".parquet")
+        for _, _, names in os.walk(data_dir)
+        for name in names
+    ):
+        return []
     df = spark.read.parquet(data_dir)
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in stats_cols:
@@ -132,6 +145,10 @@ def _collect_file_stats(
             F.max(c).alias(f"_max_{c}"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nulls_{c}"),
         ]
+    # partition values come back through hive-layout inference on the
+    # SAME read (constant per file — min() is exact and null-safe)
+    for f in spec or []:
+        aggs.append(F.min(f["name"]).alias(f"_part_{f['name']}"))
     rows = (
         df.groupBy(F.input_file_name().alias("_file")).agg(*aggs).collect()
     )
@@ -152,13 +169,16 @@ def _collect_file_stats(
         # segment (subdirs under it are uuid hex), so a table rooted at
         # e.g. /home/user/data/tbl relativizes correctly
         idx = fname.rfind(f"/{_DATA}/")
-        entries.append(
-            {
-                "path": fname[idx + 1 :] if idx >= 0 else fname,
-                "rows": int(d["_rows"]),
-                "stats": stats,
+        entry = {
+            "path": fname[idx + 1 :] if idx >= 0 else fname,
+            "rows": int(d["_rows"]),
+            "stats": stats,
+        }
+        if spec:
+            entry["partition"] = {
+                f["name"]: _json_safe(d[f"_part_{f['name']}"]) for f in spec
             }
-        )
+        entries.append(entry)
     return entries
 
 
@@ -173,6 +193,199 @@ def _json_safe(v):
     return v
 
 
+# ---------------------------------------------------------------------------
+# hidden partitioning (Iceberg partition transforms, re-expressed)
+#
+# A partition spec is declared ONCE at create() from source-column
+# TRANSFORMS — "days(warc_ts)", "bucket(16, url)", "truncate(4, url)",
+# "identity(lang)" — and is invisible to every reader: queries predicate
+# on the SOURCE column (warc_ts, url) and plan_scan() derives the
+# partition predicate itself, so nobody ever writes `WHERE _p_day = ...`
+# by hand (the misuse hidden partitioning exists to prevent). Data files
+# are physically split per partition tuple (hive layout under each
+# commit's uuid dir), the manifest records each file's tuple, and
+# pruning composes with min/max stats pruning. The derived _p_* columns
+# live only in directory names — never in the data files, never in the
+# table schema.
+#
+# Transform semantics (and why each may prune what it prunes):
+# - identity/days/months/years/truncate are MONOTONIC non-decreasing
+#   maps t: for a predicate `col >= v`, any row with col >= v has
+#   t(col) >= t(v), so files whose partition value < t(v) cannot hold a
+#   match. `>` relaxes to `>= t(v)` (rows inside partition t(v) can
+#   still exceed v); same mirrored for </<=; `=` keeps only t(v).
+# - bucket(n) is a hash: only `=` predicates prune (to bucket(v)).
+# - a NULL partition value means every row's source is NULL in that
+#   file; no comparison predicate matches NULL, so the file prunes for
+#   any op.
+# The same predicate is always re-applied as a row filter, so partition
+# pruning (like stats pruning) can change IO only, never results.
+#
+# Timestamps: transforms operate on UTC epoch seconds (timestamp cast
+# to double — Spark's internal UTC micros, session-tz independent,
+# matching Iceberg's UTC-micros definition); the driver-side twin
+# interprets naive predicate datetimes as UTC, which is exact under the
+# session's pinned spark.sql.session.timeZone=UTC (session.py).
+
+_EPOCH_DAY = 86400.0
+_MONOTONIC_TRANSFORMS = ("identity", "days", "months", "years", "truncate")
+
+
+def _parse_partition_by(exprs: list[str], schema) -> list[dict]:
+    """Parse ["days(warc_ts)", "bucket(16, url)", ...] into spec fields
+    {name, transform, source, param}; bare column names mean identity."""
+    import re
+
+    names = {f.name: f.dataType.simpleString() for f in schema.fields}
+    spec = []
+    for raw in exprs:
+        s = raw.strip()
+        m = re.fullmatch(r"(\w+)\(([^()]*)\)", s)
+        if not m:
+            t, args = "identity", [s]
+        else:
+            t, args = m.group(1), [a.strip() for a in m.group(2).split(",")]
+        param = None
+        if t in ("identity", "days", "months", "years"):
+            if len(args) != 1:
+                raise ValueError(f"snaptable partition_by: {raw!r} takes one column")
+            src = args[0]
+        elif t in ("bucket", "truncate"):
+            if len(args) != 2:
+                raise ValueError(
+                    f"snaptable partition_by: {raw!r} takes (N, column)"
+                )
+            param, src = int(args[0]), args[1]
+            if param <= 0:
+                raise ValueError(f"snaptable partition_by: {raw!r} needs N > 0")
+        else:
+            raise ValueError(
+                f"snaptable partition_by: unknown transform {t!r} "
+                "(identity|days|months|years|bucket|truncate)"
+            )
+        if src not in names:
+            raise ValueError(f"snaptable partition_by: no column {src!r}")
+        dt = names[src]
+        if t in ("days", "months", "years") and dt not in (
+            "timestamp", "timestamp_ntz", "date"
+        ):
+            raise ValueError(f"snaptable partition_by: {t}({src}) needs ts/date, got {dt}")
+        if t == "bucket" and not (dt == "string" or dt.startswith(("int", "bigint", "smallint", "tinyint"))):
+            # bucket hashing casts to string; float/ts string forms differ
+            # between Spark and the driver-side pruner, so reject them
+            raise ValueError(f"snaptable partition_by: bucket({src}) needs string/int, got {dt}")
+        if t == "truncate" and not (dt == "string" or dt.startswith(("int", "bigint", "smallint", "tinyint"))):
+            raise ValueError(f"snaptable partition_by: truncate({src}) needs string/int, got {dt}")
+        name = f"_p_{src}_{t}" + (str(param) if param is not None else "")
+        if name in names:
+            raise ValueError(f"snaptable partition_by: column {name!r} already exists")
+        spec.append({"name": name, "transform": t, "source": src, "param": param})
+    return spec
+
+
+def _transform_expr(field: dict, dtype: str):
+    """The Spark column expression computing a spec field's partition
+    value — the writer-side half; _transform_py is its driver twin."""
+    t, src, param = field["transform"], field["source"], field["param"]
+    c = F.col(src)
+    if t == "identity":
+        return c
+    if t == "days":
+        if dtype == "date":
+            return F.datediff(c, F.lit("1970-01-01")).cast("long")
+        if dtype == "timestamp_ntz":
+            # NTZ wall-clock == UTC under the session's pinned UTC tz
+            c = c.cast("timestamp")
+        return F.floor(c.cast("double") / _EPOCH_DAY).cast("long")
+    if t == "months":
+        return ((F.year(c) - 1970) * 12 + F.month(c) - 1).cast("long")
+    if t == "years":
+        return (F.year(c) - 1970).cast("long")
+    if t == "bucket":
+        h = F.conv(F.substring(F.md5(c.cast("string")), 1, 14), 16, 10).cast("long")
+        return F.pmod(h, F.lit(param)).cast("long")
+    if t == "truncate":
+        if dtype == "string":
+            return F.substring(c, 1, param)
+        return (c - F.pmod(c, F.lit(param))).cast("long")
+    raise ValueError(f"snaptable: unknown transform {t!r}")
+
+
+def _transform_py(field: dict, v):
+    """Apply a spec field's transform to a driver-side predicate value.
+    Returns None when the value's type can't be transformed faithfully
+    (caller then skips pruning on this field — correctness over IO)."""
+    import datetime
+    import hashlib
+    import math
+
+    t, param = field["transform"], field["param"]
+    if v is None:
+        return None
+    if t == "identity":
+        return v
+    if t == "days":
+        if isinstance(v, datetime.datetime):
+            return math.floor(v.replace(tzinfo=datetime.timezone.utc).timestamp() / _EPOCH_DAY)
+        if isinstance(v, datetime.date):
+            return (v - datetime.date(1970, 1, 1)).days
+        return None
+    if t == "months":
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return (v.year - 1970) * 12 + v.month - 1
+        return None
+    if t == "years":
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.year - 1970
+        return None
+    if t == "bucket":
+        if isinstance(v, bool) or not isinstance(v, (str, int)):
+            return None
+        s = v if isinstance(v, str) else str(v)
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:14], 16) % param
+    if t == "truncate":
+        if isinstance(v, str):
+            return v[:param]
+        if isinstance(v, bool) or not isinstance(v, int):
+            return None
+        return v - (v % param)  # Python % == pmod for param > 0
+    raise ValueError(f"snaptable: unknown transform {t!r}")
+
+
+def _part_survives(entry: dict, spec: list[dict] | None, col: str, op: str, value) -> bool:
+    """Can any row in `entry`'s file satisfy (col op value), judged by
+    the file's partition tuple? Conservative: unknown/missing always
+    survives; only provably-impossible files prune."""
+    for f in spec or []:
+        if f["source"] != col:
+            continue
+        part = entry.get("partition") or {}
+        if f["name"] not in part:
+            return True  # file predates the spec record: never prune
+        p = part[f["name"]]
+        if p is None:
+            # whole file's source column is NULL; no comparison matches
+            return False
+        tv = _transform_py(f, value)
+        if tv is None:
+            continue
+        if isinstance(p, str) != isinstance(tv, str) or (
+            isinstance(p, bool) != isinstance(tv, bool)
+        ):
+            continue  # incomparable (e.g. inference re-typed): keep
+        if f["transform"] == "bucket":
+            if op == "=" and p != tv:
+                return False
+            continue
+        if op == "=" and p != tv:
+            return False
+        if op in (">=", ">") and p < tv:
+            return False
+        if op in ("<=", "<") and p > tv:
+            return False
+    return True
+
+
 def _commit(
     path: str,
     new_entries: list[dict],
@@ -183,6 +396,7 @@ def _commit(
     max_retries: int = 20,
     require_parent: int | None = None,
     extra: dict | None = None,
+    partition_spec: list[dict] | None = None,
 ) -> int:
     """Optimistic commit: build metadata against the current head, then
     O_EXCL-create the snapshot file. A concurrent winner makes the
@@ -223,6 +437,7 @@ def _commit(
             "operation": operation,
             "manifest": manifest_rel,
             "stats_cols": stats_cols,
+            "partition_spec": partition_spec or None,
             "schema": schema_json,
             "added_files": len(new_entries),
             "total_files": len(files),
@@ -259,9 +474,23 @@ def _commit(
     raise RuntimeError(f"snaptable commit to {path}: lost {max_retries} races")
 
 
-def _write_data(df: DataFrame, path: str) -> str:
+def _write_data(df: DataFrame, path: str, spec: list[dict] | None = None) -> str:
     sub = os.path.join(path, _DATA, uuid.uuid4().hex[:12])
-    df.write.parquet(sub)
+    if spec:
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for f in spec:
+            if f["name"] in types:
+                raise ValueError(
+                    f"snaptable: column {f['name']!r} collides with the "
+                    "table's partition spec"
+                )
+            df = df.withColumn(f["name"], _transform_expr(f, types[f["source"]]))
+        # hive layout strips the _p_* columns into directory names:
+        # the data files carry ONLY the table schema, so direct file
+        # reads (scan/merge/delete) stay layout-agnostic
+        df.write.partitionBy(*[f["name"] for f in spec]).parquet(sub)
+    else:
+        df.write.parquet(sub)
     return sub
 
 
@@ -271,17 +500,27 @@ def create(
     df: DataFrame,
     stats_cols: list[str] | None = None,
     extra: dict | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Create the table with snapshot 1. `stats_cols` are the columns
     whose per-file min/max the manifest records (the prune keys —
     e.g. warc_ts for time-sliced recrawl scans, doc_id for backfills).
     `extra` keys merge into the snapshot record (e.g. a streaming
-    sink's epoch tag for replay idempotence)."""
+    sink's epoch tag for replay idempotence).
+
+    `partition_by` declares HIDDEN partitioning from source-column
+    transforms — ["days(warc_ts)", "bucket(16, url)", "lang"] — fixed
+    for the table's lifetime and honored by every writer (append,
+    compact, delete_where, merge_into, the streaming sink). Readers
+    keep predicating on the SOURCE columns; scan planning derives the
+    partition predicate itself. See the transform section above."""
     stats_cols = list(stats_cols or [])
-    sub = _write_data(df, path)
-    entries = _collect_file_stats(spark, sub, stats_cols)
+    spec = _parse_partition_by(partition_by, df.schema) if partition_by else None
+    sub = _write_data(df, path, spec)
+    entries = _collect_file_stats(spark, sub, stats_cols, spec)
     return _commit(
-        path, entries, "create", stats_cols, df.schema.json(), False, extra=extra
+        path, entries, "create", stats_cols, df.schema.json(), False,
+        extra=extra, partition_spec=spec,
     )
 
 
@@ -326,11 +565,13 @@ def append(
         raise ValueError(f"snaptable {path}: append to missing table")
     snap = _load_snapshot(path, head)
     stats_cols = snap["stats_cols"]
+    spec = snap.get("partition_spec")
     _check_additive(path, snap, df, "append")
-    sub = _write_data(df, path)
-    entries = _collect_file_stats(spark, sub, stats_cols)
+    sub = _write_data(df, path, spec)
+    entries = _collect_file_stats(spark, sub, stats_cols, spec)
     return _commit(
-        path, entries, "append", stats_cols, df.schema.json(), True, extra=extra
+        path, entries, "append", stats_cols, df.schema.json(), True,
+        extra=extra, partition_spec=spec,
     )
 
 
@@ -379,12 +620,18 @@ def plan_scan(
     snapshot_id: int | None = None,
 ) -> dict:
     """Driver-side scan planning: returns the surviving file list plus
-    prune accounting (what the judge of a 100 TB bill looks at)."""
+    prune accounting (what the judge of a 100 TB bill looks at).
+    Composes min/max-stats pruning with hidden-partition pruning (the
+    predicate stays on the SOURCE column; the transform is derived)."""
     files, snap = _files_for(path, snapshot_id)
+    spec = snap.get("partition_spec")
     kept = [
         e
         for e in files
-        if all(_survives(e, c, op, v) for (c, op, v) in (predicates or []))
+        if all(
+            _survives(e, c, op, v) and _part_survives(e, spec, c, op, v)
+            for (c, op, v) in (predicates or [])
+        )
     ]
     return {
         "snapshot": snap["version"],
@@ -419,7 +666,7 @@ def scan(
     schema = StructType.fromJson(json.loads(plan["schema"]))
     if not plan["files"]:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*plan["files"])
+    df = spark.read.schema(schema).option("recursiveFileLookup", "true").parquet(*plan["files"])
     for col, op, v in predicates or []:
         c = F.col(col)
         df = df.filter(
@@ -492,8 +739,9 @@ def compact(
         )
     else:
         df = df.repartition(target_files)
-    sub = _write_data(df, path)
-    entries = _collect_file_stats(spark, sub, stats_cols)
+    spec = snap.get("partition_spec")
+    sub = _write_data(df, path, spec)
+    entries = _collect_file_stats(spark, sub, stats_cols, spec)
     return _commit(
         path,
         entries,
@@ -502,6 +750,7 @@ def compact(
         snap["schema"],
         False,
         require_parent=snap["version"],
+        partition_spec=spec,
     )
 
 
@@ -523,17 +772,21 @@ def delete_where(
 
     files, snap = _files_for(path, None)
     stats_cols = snap["stats_cols"]
+    spec = snap.get("partition_spec")
     affected = [
         e
         for e in files
-        if all(_survives(e, c, op, v) for (c, op, v) in predicates)
+        if all(
+            _survives(e, c, op, v) and _part_survives(e, spec, c, op, v)
+            for (c, op, v) in predicates
+        )
     ]
     affected_paths = {e["path"] for e in affected}
     keep_entries = [e for e in files if e["path"] not in affected_paths]
     if not affected:
         return snap["version"]  # nothing can match: no-op, no commit
     schema = StructType.fromJson(json.loads(snap["schema"]))
-    df = spark.read.schema(schema).parquet(
+    df = spark.read.schema(schema).option("recursiveFileLookup", "true").parquet(
         *[os.path.join(path, e["path"]) for e in affected]
     )
     # a row is deleted only if EVERY predicate holds; survivors are the
@@ -550,9 +803,9 @@ def delete_where(
     # zero-row part files, which the stats job (groupBy input_file_name)
     # maps to zero manifest entries; the empty files are unreferenced
     # and harmless.
-    sub = _write_data(keep, path)
+    sub = _write_data(keep, path, spec)
     new_entries = [
-        e for e in _collect_file_stats(spark, sub, stats_cols) if e["rows"] > 0
+        e for e in _collect_file_stats(spark, sub, stats_cols, spec) if e["rows"] > 0
     ]
     return _commit(
         path,
@@ -562,6 +815,7 @@ def delete_where(
         snap["schema"],
         False,
         require_parent=snap["version"],
+        partition_spec=spec,
     )
 
 
@@ -634,9 +888,37 @@ def merge_into(
                 )
         if not source.head(1):
             return snap["version"]  # empty delta: no-op, no commit
-        # stage 1: manifest prune — bounds of every stats-covered key col
-        bound_keys = [k for k in key_cols if k in stats_cols]
+        # stage 1: manifest prune — bounds of every stats-covered key col,
+        # plus hidden-partition pruning: a file can only hold a source key
+        # if its partition value is among the source keys' own transform
+        # values (e.g. bucket(16, url): a url-keyed recrawl delta touches
+        # only the buckets its urls hash to — 15/16 of the table never
+        # opens, with no url stats needed). The value set is computed
+        # cluster-side with the SAME writer expression, so it can never
+        # diverge from what the writer laid down; skipped if unexpectedly
+        # unbounded (cap 4096 — a bucket spec is <= its n by construction).
+        spec = snap.get("partition_spec") or None
         candidates = files
+        src_types = {f.name: f.dataType.simpleString() for f in source.schema.fields}
+        for pf in spec or []:
+            if pf["source"] not in key_cols:
+                continue
+            vals = (
+                source.select(_transform_expr(pf, src_types[pf["source"]]).alias("v"))
+                .distinct()
+                .limit(4097)
+                .collect()
+            )
+            if len(vals) > 4096:
+                continue
+            allowed = {r["v"] for r in vals}
+            candidates = [
+                e
+                for e in candidates
+                if pf["name"] not in (e.get("partition") or {})
+                or e["partition"][pf["name"]] in allowed
+            ]
+        bound_keys = [k for k in key_cols if k in stats_cols]
         if bound_keys:
             bounds = source.agg(
                 *[F.min(k).alias(f"_mn_{k}") for k in bound_keys],
@@ -658,7 +940,7 @@ def merge_into(
             # stage 2: exact probe — which candidate files really hold a
             # source key. Broadcast the (delta-sized) key set; only file
             # NAMES come back to the driver.
-            cand = spark.read.schema(schema).parquet(
+            cand = spark.read.schema(schema).option("recursiveFileLookup", "true").parquet(
                 *[os.path.join(path, e["path"]) for e in candidates]
             )
             src_keys = F.broadcast(source.select(*key_cols).distinct())
@@ -686,7 +968,7 @@ def merge_into(
         out_cols = [f.name for f in source.schema.fields]
         old_names = {f.name for f in schema.fields}
         if touched_paths:
-            survivors = spark.read.schema(schema).parquet(
+            survivors = spark.read.schema(schema).option("recursiveFileLookup", "true").parquet(
                 *[os.path.join(path, p) for p in sorted(touched_paths)]
             )
             src_keys = F.broadcast(source.select(*key_cols).distinct())
@@ -701,9 +983,9 @@ def merge_into(
             out = survivors.unionByName(source.select(*out_cols))
         else:
             out = source.select(*out_cols)
-        sub = _write_data(out, path)
+        sub = _write_data(out, path, spec)
         new_entries = [
-            e for e in _collect_file_stats(spark, sub, stats_cols) if e["rows"] > 0
+            e for e in _collect_file_stats(spark, sub, stats_cols, spec) if e["rows"] > 0
         ]
         return _commit(
             path,
@@ -714,6 +996,7 @@ def merge_into(
             False,
             require_parent=snap["version"],
             extra=extra,
+            partition_spec=spec,
         )
     finally:
         source.unpersist()
@@ -812,7 +1095,7 @@ def read_incremental(
     schema = StructType.fromJson(json.loads(snap["schema"]))
     if not delta:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*delta)
+    return spark.read.schema(schema).option("recursiveFileLookup", "true").parquet(*delta)
 
 
 def manifest_df(spark: SparkSession, path: str, snapshot_id: int | None = None):

@@ -220,6 +220,7 @@ def snaptable_batch_handler(
     stats_cols: list[str] | None,
     sink_id: str,
     key_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ):
     """The foreachBatch handler snaptable_sink installs, exposed for
     direct (replay) testing: commits the batch as one append snapshot
@@ -246,8 +247,11 @@ def snaptable_batch_handler(
         spark = batch.sparkSession
         tag = {"sink_id": sink_id, "sink_epoch": epoch_id}
         if snaptable.current_version(path) == 0:
+            # the hidden-partition spec is a create-time property; every
+            # later append/merge inherits it from the table
             snaptable.create(
-                spark, path, batch, stats_cols=stats_cols or [], extra=tag
+                spark, path, batch, stats_cols=stats_cols or [],
+                extra=tag, partition_by=partition_by,
             )
         elif key_cols:
             snaptable.merge_into(spark, path, batch, key_cols, extra=tag)
@@ -264,6 +268,7 @@ def snaptable_sink(
     checkpoint_dir: str | None = None,
     trigger_once: bool = False,
     key_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> StreamingQuery:
     """Write a stream into a snapshot-manifest table: every micro-batch
     commits as ONE atomic append snapshot (sources/snaptable.py), so
@@ -289,7 +294,8 @@ def snaptable_sink(
     import uuid
 
     handle = snaptable_batch_handler(
-        path, stats_cols, checkpoint_dir or f"nockpt-{uuid.uuid4()}", key_cols
+        path, stats_cols, checkpoint_dir or f"nockpt-{uuid.uuid4()}",
+        key_cols, partition_by,
     )
     writer = stream.writeStream.foreachBatch(handle).outputMode("append")
     if checkpoint_dir:

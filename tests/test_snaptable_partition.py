@@ -1,0 +1,242 @@
+"""Hidden partitioning (sources/snaptable.py partition transforms):
+Iceberg's partition-spec role — days/months/years/bucket/truncate/
+identity transforms declared once at create(), honored by every writer,
+pruned from SOURCE-column predicates (the reader never names a
+partition column).
+
+Reference role: the north rule's Iceberg input table ("Common-Crawl
+pages ... at 10^12-document scale") — a trillion-row crawl table is
+only scannable if a warc_ts window or a url-keyed delta opens the
+files of its own day/bucket, not the table.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mundipy_spark.sources import snaptable
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mundipy_spark.session import get_spark
+
+    s = get_spark("snaptable-part-tests", cpus=4, shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture()
+def pages(spark):
+    """Crawl-shaped rows: 800 pages over 8 days x a few hosts."""
+    return spark.range(0, 800).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://h"), (F.col("id") % 5), F.lit(".test/p"), F.col("id")).alias("url"),
+        (F.to_timestamp(F.lit("2026-03-01 00:00:00")) + F.make_interval(hours=F.col("id") % 192)).alias("warc_ts"),
+        (F.col("id") % 3).cast("int").alias("lang_id"),
+    )
+
+
+def _schema_cols(df):
+    return sorted(df.columns)
+
+
+def test_days_partitioning_prunes_and_stays_hidden(spark, pages, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, pages, stats_cols=["doc_id"], partition_by=["days(warc_ts)"])
+    # hidden: the table schema and every read carry ONLY source columns
+    got = snaptable.read(spark, path)
+    assert _schema_cols(got) == ["doc_id", "lang_id", "url", "warc_ts"]
+    # a ts-window predicate on the SOURCE column prunes at file level
+    cut = dt.datetime(2026, 3, 6, 0, 0, 0)
+    plan = snaptable.plan_scan(path, [("warc_ts", ">=", cut)])
+    assert plan["files_kept"] < plan["files_total"]
+    # ... and results are exactly the row filter's
+    want = pages.filter(F.col("warc_ts") >= F.lit(cut)).count()
+    assert snaptable.scan(spark, path, [("warc_ts", ">=", cut)]).count() == want
+    assert want > 0
+    # equality on one day keeps that day's files only
+    plan_eq = snaptable.plan_scan(path, [("warc_ts", ">=", cut), ("warc_ts", "<", cut + dt.timedelta(days=1))])
+    assert plan_eq["files_kept"] <= plan["files_kept"]
+
+
+def test_bucket_partitioning_equality_prune_exact(spark, pages, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, pages, stats_cols=[], partition_by=["bucket(8, url)"])
+    url = "https://h3.test/p123"
+    plan = snaptable.plan_scan(path, [("url", "=", url)])
+    assert plan["files_kept"] < plan["files_total"]
+    got = snaptable.scan(spark, path, [("url", "=", url)]).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 123
+    # range ops on a bucket source must NOT prune (hash is not monotonic)
+    plan_rng = snaptable.plan_scan(path, [("url", ">=", url)])
+    assert plan_rng["files_kept"] == plan_rng["files_total"]
+
+
+def test_bucket_hash_spark_vs_driver_twin(spark, tmp_path):
+    """The driver-side pruner and the Spark writer must bucket every
+    value identically, or pruning silently loses rows."""
+    vals = ["", "a", "https://h0.test/p0", "ünïcode/path?q=1", "x" * 500, "7", "-13"]
+    fld = {"name": "_p_u_bucket16", "transform": "bucket", "source": "u", "param": 16}
+    df = spark.createDataFrame([(v,) for v in vals], "u string")
+    got = df.select(snaptable._transform_expr(fld, "string").alias("b")).collect()
+    for row, v in zip(got, vals):
+        assert row["b"] == snaptable._transform_py(fld, v), v
+    ifld = {"name": "_p_i_bucket16", "transform": "bucket", "source": "i", "param": 16}
+    idf = spark.createDataFrame([(n,) for n in [0, 1, -7, 2**40]], "i long")
+    for row, n in zip(idf.select(snaptable._transform_expr(ifld, "bigint").alias("b")).collect(), [0, 1, -7, 2**40]):
+        assert row["b"] == snaptable._transform_py(ifld, n), n
+
+
+def test_append_compact_delete_preserve_spec(spark, pages, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(
+        spark, path, pages, stats_cols=["doc_id"],
+        partition_by=["days(warc_ts)", "bucket(4, url)"],
+    )
+    more = pages.select(
+        (F.col("doc_id") + 800).alias("doc_id"), "url",
+        (F.col("warc_ts") + F.make_interval(days=F.lit(30))).alias("warc_ts"),
+        "lang_id",
+    )
+    snaptable.append(spark, path, more)
+    cut = dt.datetime(2026, 3, 31)
+    plan = snaptable.plan_scan(path, [("warc_ts", ">=", cut)])
+    assert plan["files_kept"] < plan["files_total"]  # appended files pruned too
+    assert snaptable.scan(spark, path, [("warc_ts", ">=", cut)]).count() == more.filter(F.col("warc_ts") >= F.lit(cut)).count()
+
+    # compact rewrites THROUGH the spec: pruning still works after
+    snaptable.compact(spark, path, target_files=2)
+    plan2 = snaptable.plan_scan(path, [("warc_ts", ">=", cut)])
+    assert plan2["files_kept"] < plan2["files_total"]
+    want_cut = more.filter(F.col("warc_ts") >= F.lit(cut)).count()
+    assert snaptable.scan(spark, path, [("warc_ts", ">=", cut)]).count() == want_cut
+    assert snaptable.read(spark, path).count() == 1600
+
+    # partition-pruned copy-on-write delete: only matching-day files rewrite
+    before = {e["path"] for e in snaptable._load_manifest(path, snaptable.current_version(path))}
+    snaptable.delete_where(spark, path, [("warc_ts", ">=", cut)])
+    after_rows = snaptable.read(spark, path).count()
+    assert after_rows == 1600 - more.filter(F.col("warc_ts") >= F.lit(cut)).count()
+    after = {e["path"] for e in snaptable._load_manifest(path, snaptable.current_version(path))}
+    assert before & after, "untouched partitions must keep their files"
+
+
+def test_merge_into_prunes_by_bucket(spark, pages, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, pages, stats_cols=[], partition_by=["bucket(8, url)"])
+    head_files = {e["path"] for e in snaptable._load_manifest(path, 1)}
+    # recrawl delta: 3 urls re-fetched -> at most 3 buckets touched
+    delta = pages.filter(F.col("doc_id").isin(5, 17, 400)).select(
+        "doc_id", "url",
+        (F.col("warc_ts") + F.make_interval(days=F.lit(100))).alias("warc_ts"),
+        F.lit(9).cast("int").alias("lang_id"),
+    )
+    snaptable.merge_into(spark, path, delta, key_cols=["url"])
+    v = snaptable.current_version(path)
+    now_files = {e["path"] for e in snaptable._load_manifest(path, v)}
+    survivors = head_files & now_files
+    # >= 5 of the 8 bucket files never rewrote (3 distinct urls -> <= 3 buckets)
+    assert len(survivors) >= len(head_files) - 3
+    got = snaptable.read(spark, path)
+    assert got.count() == 800
+    assert got.filter(F.col("lang_id") == 9).count() == 3
+
+
+def test_truncate_and_identity_transforms(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"key{i:04d}", i % 2) for i in range(100)] + [(100, None, 0)],
+        "doc_id long, k string, grp int",
+    )
+    path = str(tmp_path / "t")
+    snaptable.create(
+        spark, path, df, stats_cols=[],
+        partition_by=["truncate(4, k)", "grp"],  # bare column = identity
+    )
+    # truncate prefix is monotonic: prefix-range predicates prune
+    plan = snaptable.plan_scan(path, [("k", ">=", "key0050")])
+    assert plan["files_kept"] < plan["files_total"]
+    got = snaptable.scan(spark, path, [("k", ">=", "key0050")])
+    assert got.count() == 50
+    # identity equality prunes; null-key rows live in the null partition
+    plan_i = snaptable.plan_scan(path, [("grp", "=", 1)])
+    assert plan_i["files_kept"] < plan_i["files_total"]
+    assert snaptable.scan(spark, path, [("grp", "=", 1)]).count() == 50
+    # a comparison predicate never matches NULL -> the null partition
+    # prunes for any op, and full reads still return it
+    assert snaptable.read(spark, path).count() == 101
+    assert snaptable.scan(spark, path, [("k", ">=", "a")]).count() == 100
+
+
+def test_spec_validation_errors(spark, pages):
+    with pytest.raises(ValueError, match="unknown transform"):
+        snaptable._parse_partition_by(["hash(url)"], pages.schema)
+    with pytest.raises(ValueError, match="no column"):
+        snaptable._parse_partition_by(["days(nope)"], pages.schema)
+    with pytest.raises(ValueError, match="needs ts/date"):
+        snaptable._parse_partition_by(["days(url)"], pages.schema)
+    with pytest.raises(ValueError, match="needs string/int"):
+        snaptable._parse_partition_by(["bucket(4, warc_ts)"], pages.schema)
+    with pytest.raises(ValueError, match="N > 0"):
+        snaptable._parse_partition_by(["bucket(0, url)"], pages.schema)
+
+
+def test_ntz_days_partition_prunes(spark, tmp_path):
+    """The driver testdata's timestamps read as TIMESTAMP_NTZ; days()
+    must treat NTZ wall-clock as UTC (the session's pinned tz) and
+    prune day files exactly like tz'd timestamps."""
+    df = spark.sql(
+        "SELECT id AS event_id, "
+        "TIMESTAMP_NTZ '2024-01-01 00:00:00' "
+        "+ make_interval(0, 0, 0, 0, CAST(id % 96 AS INT), 0, 0) AS ts "
+        "FROM range(400)"
+    )
+    assert df.schema["ts"].dataType.simpleString() == "timestamp_ntz"
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, df, stats_cols=[], partition_by=["days(ts)"])
+    cut = dt.datetime(2024, 1, 3)
+    plan = snaptable.plan_scan(path, [("ts", ">=", cut)])
+    assert plan["files_kept"] < plan["files_total"]
+    got = snaptable.scan(spark, path, [("ts", ">=", cut)])
+    assert got.count() == df.filter(F.col("ts") >= F.lit(cut)).count() > 0
+
+
+def test_streaming_sink_creates_partitioned_table(spark, pages, tmp_path):
+    """snaptable_batch_handler(partition_by=...): the first batch fixes
+    the hidden-partition spec; later batches (append or upsert) inherit
+    it and their files prune too."""
+    from mundipy_spark.streaming import stream_ops
+
+    path = str(tmp_path / "t")
+    handle = stream_ops.snaptable_batch_handler(
+        path, ["doc_id"], "ckpt-P", partition_by=["days(warc_ts)"]
+    )
+    handle(pages, 0)
+    later = pages.select(
+        (F.col("doc_id") + 800).alias("doc_id"), "url",
+        (F.col("warc_ts") + F.make_interval(days=F.lit(60))).alias("warc_ts"),
+        "lang_id",
+    )
+    handle(later, 1)
+    cut = dt.datetime(2026, 4, 25)
+    plan = snaptable.plan_scan(path, [("warc_ts", ">=", cut)])
+    assert plan["files_kept"] < plan["files_total"]
+    assert (
+        snaptable.scan(spark, path, [("warc_ts", ">=", cut)]).count()
+        == later.filter(F.col("warc_ts") >= F.lit(cut)).count()
+    )
+
+
+def test_incremental_read_on_partitioned_table(spark, pages, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, pages, stats_cols=[], partition_by=["days(warc_ts)"])
+    more = pages.select((F.col("doc_id") + 800).alias("doc_id"), "url", "warc_ts", "lang_id")
+    snaptable.append(spark, path, more)
+    inc = snaptable.read_incremental(spark, path, since=1)
+    assert inc.count() == 800
+    assert inc.agg(F.min("doc_id")).first()[0] == 800
+    assert _schema_cols(inc) == ["doc_id", "lang_id", "url", "warc_ts"]
