@@ -60,6 +60,12 @@ def asof_join(
     (by, ts) when exact reproducibility matters.
     """
     right_ts = right_ts or ts_col
+    # a NULL right timestamp can never satisfy ts_right <= ts_left
+    # (SQL comparison semantics — DuckDB's native ASOF matches it to
+    # nothing), but under the union-window plan it would sort FIRST
+    # (asc = nulls first) and back-fill every probe before the first
+    # real reference row; drop such rows up front
+    right = right.filter(F.col(right_ts).isNotNull())
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (by, right_ts)]
     clash = set(value_cols) & set(left.columns)

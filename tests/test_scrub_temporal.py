@@ -171,6 +171,27 @@ def test_asof_join_null_payload_member_is_row_atomic(spark):
     assert row.note is None  # NOT "old"
 
 
+def test_asof_join_null_right_ts_matches_nothing(spark):
+    """SQL comparison semantics: a NULL right timestamp satisfies no
+    ts_right <= ts_left, so it must never fill a probe — under the
+    union-window plan it would otherwise sort FIRST (nulls-first asc)
+    and back-fill every probe before the first real reference row."""
+    left = spark.createDataFrame(
+        [("u1", 5, "early"), ("u1", 20, "late"), ("u1", None, "nullts")],
+        "uid string, ts long, ev string",
+    )
+    right = spark.createDataFrame(
+        [("u1", None, 99.0), ("u1", 10, 1.0)],
+        "uid string, ts long, price double",
+    )
+    got = {
+        r.ev: r.price
+        for r in temporal.asof_join(left, right, by="uid", ts_col="ts").collect()
+    }
+    # DuckDB: ASOF LEFT JOIN gives early->NULL, late->1.0, nullts->NULL
+    assert got == {"early": None, "late": 1.0, "nullts": None}
+
+
 def test_asof_join_rejects_column_clash(spark):
     left, right = _asof_frames(spark)
     with pytest.raises(ValueError, match="collide"):
