@@ -352,6 +352,55 @@ def _transform_py(field: dict, v):
     raise ValueError(f"snaptable: unknown transform {t!r}")
 
 
+def _all_specs(snap: dict) -> list[dict]:
+    """Active spec fields + every historical spec's (partition
+    evolution): a file entry carries the tuple of whichever spec wrote
+    it, and _part_survives skips fields absent from an entry, so
+    pruning against the union is exact for old and new files alike.
+    Duplicate field names collapse (same name == same transform by
+    construction — the name encodes transform+source+param)."""
+    seen: dict[str, dict] = {}
+    for spec in [snap.get("partition_spec") or []] + list(
+        snap.get("partition_spec_history") or []
+    ):
+        for f in spec or []:
+            seen.setdefault(f["name"], f)
+    return list(seen.values())
+
+
+def evolve_partition_by(path: str, partition_by: list[str] | None) -> int:
+    """Change the table's partition spec WITHOUT rewriting any data —
+    Iceberg's partition evolution: existing files keep the tuple (and
+    the pruning) of the spec that wrote them; files written after this
+    commit lay out and prune under the new spec. plan_scan prunes with
+    the union of all specs ever active, so a warc_ts-days predicate
+    keeps pruning day-partitioned history even after the table moves
+    to, say, bucket(64, url). `partition_by=None` drops partitioning
+    for future writes. Metadata-only commit (operation 'evolve')."""
+    from pyspark.sql.types import StructType
+
+    head = current_version(path)
+    if head == 0:
+        raise ValueError(f"snaptable {path}: evolve on missing table")
+    snap = _load_snapshot(path, head)
+    schema = StructType.fromJson(json.loads(snap["schema"]))
+    new_spec = _parse_partition_by(partition_by, schema) if partition_by else None
+    old = snap.get("partition_spec")
+    hist = list(snap.get("partition_spec_history") or [])
+    if old:
+        hist.append(old)
+    return _commit(
+        path,
+        [],
+        "evolve",
+        snap["stats_cols"],
+        snap["schema"],
+        True,
+        partition_spec=new_spec,
+        partition_spec_history=hist,
+    )
+
+
 def _part_survives(entry: dict, spec: list[dict] | None, col: str, op: str, value) -> bool:
     """Can any row in `entry`'s file satisfy (col op value), judged by
     the file's partition tuple? Conservative: unknown/missing always
@@ -361,7 +410,8 @@ def _part_survives(entry: dict, spec: list[dict] | None, col: str, op: str, valu
             continue
         part = entry.get("partition") or {}
         if f["name"] not in part:
-            return True  # file predates the spec record: never prune
+            continue  # file written under a different spec: this field
+            # can't judge it (others from its own spec still can)
         p = part[f["name"]]
         if p is None:
             # whole file's source column is NULL; no comparison matches
@@ -397,6 +447,7 @@ def _commit(
     require_parent: int | None = None,
     extra: dict | None = None,
     partition_spec: list[dict] | None = None,
+    partition_spec_history: list[list[dict]] | None = None,
 ) -> int:
     """Optimistic commit: build metadata against the current head, then
     O_EXCL-create the snapshot file. A concurrent winner makes the
@@ -438,6 +489,7 @@ def _commit(
             "manifest": manifest_rel,
             "stats_cols": stats_cols,
             "partition_spec": partition_spec or None,
+            "partition_spec_history": partition_spec_history or None,
             "schema": schema_json,
             "added_files": len(new_entries),
             "total_files": len(files),
@@ -509,9 +561,10 @@ def create(
     sink's epoch tag for replay idempotence).
 
     `partition_by` declares HIDDEN partitioning from source-column
-    transforms — ["days(warc_ts)", "bucket(16, url)", "lang"] — fixed
-    for the table's lifetime and honored by every writer (append,
-    compact, delete_where, merge_into, the streaming sink). Readers
+    transforms — ["days(warc_ts)", "bucket(16, url)", "lang"] — honored
+    by every writer (append, compact, delete_where, merge_into, the
+    streaming sink) and changeable later WITHOUT rewrites via
+    evolve_partition_by (Iceberg partition evolution). Readers
     keep predicating on the SOURCE columns; scan planning derives the
     partition predicate itself. See the transform section above."""
     stats_cols = list(stats_cols or [])
@@ -566,12 +619,13 @@ def append(
     snap = _load_snapshot(path, head)
     stats_cols = snap["stats_cols"]
     spec = snap.get("partition_spec")
+    hist = snap.get("partition_spec_history")
     _check_additive(path, snap, df, "append")
     sub = _write_data(df, path, spec)
     entries = _collect_file_stats(spark, sub, stats_cols, spec)
     return _commit(
         path, entries, "append", stats_cols, df.schema.json(), True,
-        extra=extra, partition_spec=spec,
+        extra=extra, partition_spec=spec, partition_spec_history=hist,
     )
 
 
@@ -624,7 +678,7 @@ def plan_scan(
     Composes min/max-stats pruning with hidden-partition pruning (the
     predicate stays on the SOURCE column; the transform is derived)."""
     files, snap = _files_for(path, snapshot_id)
-    spec = snap.get("partition_spec")
+    spec = _all_specs(snap)
     kept = [
         e
         for e in files
@@ -751,6 +805,7 @@ def compact(
         False,
         require_parent=snap["version"],
         partition_spec=spec,
+        partition_spec_history=snap.get("partition_spec_history"),
     )
 
 
@@ -773,11 +828,12 @@ def delete_where(
     files, snap = _files_for(path, None)
     stats_cols = snap["stats_cols"]
     spec = snap.get("partition_spec")
+    prune_spec = _all_specs(snap)
     affected = [
         e
         for e in files
         if all(
-            _survives(e, c, op, v) and _part_survives(e, spec, c, op, v)
+            _survives(e, c, op, v) and _part_survives(e, prune_spec, c, op, v)
             for (c, op, v) in predicates
         )
     ]
@@ -816,6 +872,7 @@ def delete_where(
         False,
         require_parent=snap["version"],
         partition_spec=spec,
+        partition_spec_history=snap.get("partition_spec_history"),
     )
 
 
@@ -900,7 +957,7 @@ def merge_into(
         spec = snap.get("partition_spec") or None
         candidates = files
         src_types = {f.name: f.dataType.simpleString() for f in source.schema.fields}
-        for pf in spec or []:
+        for pf in _all_specs(snap):
             if pf["source"] not in key_cols:
                 continue
             vals = (
@@ -997,6 +1054,7 @@ def merge_into(
             require_parent=snap["version"],
             extra=extra,
             partition_spec=spec,
+            partition_spec_history=snap.get("partition_spec_history"),
         )
     finally:
         source.unpersist()

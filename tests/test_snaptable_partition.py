@@ -205,6 +205,51 @@ def test_ntz_days_partition_prunes(spark, tmp_path):
     assert got.count() == df.filter(F.col("ts") >= F.lit(cut)).count() > 0
 
 
+def test_partition_evolution_no_rewrite(spark, pages, tmp_path):
+    """evolve_partition_by: spec changes WITHOUT touching data files;
+    old files keep pruning under the spec that wrote them, new files
+    prune under the new one, and a predicate on either source column
+    prunes its own era's files."""
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, pages, stats_cols=[], partition_by=["days(warc_ts)"])
+    files_v1 = {e["path"] for e in snaptable._load_manifest(path, 1)}
+    v = snaptable.evolve_partition_by(path, ["bucket(8, url)"])
+    assert snaptable._load_snapshot(path, v)["operation"] == "evolve"
+    # metadata-only: same file set, full read unchanged
+    assert {e["path"] for e in snaptable._load_manifest(path, v)} == files_v1
+    assert snaptable.read(spark, path).count() == 800
+    more = pages.select(
+        (F.col("doc_id") + 800).alias("doc_id"), "url",
+        (F.col("warc_ts") + F.make_interval(days=F.lit(60))).alias("warc_ts"),
+        "lang_id",
+    )
+    snaptable.append(spark, path, more)
+    # ts predicate: the OLD day-partitioned files prune; the new
+    # bucket-partitioned files can't be judged by days -> kept
+    cut = dt.datetime(2026, 3, 6)
+    plan = snaptable.plan_scan(path, [("warc_ts", ">=", cut)])
+    assert plan["files_kept"] < plan["files_total"]
+    want = (
+        pages.filter(F.col("warc_ts") >= F.lit(cut)).count()
+        + more.filter(F.col("warc_ts") >= F.lit(cut)).count()
+    )
+    assert snaptable.scan(spark, path, [("warc_ts", ">=", cut)]).count() == want
+    # url equality: the NEW bucket files prune; old day files kept
+    url = "https://h2.test/p42"
+    plan_u = snaptable.plan_scan(path, [("url", "=", url)])
+    assert plan_u["files_kept"] < plan_u["files_total"]
+    got = snaptable.scan(spark, path, [("url", "=", url)])
+    assert sorted(r["doc_id"] for r in got.collect()) == [42, 842]
+    # evolving to None drops partitioning for future writes only
+    snaptable.evolve_partition_by(path, None)
+    snaptable.append(spark, path, more.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "url", "warc_ts", "lang_id"
+    ))
+    assert snaptable.read(spark, path).count() == 2400
+    plan2 = snaptable.plan_scan(path, [("url", "=", url)])
+    assert plan2["files_kept"] < plan2["files_total"]  # era-2 files still prune
+
+
 def test_streaming_sink_creates_partitioned_table(spark, pages, tmp_path):
     """snaptable_batch_handler(partition_by=...): the first batch fixes
     the hidden-partition spec; later batches (append or upsert) inherit
