@@ -1452,6 +1452,41 @@ def q_snap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snaptable.read(spark, path).select("doc_id", "source", "text_len")
 
 
+def q_snap_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality deletes on the snapshot table
+    (sources/snaptable.py delete_keys — Iceberg v2 delete files +
+    sequence numbers, the O(delta) takedown path): documents land as
+    snapshot 1; a takedown key set (every doc_id%7==2) commits as an
+    'eq-delete' snapshot that rewrites NOTHING; a recrawl batch then
+    re-appends half of the deleted ids (doc_id%14==2) with a new
+    source tag. The head read must anti-join the older files against
+    the broadcast key set while leaving the NEWER re-appended rows
+    visible (delete applies only to files with a smaller sequence).
+    The DuckDB twin computes filter + union directly, so a reader that
+    drops the re-appended rows, resurrects deleted ones, or applies
+    the delete to the wrong sequence range breaks value-exactness."""
+    import tempfile
+
+    from mundipy_spark.sources import snaptable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.length("text").alias("text_len")
+    )
+    path = tempfile.mkdtemp(prefix="snaptable_d_")
+    snaptable.create(
+        spark, path, docs.repartitionByRange(4, "doc_id"), stats_cols=["doc_id"]
+    )
+    snaptable.delete_keys(
+        spark, path, docs.filter(F.col("doc_id") % 7 == 2).select("doc_id")
+    )
+    recrawl = docs.filter(F.col("doc_id") % 14 == 2).select(
+        "doc_id", F.lit("recrawl").alias("source"),
+        (F.col("text_len") + 5).alias("text_len"),
+    )
+    snaptable.append(spark, path, recrawl)
+    return snaptable.read(spark, path).select("doc_id", "source", "text_len")
+
+
 def q_snap_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hidden partitioning on the snapshot table (sources/snaptable.py
     partition transforms — Iceberg's partition-spec role): events land
@@ -1493,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     67 remain covered by tools/check_oracle.py and pytest."""
     return {
         # (a) never / newly oracle-checked
+        "snap_mor": q_snap_mor,
         "snap_part": q_snap_part,
         "snap_merge": q_snap_merge,
         "snap_scan": q_snap_scan,
@@ -1545,8 +1581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gazetteer": q_gazetteer,
         "sessions": q_sessions,
         "events_hourly": q_events_hourly,
-        "ann_topk": q_ann_topk,
         # --- driver window boundary: exactly 50 entries above ---
+        "ann_topk": q_ann_topk,
         "bpe_tokens": q_bpe_tokens,
         "splits": q_splits,
         "source_topk": q_source_topk,
@@ -1606,6 +1642,13 @@ def oracle_sql() -> dict[str, str]:
     cities_values = ", ".join(f"('{n}', {lo}, {la})" for n, lo, la in CITIES)
 
     return {
+        "snap_mor": """
+SELECT doc_id, source, length(text) AS text_len
+FROM documents WHERE doc_id % 7 <> 2
+UNION ALL
+SELECT doc_id, 'recrawl' AS source, length(text) + 5 AS text_len
+FROM documents WHERE doc_id % 14 = 2
+""",
         "snap_part": """
 SELECT event_id, ts, user_id, event_type, value
 FROM events

@@ -448,6 +448,8 @@ def _commit(
     extra: dict | None = None,
     partition_spec: list[dict] | None = None,
     partition_spec_history: list[list[dict]] | None = None,
+    delete_files: list[dict] | None = None,
+    add_delete_files: list[dict] | None = None,
 ) -> int:
     """Optimistic commit: build metadata against the current head, then
     O_EXCL-create the snapshot file. A concurrent winner makes the
@@ -459,8 +461,22 @@ def _commit(
     any other commit (e.g. an append) landed since, retrying blindly
     would publish a file set that silently drops the newcomer's files.
     Iceberg fails such commits; so do we — the caller re-plans against
-    the new head and tries again."""
+    the new head and tries again.
+
+    Sequence numbers: every NEW manifest entry is stamped seq=version
+    (Iceberg's data sequence number); carried/kept entries keep the seq
+    of the commit that added them. Equality-delete files (merge-on-read
+    takedowns) apply to data files with a STRICTLY SMALLER seq, so a
+    row re-appended after a delete is visible. `delete_files` replaces
+    the snapshot's delete-file list outright (compact: deletes applied,
+    list cleared); `add_delete_files` appends to the parent's list,
+    re-read on every retry; both None inherits the parent's list."""
     os.makedirs(_meta_dir(path), exist_ok=True)
+    # entries arriving WITHOUT a seq are new data from this commit and
+    # take the version that finally wins (re-stamped on every retry —
+    # a lost race means the real commit version is higher); entries
+    # carrying one (rollback republishing an old manifest) keep it
+    unstamped = [e for e in new_entries if "seq" not in e]
     for _ in range(max_retries):
         head = current_version(path)
         if require_parent is not None and head != require_parent:
@@ -469,6 +485,18 @@ def _commit(
                 f"{require_parent} but head is now {head} — re-plan and retry"
             )
         version = head + 1
+        for e in unstamped:
+            e["seq"] = version
+        if delete_files is not None:
+            dels = list(delete_files)
+        else:
+            dels = list(
+                (_load_snapshot(path, head).get("delete_files") or [])
+                if head
+                else []
+            )
+            for d in add_delete_files or []:
+                dels.append({**d, "seq": d.get("seq", version)})
         files = list(_load_manifest(path, head)) if (head and carry_parent_files) else []
         files += new_entries
         # UNIQUE manifest name per attempt: a deterministic
@@ -490,6 +518,7 @@ def _commit(
             "stats_cols": stats_cols,
             "partition_spec": partition_spec or None,
             "partition_spec_history": partition_spec_history or None,
+            "delete_files": dels or None,
             "schema": schema_json,
             "added_files": len(new_entries),
             "total_files": len(files),
@@ -640,6 +669,124 @@ def _files_for(path: str, snapshot_id: int | None) -> tuple[list[dict], dict]:
     return _load_manifest(path, head), _load_snapshot(path, head)
 
 
+def _read_with_deletes(
+    spark: SparkSession,
+    path: str,
+    entries: list[dict],
+    schema,
+    dels: list[dict],
+) -> DataFrame:
+    """Read data-file entries applying equality-delete files
+    (merge-on-read). A delete file with sequence s erases rows whose
+    key tuple it contains from data files with seq < s ONLY — rows
+    re-appended after the takedown stay visible (Iceberg's sequence
+    rule). Data files are grouped by which suffix of the seq-sorted
+    delete list applies to them (#groups <= #delete commits + 1, not
+    #files); each group anti-joins against the BROADCAST union of its
+    applicable delete keys, so the table side never shuffles and the
+    delete side is delta-sized by construction."""
+    import bisect
+
+    if not entries:
+        return spark.createDataFrame([], schema)
+
+    def _read(ents: list[dict]) -> DataFrame:
+        return (
+            spark.read.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(*[os.path.join(path, e["path"]) for e in ents])
+        )
+
+    if not dels:
+        return _read(entries)
+    dels = sorted(dels, key=lambda d: d.get("seq", 0))
+    seqs = [d.get("seq", 0) for d in dels]
+    groups: dict[int, list[dict]] = {}
+    for e in entries:
+        # deletes with seq > entry seq apply; suffix start index
+        groups.setdefault(bisect.bisect_right(seqs, e.get("seq", 0)), []).append(e)
+    parts = []
+    for idx, ents in sorted(groups.items()):
+        df = _read(ents)
+        by_key: dict[tuple, list[dict]] = {}
+        for d in dels[idx:]:
+            by_key.setdefault(tuple(d["key_cols"]), []).append(d)
+        for key_cols, dfiles in by_key.items():
+            keys = (
+                spark.read.parquet(
+                    *[os.path.join(path, d["path"]) for d in dfiles]
+                )
+                .select(*key_cols)
+                .distinct()
+            )
+            df = df.join(F.broadcast(keys), on=list(key_cols), how="left_anti")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def delete_keys(spark: SparkSession, path: str, keys: DataFrame) -> int:
+    """MERGE-ON-READ equality deletes — the O(delta) takedown path.
+    `keys` is a DataFrame whose columns name the key (e.g. `url`, or
+    a composite); its rows are written as a small parquet delete file
+    and committed as an 'eq-delete' snapshot that REWRITES NOTHING:
+    readers anti-join data files against the broadcast key set at scan
+    time (see _read_with_deletes). Where delete_where() rewrites every
+    affected file (cost ∝ affected data), this commits in O(keys) —
+    the right shape when a takedown touches a thin slice of 10^12 docs
+    spread across every file. compact() later applies outstanding
+    deletes physically and clears the list; expire() then reclaims the
+    pre-delete snapshots, finalizing the takedown exactly like the COW
+    path.
+
+    Key columns must exist in the table schema (values are cast to the
+    table's types so the anti-join is like-typed). Rows with ANY NULL
+    key are dropped — equality deletes match by equi-join semantics,
+    so a NULL key could never match a row anyway. An empty key set is
+    a no-op (no commit)."""
+    from pyspark.sql.types import StructType
+
+    files, snap = _files_for(path, None)
+    schema = StructType.fromJson(json.loads(snap["schema"]))
+    names = {f.name: f.dataType for f in schema.fields}
+    key_cols = list(keys.columns)
+    if not key_cols:
+        raise ValueError("snaptable delete_keys: keys has no columns")
+    for k in key_cols:
+        if k not in names:
+            raise ValueError(
+                f"snaptable delete_keys: key column {k!r} not in table schema"
+            )
+    clean = (
+        keys.na.drop(subset=key_cols)
+        .select(*[F.col(k).cast(names[k]).alias(k) for k in key_cols])
+        .distinct()
+    )
+    sub = os.path.join(path, _DATA, uuid.uuid4().hex[:12])
+    clean.write.parquet(sub)
+    entries = _collect_file_stats(spark, sub, [], None)
+    new_dels = [
+        {"path": e["path"], "rows": e["rows"], "key_cols": key_cols}
+        for e in entries
+        if e["rows"] > 0
+    ]
+    if not new_dels:
+        return snap["version"]  # nothing to delete: no-op, no commit
+    return _commit(
+        path,
+        [],
+        "eq-delete",
+        snap["stats_cols"],
+        snap["schema"],
+        True,
+        partition_spec=snap.get("partition_spec"),
+        partition_spec_history=snap.get("partition_spec_history"),
+        add_delete_files=new_dels,
+    )
+
+
 def _survives(entry: dict, col: str, op: str, value) -> bool:
     st = entry.get("stats", {}).get(col)
     if not st or st["min"] is None or st["max"] is None:
@@ -687,12 +834,18 @@ def plan_scan(
             for (c, op, v) in (predicates or [])
         )
     ]
+    dels = snap.get("delete_files") or []
     return {
         "snapshot": snap["version"],
         "files_total": len(files),
         "files_kept": len(kept),
+        # upper bound: equality deletes subtract an unknown (<= their
+        # row count) number of rows at read time
         "rows_upper_bound": sum(e["rows"] for e in kept),
         "files": [os.path.join(path, e["path"]) for e in kept],
+        "entries": kept,
+        "delete_files": dels,
+        "delete_rows": sum(d["rows"] for d in dels),
         "schema": snap["schema"],
     }
 
@@ -718,9 +871,9 @@ def scan(
 
     plan = plan_scan(path, predicates, snapshot_id)
     schema = StructType.fromJson(json.loads(plan["schema"]))
-    if not plan["files"]:
-        return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).option("recursiveFileLookup", "true").parquet(*plan["files"])
+    df = _read_with_deletes(
+        spark, path, plan["entries"], schema, plan["delete_files"]
+    )
     for col, op, v in predicates or []:
         c = F.col(col)
         df = df.filter(
@@ -806,6 +959,9 @@ def compact(
         require_parent=snap["version"],
         partition_spec=spec,
         partition_spec_history=snap.get("partition_spec_history"),
+        # the rewrite read through read() and thus APPLIED every
+        # outstanding equality delete; the new snapshot owes none
+        delete_files=[],
     )
 
 
@@ -842,8 +998,12 @@ def delete_where(
     if not affected:
         return snap["version"]  # nothing can match: no-op, no commit
     schema = StructType.fromJson(json.loads(snap["schema"]))
-    df = spark.read.schema(schema).option("recursiveFileLookup", "true").parquet(
-        *[os.path.join(path, e["path"]) for e in affected]
+    # the rewrite must also APPLY outstanding equality deletes to the
+    # rows it rewrites: the new files take a fresh (higher) seq, so
+    # older delete files stop applying to them — a raw read would
+    # resurrect MOR-deleted rows
+    df = _read_with_deletes(
+        spark, path, affected, schema, snap.get("delete_files") or []
     )
     # a row is deleted only if EVERY predicate holds; survivors are the
     # complement (NULL predicate columns never match -> never deleted)
@@ -1025,8 +1185,15 @@ def merge_into(
         out_cols = [f.name for f in source.schema.fields]
         old_names = {f.name for f in schema.fields}
         if touched_paths:
-            survivors = spark.read.schema(schema).option("recursiveFileLookup", "true").parquet(
-                *[os.path.join(path, p) for p in sorted(touched_paths)]
+            # like delete_where's rewrite: survivors get a fresh seq,
+            # so outstanding equality deletes must be applied NOW or
+            # they would stop covering the rewritten rows
+            survivors = _read_with_deletes(
+                spark,
+                path,
+                [e for e in files if e["path"] in touched_paths],
+                schema,
+                snap.get("delete_files") or [],
             )
             src_keys = F.broadcast(source.select(*key_cols).distinct())
             survivors = survivors.join(src_keys, on=key_cols, how="left_anti")
@@ -1071,6 +1238,10 @@ def expire(path: str, keep_from: int) -> dict:
     for v in range(keep_from, head + 1):
         if os.path.exists(_snap_path(path, v)):
             live |= {e["path"] for e in _load_manifest(path, v)}
+            live |= {
+                d["path"]
+                for d in _load_snapshot(path, v).get("delete_files") or []
+            }
     removed_data = 0
     live_manifests = {
         _load_snapshot(path, v)["manifest"]
@@ -1080,12 +1251,15 @@ def expire(path: str, keep_from: int) -> dict:
     for v in range(1, keep_from):
         if not os.path.exists(_snap_path(path, v)):
             continue
-        for e in _load_manifest(path, v):
-            p = os.path.join(path, e["path"])
-            if e["path"] not in live and os.path.exists(p):
+        old_snap = _load_snapshot(path, v)
+        dead = [e["path"] for e in _load_manifest(path, v)]
+        dead += [d["path"] for d in old_snap.get("delete_files") or []]
+        for rel in dead:
+            p = os.path.join(path, rel)
+            if rel not in live and os.path.exists(p):
                 os.remove(p)
                 removed_data += 1
-        os.remove(os.path.join(path, _load_snapshot(path, v)["manifest"]))
+        os.remove(os.path.join(path, old_snap["manifest"]))
         os.remove(_snap_path(path, v))
     # orphaned manifests and snap tmps (lost commit races, crashed
     # attempts, expired snapshots) are referenced by no surviving
@@ -1131,14 +1305,17 @@ def read_incremental(
     for v in range(since + 1, head + 1):
         if (
             os.path.exists(_snap_path(path, v))
-            and _load_snapshot(path, v)["operation"] in ("replace", "delete", "merge")
+            and _load_snapshot(path, v)["operation"]
+            in ("replace", "delete", "merge", "eq-delete", "rollback")
         ):
-            # a compaction/delete rewrote files: "files added since"
-            # would re-deliver already-consumed rows. Same constraint
-            # as Iceberg's incremental APPEND scan.
+            # a compaction/delete rewrote files (or an eq-delete
+            # retracted rows without touching files): "files added
+            # since" would re-deliver already-consumed rows or miss
+            # retractions. Same constraint as Iceberg's incremental
+            # APPEND scan.
             raise ValueError(
                 f"snaptable {path}: snapshot {v} is a "
-                f"{_load_snapshot(path, v)['operation']} (rewrite); "
+                f"{_load_snapshot(path, v)['operation']} (rewrite/retraction); "
                 f"incremental read cannot cross it — restart from {v}"
             )
     new_files, snap = _files_for(path, head)
@@ -1154,6 +1331,74 @@ def read_incremental(
     if not delta:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).option("recursiveFileLookup", "true").parquet(*delta)
+
+
+def rollback(path: str, snapshot_id: int) -> int:
+    """Roll the table back to `snapshot_id`'s state by committing a NEW
+    snapshot that republishes its manifest, schema, partition spec, and
+    delete-file list — Iceberg's rollback: history is never rewritten
+    (the bad snapshots stay time-travelable until expire()), the head
+    simply moves past them. The bad commits' data files stay on disk
+    but unreferenced by the new head, so a later expire() reclaims
+    them. Fails with ConflictError if anything commits concurrently
+    (require_parent): rolling back over an unseen commit would silently
+    drop it."""
+    head = current_version(path)
+    if head == 0:
+        raise ValueError(f"snaptable {path}: rollback on missing table")
+    if not os.path.exists(_snap_path(path, snapshot_id)):
+        raise ValueError(
+            f"snaptable {path}: snapshot {snapshot_id} does not exist "
+            "(expired or never committed)"
+        )
+    snap = _load_snapshot(path, snapshot_id)
+    entries = [dict(e) for e in _load_manifest(path, snapshot_id)]
+    for e in entries:
+        # legacy entries (pre-seq tables) must NOT be stamped with the
+        # rollback's own version — that would detach them from any
+        # delete files the target snapshot still owes
+        e.setdefault("seq", 0)
+    return _commit(
+        path,
+        entries,
+        "rollback",
+        snap["stats_cols"],
+        snap["schema"],
+        False,
+        require_parent=head,
+        partition_spec=snap.get("partition_spec"),
+        partition_spec_history=snap.get("partition_spec_history"),
+        delete_files=list(snap.get("delete_files") or []),
+        extra={"rolled_back_to": snapshot_id},
+    )
+
+
+def snapshots_df(spark: SparkSession, path: str):
+    """The snapshot log as a DataFrame — Iceberg's `table.snapshots`
+    metadata table: one row per live snapshot with its operation,
+    lineage, and size accounting (plus outstanding equality-delete
+    files). The audit surface for 'who committed what, when' on a
+    shared crawl table."""
+    rows = [
+        (
+            s["version"],
+            s.get("parent"),
+            s["operation"],
+            s.get("added_files", 0),
+            s.get("total_files", 0),
+            s.get("total_rows", 0),
+            len(s.get("delete_files") or []),
+            sum(d["rows"] for d in s.get("delete_files") or []),
+            float(s.get("committed_at", 0.0)),
+        )
+        for s in snapshots(path)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, parent long, operation string, added_files long, "
+        "total_files long, total_rows long, delete_files long, "
+        "delete_rows long, committed_at double",
+    )
 
 
 def manifest_df(spark: SparkSession, path: str, snapshot_id: int | None = None):
