@@ -1580,8 +1580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "gazetteer": q_gazetteer,
         "sessions": q_sessions,
-        "events_hourly": q_events_hourly,
         # --- driver window boundary: exactly 50 entries above ---
+        "events_hourly": q_events_hourly,
         "ann_topk": q_ann_topk,
         "bpe_tokens": q_bpe_tokens,
         "splits": q_splits,

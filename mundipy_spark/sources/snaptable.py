@@ -42,6 +42,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -145,10 +146,20 @@ def _collect_file_stats(
             F.max(c).alias(f"_max_{c}"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nulls_{c}"),
         ]
-    # partition values come back through hive-layout inference on the
-    # SAME read (constant per file — min() is exact and null-safe)
+    # partition values are RECOMPUTED from the source column with the
+    # same writer expression — never read back through hive directory-
+    # name inference, which re-types timestamp-shaped strings as
+    # datetimes and collapses empty strings into the null default
+    # partition (both would make _part_survives prune live files).
+    # Hive layout keeps one partition tuple per file, so min() over the
+    # transform is exact; it is NULL iff every row's transform is NULL.
+    types = {fld.name: fld.dataType.simpleString() for fld in df.schema.fields}
     for f in spec or []:
-        aggs.append(F.min(f["name"]).alias(f"_part_{f['name']}"))
+        aggs.append(
+            F.min(_transform_expr(f, types[f["source"]])).alias(
+                f"_part_{f['name']}"
+            )
+        )
     rows = (
         df.groupBy(F.input_file_name().alias("_file")).agg(*aggs).collect()
     )
@@ -163,7 +174,11 @@ def _collect_file_stats(
                 "max": _json_safe(mx),
                 "nulls": int(d[f"_nulls_{c}"] or 0),
             }
-        fname = d["_file"]
+        # input_file_name() returns a URI: percent-encoded, so a hive
+        # partition directory with special characters (space, the %3A
+        # hive itself escapes ':' into) round-trips wrong unless
+        # decoded back to the on-disk name exactly once
+        fname = urllib.parse.unquote(d["_file"])
         # store table-relative paths so the table directory is movable;
         # rfind: the table's own data dir is always the LAST /data/
         # segment (subdirs under it are uuid hex), so a table rooted at
@@ -322,11 +337,20 @@ def _transform_py(field: dict, v):
     t, param = field["transform"], field["param"]
     if v is None:
         return None
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        # transforms operate on the UTC instant: a tz-AWARE value is
+        # CONVERTED (astimezone) to naive-UTC wall clock; replace()
+        # would reinterpret its wall clock as UTC and compute the
+        # wrong partition day/month/year. A naive value is already UTC
+        # wall clock (the session pins spark.sql.session.timeZone=UTC).
+        v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
     if t == "identity":
         return v
     if t == "days":
         if isinstance(v, datetime.datetime):
-            return math.floor(v.replace(tzinfo=datetime.timezone.utc).timestamp() / _EPOCH_DAY)
+            return math.floor(
+                v.replace(tzinfo=datetime.timezone.utc).timestamp() / _EPOCH_DAY
+            )
         if isinstance(v, datetime.date):
             return (v - datetime.date(1970, 1, 1)).days
         return None
@@ -416,7 +440,10 @@ def _part_survives(entry: dict, spec: list[dict] | None, col: str, op: str, valu
         if p is None:
             # whole file's source column is NULL; no comparison matches
             return False
-        tv = _transform_py(f, value)
+        # stored partition values went through _json_safe (datetime ->
+        # ISO string); coerce the predicate's transform identically so
+        # identity/truncate on timestamp sources compare like-typed
+        tv = _json_safe(_transform_py(f, value))
         if tv is None:
             continue
         if isinstance(p, str) != isinstance(tv, str) or (
@@ -995,6 +1022,12 @@ def delete_where(
     ]
     affected_paths = {e["path"] for e in affected}
     keep_entries = [e for e in files if e["path"] not in affected_paths]
+    for e in keep_entries:
+        # pre-seq (legacy) entries carried through a rewrite commit must
+        # keep seq 0, not be restamped as this commit's new data — a
+        # restamp would detach outstanding equality deletes from files
+        # the rewrite never touched (rollback() makes the same call)
+        e.setdefault("seq", 0)
     if not affected:
         return snap["version"]  # nothing can match: no-op, no commit
     schema = StructType.fromJson(json.loads(snap["schema"]))
@@ -1128,13 +1161,29 @@ def merge_into(
             )
             if len(vals) > 4096:
                 continue
-            allowed = {r["v"] for r in vals}
-            candidates = [
-                e
-                for e in candidates
-                if pf["name"] not in (e.get("partition") or {})
-                or e["partition"][pf["name"]] in allowed
-            ]
+            # same _json_safe coercion as the manifest side, and the
+            # same incomparable-type escape as _part_survives: a stored
+            # value whose type drifted (e.g. a legacy hive-inferred
+            # manifest re-typed '2024abc''s truncate prefix as int)
+            # must KEEP the file, not prune a true key match into a
+            # permanent duplicate. A None partition value means every
+            # row's key column is NULL — no source key can equi-match
+            # those rows, so pruning is exact.
+            allowed = {_json_safe(r["v"]) for r in vals}
+            allowed_types = {type(a) for a in allowed}
+
+            def _may_hold(e, pf=pf, allowed=allowed, allowed_types=allowed_types):
+                part = e.get("partition") or {}
+                if pf["name"] not in part:
+                    return True
+                p = part[pf["name"]]
+                if p is None:
+                    return False
+                if type(p) not in allowed_types:
+                    return True  # incomparable: correctness over IO
+                return p in allowed
+
+            candidates = [e for e in candidates if _may_hold(e)]
         bound_keys = [k for k in key_cols if k in stats_cols]
         if bound_keys:
             bounds = source.agg(
@@ -1178,9 +1227,15 @@ def merge_into(
                 .collect()
             )
             for r in hit_files:
-                idx = r[fcol].rfind(f"/{_DATA}/")
-                touched_paths.add(r[fcol][idx + 1 :] if idx >= 0 else r[fcol])
+                # same once-decode as _collect_file_stats: the manifest
+                # stores on-disk names, the probe returns URIs
+                fname = urllib.parse.unquote(r[fcol])
+                idx = fname.rfind(f"/{_DATA}/")
+                touched_paths.add(fname[idx + 1 :] if idx >= 0 else fname)
         keep_entries = [e for e in files if e["path"] not in touched_paths]
+        for e in keep_entries:
+            # see delete_where: carried legacy entries keep seq 0
+            e.setdefault("seq", 0)
         # widened output schema = the source's (append()'s evolution rule)
         out_cols = [f.name for f in source.schema.fields]
         old_names = {f.name for f in schema.fields}
