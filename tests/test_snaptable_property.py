@@ -189,7 +189,8 @@ def test_merge_zorder_interleavings_match_model(spark, tmp_path_factory, ops):
 
     # manifest-pruned scan == model filter on the final state
     if rows:
-        lo = sorted({r[0] for r in rows})[len(rows) // 3]
+        distinct = sorted({r[0] for r in rows})
+        lo = distinct[len(distinct) // 3]
         want = [r for r in rows if r[0] >= lo]
         check(snaptable.scan(spark, path, [("doc_id", ">=", lo)]), want)
 
@@ -209,3 +210,137 @@ def test_merge_zorder_interleavings_match_model(spark, tmp_path_factory, ops):
                 len(history[since - 1][1]) if since else 0 :
             ]
             check(snaptable.read_incremental(spark, path, since, until), want)
+
+
+# ---------------------------------------------------------------------------
+# Full-lifecycle model: appends + merges + MOR equality deletes +
+# compactions + rollbacks. The sequence-number semantics are the thing
+# to stress: a delete erases exactly the rows present at delete time
+# (later re-appends/merges of the same key survive), compaction applies
+# deletes physically without changing the visible row set, and rollback
+# republishes an arbitrary earlier state whose own deletes keep
+# applying to the same files.
+
+append3 = st.tuples(
+    st.just("append"),
+    st.integers(min_value=0, max_value=200),
+    st.integers(min_value=1, max_value=25),
+)
+merge3 = st.tuples(
+    st.just("merge"),
+    st.integers(min_value=0, max_value=200),
+    st.integers(min_value=1, max_value=25),
+)
+delete3 = st.tuples(
+    st.just("delete"),
+    st.integers(min_value=0, max_value=200),
+    st.integers(min_value=1, max_value=25),
+)
+compact3 = st.tuples(st.just("compact"))
+rollback3 = st.tuples(st.just("rollback"), st.integers(min_value=0, max_value=10))
+op_seqs3 = st.lists(
+    st.one_of(append3, merge3, delete3, compact3, rollback3),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=op_seqs3)
+def test_mor_delete_rollback_interleavings_match_model(
+    spark, tmp_path_factory, ops
+):
+    path = str(tmp_path_factory.mktemp("snapprop3") / "t")
+    rows: list[tuple[int, int]] = []  # (doc_id, val) multiset, model
+    history: list[tuple[str, list[tuple[int, int]]]] = []
+    for gen, op in enumerate(ops, start=1):
+        if op[0] in ("delete", "compact", "rollback") and (
+            snaptable.current_version(path) == 0
+        ):
+            continue  # nothing committed yet
+        if op[0] in ("append", "merge") and snaptable.current_version(path) == 0:
+            _, start, n = op
+            snaptable.create(
+                spark, path, _batch2(spark, start, n, gen), stats_cols=["doc_id"]
+            )
+            rows = rows + [(i, gen) for i in range(start, start + n)]
+            history.append(("append", list(rows)))
+        elif op[0] == "append":
+            _, start, n = op
+            snaptable.append(spark, path, _batch2(spark, start, n, gen))
+            rows = rows + [(i, gen) for i in range(start, start + n)]
+            history.append(("append", list(rows)))
+        elif op[0] == "merge":
+            _, start, n = op
+            snaptable.merge_into(
+                spark, path, _batch2(spark, start, n, gen), key_cols=["doc_id"]
+            )
+            keys = set(range(start, start + n))
+            rows = [r for r in rows if r[0] not in keys] + [
+                (i, gen) for i in range(start, start + n)
+            ]
+            history.append(("merge", list(rows)))
+        elif op[0] == "delete":
+            _, start, n = op
+            keys_df = spark.range(start, start + n).select(
+                F.col("id").alias("doc_id")
+            )
+            snaptable.delete_keys(spark, path, keys_df)
+            keys = set(range(start, start + n))
+            # erases exactly the rows PRESENT NOW; later writes survive
+            rows = [r for r in rows if r[0] not in keys]
+            history.append(("eq-delete", list(rows)))
+        elif op[0] == "rollback":
+            _, pick = op
+            target = (pick % len(history)) + 1
+            snaptable.rollback(path, target)
+            rows = list(history[target - 1][1])
+            history.append(("rollback", list(rows)))
+        else:
+            snaptable.compact(spark, path, target_files=1)
+            history.append(("replace", list(rows)))
+
+    assert len(snaptable.snapshots(path)) == len(history)
+    if not history:
+        assert snaptable.current_version(path) == 0
+        return
+
+    def check(df, want):
+        assert df.count() == len(want)
+        if want:
+            got = df.agg(
+                F.sum("doc_id").alias("sid"), F.sum("val").alias("sval")
+            ).first()
+            assert got["sid"] == sum(r[0] for r in want)
+            assert got["sval"] == sum(r[1] for r in want)
+
+    # head + time travel agree with the model at every point
+    check(snaptable.read(spark, path), rows)
+    for v, (kind, snap_rows) in enumerate(history, start=1):
+        check(snaptable.read(spark, path, snapshot_id=v), snap_rows)
+
+    # pruned scan (applies deletes) == model filter on the final state
+    if rows:
+        distinct = sorted({r[0] for r in rows})
+        lo = distinct[len(distinct) // 3]
+        check(
+            snaptable.scan(spark, path, [("doc_id", ">=", lo)]),
+            [r for r in rows if r[0] >= lo],
+        )
+
+    # incremental windows refuse to cross any rewrite/retraction
+    for since in range(0, len(history) + 1):
+        for until in range(max(since, 1), len(history) + 1):
+            crossed = any(
+                history[v - 1][0] in ("replace", "merge", "eq-delete", "rollback")
+                for v in range(since + 1, until + 1)
+            )
+            if not crossed:
+                want = history[until - 1][1][
+                    len(history[since - 1][1]) if since else 0 :
+                ]
+                got = snaptable.read_incremental(spark, path, since, until)
+                assert got.count() == len(want)
+            else:
+                with pytest.raises(ValueError, match="rewrite"):
+                    snaptable.read_incremental(spark, path, since, until)
