@@ -754,7 +754,9 @@ def _read_with_deletes(
     return out
 
 
-def delete_keys(spark: SparkSession, path: str, keys: DataFrame) -> int:
+def delete_keys(
+    spark: SparkSession, path: str, keys: DataFrame, extra: dict | None = None
+) -> int:
     """MERGE-ON-READ equality deletes — the O(delta) takedown path.
     `keys` is a DataFrame whose columns name the key (e.g. `url`, or
     a composite); its rows are written as a small parquet delete file
@@ -808,6 +810,7 @@ def delete_keys(spark: SparkSession, path: str, keys: DataFrame) -> int:
         snap["stats_cols"],
         snap["schema"],
         True,
+        extra=extra,
         partition_spec=snap.get("partition_spec"),
         partition_spec_history=snap.get("partition_spec_history"),
         add_delete_files=new_dels,

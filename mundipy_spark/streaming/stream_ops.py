@@ -303,3 +303,62 @@ def snaptable_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def takedown_batch_handler(path: str, sink_id: str):
+    """The foreachBatch handler takedown_sink installs, exposed for
+    direct (replay) testing: each micro-batch of key tuples commits as
+    ONE merge-on-read eq-delete snapshot tagged (sink_id, sink_epoch),
+    skipping epochs some committed snapshot already carries — the same
+    replay-idempotence contract as snaptable_batch_handler. The batch
+    rewrites nothing: delete cost is O(keys), so a takedown stream
+    against a 10^12-doc table commits at the rate requests arrive,
+    independent of how many data files each request touches."""
+    from mundipy_spark.sources import snaptable
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        for snap in snaptable.snapshots(path):
+            if (
+                snap.get("sink_id") == sink_id
+                and snap.get("sink_epoch") == epoch_id
+            ):
+                return  # replayed batch: already committed, skip
+        snaptable.delete_keys(
+            batch.sparkSession,
+            path,
+            batch,
+            extra={"sink_id": sink_id, "sink_epoch": epoch_id},
+        )
+
+    return handle
+
+
+def takedown_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Apply a stream of removal requests to a snapshot table as
+    merge-on-read equality deletes (sources/snaptable.py delete_keys):
+    the continuous-takedown path a crawl corpus needs — URL removal
+    requests and retroactive robots compliance arrive as a stream, and
+    each micro-batch lands as one atomic 'eq-delete' snapshot without
+    rewriting any data file. The stream's columns name the delete key
+    (e.g. just `url`). Exactly-once via the same (sink_id, sink_epoch)
+    snapshot tags as snaptable_sink; compact() later folds the
+    accumulated delete files into data files, and expire() finalizes
+    the takedowns by reclaiming pre-delete snapshots."""
+    import uuid
+
+    handle = takedown_batch_handler(
+        path, checkpoint_dir or f"nockpt-{uuid.uuid4()}"
+    )
+    writer = stream.writeStream.foreachBatch(handle).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -265,3 +265,51 @@ def test_delete_keys_on_partitioned_table(spark, tmp_path):
     )
     got = snaptable.scan(spark, path, [("doc_id", "<", 10)])
     assert _ids(got) == [0, 1, 2, 3, 4, 7, 8, 9]
+
+
+def test_takedown_sink_streaming(spark, docs, tmp_path):
+    """A stream of removal requests lands as eq-delete snapshots, one
+    per micro-batch, replay-idempotent — the continuous-takedown path."""
+    from mundipy_spark.streaming import stream_ops
+
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, docs, stats_cols=["doc_id"])
+    src_dir = str(tmp_path / "req")
+    reqs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    reqs.repartition(3).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_ops.takedown_sink(
+        stream, path, checkpoint_dir=str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    got = snaptable.read(spark, path)
+    assert got.count() == 970
+    assert sorted(r["doc_id"] for r in got.limit(5).collect())[0] >= 0
+    assert _ids(got) == list(range(30, 1000))
+    hist = snaptable.snapshots(path)
+    assert all(s["operation"] == "eq-delete" for s in hist[1:])
+    # no data file was rewritten by any takedown batch
+    m1 = {e["path"] for e in snaptable._load_manifest(path, 1)}
+    mN = {e["path"] for e in snaptable._load_manifest(path, hist[-1]["version"])}
+    assert m1 == mN
+
+
+def test_takedown_handler_replay_idempotent(spark, docs, tmp_path):
+    from mundipy_spark.streaming import stream_ops
+
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, docs, stats_cols=["doc_id"])
+    handle = stream_ops.takedown_batch_handler(path, "ckpt-T")
+    batch = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    handle(batch, 0)
+    v_after = snaptable.current_version(path)
+    handle(batch, 0)  # replay of the same epoch: must not re-commit
+    assert snaptable.current_version(path) == v_after
+    assert snaptable.read(spark, path).count() == 998
+    # a NEW epoch with different keys commits
+    handle(spark.createDataFrame([(3,)], "doc_id long"), 1)
+    assert snaptable.read(spark, path).count() == 997
