@@ -1487,6 +1487,43 @@ def q_snap_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snaptable.read(spark, path).select("doc_id", "source", "text_len")
 
 
+def q_snap_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog scan over the snapshot table (sources/snaptable.py
+    read_changes — Iceberg's changelog read): documents land at v1, a
+    takedown key set (doc_id%7==2) commits as an eq-delete at v2, a
+    recrawl re-appends half of those ids (doc_id%14==2) at v3, and a
+    compaction at v4 must contribute NOTHING (row set unchanged). The
+    changelog emits every logical change as full rows tagged
+    (_change_type, _commit_version): v1 inserts, v2 retractions with
+    the ORIGINAL row content (not just keys), v3 inserts. The DuckDB
+    twin computes the same three-way union directly, so a changelog
+    that loses retractions, re-emits compacted rows, or tags the wrong
+    commit breaks value-exactness."""
+    import tempfile
+
+    from mundipy_spark.sources import snaptable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.length("text").alias("text_len")
+    )
+    path = tempfile.mkdtemp(prefix="snaptable_c_")
+    snaptable.create(
+        spark, path, docs.repartitionByRange(4, "doc_id"), stats_cols=["doc_id"]
+    )
+    snaptable.delete_keys(
+        spark, path, docs.filter(F.col("doc_id") % 7 == 2).select("doc_id")
+    )
+    recrawl = docs.filter(F.col("doc_id") % 14 == 2).select(
+        "doc_id", F.lit("recrawl").alias("source"),
+        (F.col("text_len") + 5).alias("text_len"),
+    )
+    snaptable.append(spark, path, recrawl)
+    snaptable.compact(spark, path, target_files=2)
+    return snaptable.read_changes(spark, path, since=0).select(
+        "doc_id", "source", "text_len", "_change_type", "_commit_version"
+    )
+
+
 def q_snap_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hidden partitioning on the snapshot table (sources/snaptable.py
     partition transforms — Iceberg's partition-spec role): events land
@@ -1528,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     67 remain covered by tools/check_oracle.py and pytest."""
     return {
         # (a) never / newly oracle-checked
+        "snap_cdc": q_snap_cdc,
         "snap_mor": q_snap_mor,
         "snap_part": q_snap_part,
         "snap_merge": q_snap_merge,
@@ -1579,8 +1617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q1": q_tpch_q1,
         "gazetteer": q_gazetteer,
-        "sessions": q_sessions,
         # --- driver window boundary: exactly 50 entries above ---
+        "sessions": q_sessions,
         "events_hourly": q_events_hourly,
         "ann_topk": q_ann_topk,
         "bpe_tokens": q_bpe_tokens,
@@ -1642,6 +1680,19 @@ def oracle_sql() -> dict[str, str]:
     cities_values = ", ".join(f"('{n}', {lo}, {la})" for n, lo, la in CITIES)
 
     return {
+        "snap_cdc": """
+SELECT doc_id, source, length(text) AS text_len,
+       'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+FROM documents
+UNION ALL
+SELECT doc_id, source, length(text) AS text_len,
+       'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+FROM documents WHERE doc_id % 7 = 2
+UNION ALL
+SELECT doc_id, 'recrawl' AS source, length(text) + 5 AS text_len,
+       'insert' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
+FROM documents WHERE doc_id % 14 = 2
+""",
         "snap_mor": """
 SELECT doc_id, source, length(text) AS text_len
 FROM documents WHERE doc_id % 7 <> 2

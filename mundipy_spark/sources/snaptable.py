@@ -1391,6 +1391,135 @@ def read_incremental(
     return spark.read.schema(schema).option("recursiveFileLookup", "true").parquet(*delta)
 
 
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    since: int,
+    until: int | None = None,
+) -> DataFrame:
+    """CDC changelog scan — Iceberg's changelog/CDC read, re-expressed:
+    every logical row change between snapshot `since` (exclusive) and
+    `until` (inclusive, default head) as table rows plus
+    `_change_type` ('insert' | 'delete') and `_commit_version`. The
+    downstream-index-maintenance path: a consumer (search index, ANN
+    shards, dedup ledger) checkpoints its last snapshot and applies
+    exactly the delta, including retractions that read_incremental
+    must fence on.
+
+    Per-snapshot semantics:
+    - append/create: the added files' rows as inserts (new files carry
+      this commit's seq, so no existing delete can apply to them).
+    - eq-delete: the rows the delete RETRACTED, read from the previous
+      snapshot's visible state (earlier deletes already applied there;
+      every pre-state file has seq < this commit, so the new keys
+      apply to all of it) semi-joined against the new delete keys —
+      full deleted rows, not just keys, like Iceberg's changelog.
+    - replace (compact): no logical change — emitted as nothing, so a
+      changelog consumer CROSSES compactions that fence
+      read_incremental.
+    - evolve: metadata-only, nothing.
+    - merge/delete (COW rewrites) and rollback change rows in ways
+      that need pre/post-image diffing: fenced with ValueError, like
+      Iceberg's changelog scan on overwrite snapshots.
+
+    Rows are emitted under `until`'s schema (additive evolution
+    null-fills older files)."""
+    from pyspark.sql.types import StructType
+
+    head = until if until is not None else current_version(path)
+    if since > head:
+        raise ValueError(f"snaptable {path}: since={since} > until={head}")
+    out_schema = StructType.fromJson(
+        json.loads(_load_snapshot(path, head)["schema"])
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def _project(df: DataFrame, change: str, v: int) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(c) if c in have
+                else F.lit(None).cast(out_schema[c].dataType).alias(c)
+                for c in cols
+            ],
+            F.lit(change).alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+        )
+
+    parts: list[DataFrame] = []
+    for v in range(since + 1, head + 1):
+        if not os.path.exists(_snap_path(path, v)):
+            raise ValueError(
+                f"snaptable {path}: snapshot {v} expired; changelog "
+                f"cannot reconstruct changes — restart from {v}"
+            )
+        snap = _load_snapshot(path, v)
+        op = snap["operation"]
+        if op in ("replace", "evolve"):
+            continue  # row set unchanged
+        if op in ("merge", "delete", "rollback"):
+            raise ValueError(
+                f"snaptable {path}: snapshot {v} is a {op}; changelog "
+                f"needs pre/post-image diffing there — restart from {v}"
+            )
+        schema_v = StructType.fromJson(json.loads(snap["schema"]))
+        if op in ("create", "append"):
+            prev = (
+                {e["path"] for e in _load_manifest(path, v - 1)}
+                if v > 1
+                else set()
+            )
+            added = [
+                e for e in _load_manifest(path, v) if e["path"] not in prev
+            ]
+            if added:
+                rows = (
+                    spark.read.schema(schema_v)
+                    .option("recursiveFileLookup", "true")
+                    .parquet(*[os.path.join(path, e["path"]) for e in added])
+                )
+                parts.append(_project(rows, "insert", v))
+        elif op == "eq-delete":
+            prev_dels = {
+                d["path"]
+                for d in (_load_snapshot(path, v - 1).get("delete_files") or [])
+            } if v > 1 else set()
+            new_dels = [
+                d
+                for d in snap.get("delete_files") or []
+                if d["path"] not in prev_dels
+            ]
+            if not new_dels:
+                continue
+            prev_state = read(spark, path, v - 1)
+            by_key: dict[tuple, list[dict]] = {}
+            for d in new_dels:
+                by_key.setdefault(tuple(d["key_cols"]), []).append(d)
+            for key_cols, dfiles in by_key.items():
+                keys = (
+                    spark.read.parquet(
+                        *[os.path.join(path, d["path"]) for d in dfiles]
+                    )
+                    .select(*key_cols)
+                    .distinct()
+                )
+                retracted = prev_state.join(
+                    F.broadcast(keys), on=list(key_cols), how="left_semi"
+                )
+                parts.append(_project(retracted, "delete", v))
+        else:
+            raise ValueError(
+                f"snaptable {path}: unknown operation {op!r} at snapshot {v}"
+            )
+    if not parts:
+        empty = StructType.fromJson(json.loads(_load_snapshot(path, head)["schema"]))
+        return _project(spark.createDataFrame([], empty), "insert", 0).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def rollback(path: str, snapshot_id: int) -> int:
     """Roll the table back to `snapshot_id`'s state by committing a NEW
     snapshot that republishes its manifest, schema, partition spec, and

@@ -313,3 +313,70 @@ def test_takedown_handler_replay_idempotent(spark, docs, tmp_path):
     # a NEW epoch with different keys commits
     handle(spark.createDataFrame([(3,)], "doc_id long"), 1)
     assert snaptable.read(spark, path).count() == 997
+
+
+def test_read_changes_cdc(spark, docs, tmp_path):
+    """Changelog scan: inserts from appends, full retracted rows from
+    eq-deletes, compaction-transparent, COW rewrites fenced."""
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, docs, stats_cols=["doc_id"])  # v1
+    snaptable.append(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(2000, "u2000", 0)], "doc_id long, url string, bucket long"
+        ),
+    )  # v2
+    snaptable.delete_keys(
+        spark, path, spark.createDataFrame([(3,), (2000,)], "doc_id long")
+    )  # v3
+    snaptable.compact(spark, path, target_files=1)  # v4: no logical change
+
+    ch = snaptable.read_changes(spark, path, since=0)
+    assert set(ch.columns) == {
+        "doc_id", "url", "bucket", "_change_type", "_commit_version"
+    }
+    by = {
+        (r["_change_type"], r["_commit_version"]): 1
+        for r in ch.select("_change_type", "_commit_version").distinct().collect()
+    }
+    assert ("insert", 1) in by and ("insert", 2) in by and ("delete", 3) in by
+    assert ch.filter(F.col("_change_type") == "insert").count() == 1001
+    dels = ch.filter(F.col("_change_type") == "delete").collect()
+    # full rows, not just keys
+    assert sorted((r["doc_id"], r["url"]) for r in dels) == [
+        (3, "url-3"), (2000, "u2000"),
+    ]
+    # consumer replay: inserts minus deletes == the head state
+    applied = ch.filter(F.col("_change_type") == "insert").join(
+        ch.filter(F.col("_change_type") == "delete").select("doc_id"),
+        on="doc_id",
+        how="left_anti",
+    )
+    assert applied.count() == snaptable.read(spark, path).count() == 999
+
+    # window starting after the delete: only the nothing-burger compact
+    assert snaptable.read_changes(spark, path, since=3).count() == 0
+    # windows crossing a COW rewrite are fenced
+    snaptable.delete_where(spark, path, [("doc_id", "<", 1)])  # v5
+    with pytest.raises(ValueError, match="pre/post-image"):
+        snaptable.read_changes(spark, path, since=4)
+
+
+def test_read_changes_delete_of_rededup_key_scoped_to_prestate(spark, tmp_path):
+    """A key deleted at v3 that was ALREADY deleted at v2 must not be
+    re-emitted (the pre-state read applies earlier deletes)."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, txt string"
+    )
+    snaptable.create(spark, path, base, stats_cols=["doc_id"])
+    snaptable.delete_keys(spark, path, spark.createDataFrame([(1,)], "doc_id long"))
+    snaptable.delete_keys(
+        spark, path, spark.createDataFrame([(1,), (2,)], "doc_id long")
+    )
+    ch = snaptable.read_changes(spark, path, since=1).collect()
+    assert sorted((r["doc_id"], r["_commit_version"]) for r in ch) == [
+        (1, 2), (2, 3),
+    ]
+    assert all(r["_change_type"] == "delete" for r in ch)
