@@ -112,3 +112,55 @@ def test_zorder_snaptable_spatial_file_skipping(spark, tmp_path):
     assert (
         got.agg(F.sum("pid")).first()[0] == want.agg(F.sum("pid")).first()[0]
     )
+
+
+def test_cdc_maintained_region_counts_equal_full_recompute(spark, tmp_path):
+    """Downstream-index maintenance via the changelog: a per-region
+    page-count aggregate maintained by applying read_changes deltas
+    (+1 per insert, -1 per delete) must equal recomputing the
+    aggregate from each snapshot's full state — including across a
+    takedown (eq-delete) that read_incremental would fence on, and a
+    compaction that contributes nothing. At 10^12 docs the maintained
+    aggregate touches only the delta's rows; the full recompute is the
+    O(table) job this composition exists to avoid."""
+    sf_dir = "/root/testdata/sf0.001"
+    path = str(tmp_path / "pages_table")
+    pages = pages_src.synth_pages(spark, sf_dir).select("doc_id", "url", "text")
+    regions = pages_src.synth_regions(spark, step_deg=10.0)
+
+    snaptable.create(spark, path, pages, stats_cols=["doc_id"])  # v1
+    recrawl = pages.select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat(F.lit("re/"), F.col("url")).alias("url"),
+        "text",
+    )
+    snaptable.append(spark, path, recrawl)  # v2
+    takedown = pages.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    snaptable.delete_keys(spark, path, takedown)  # v3
+    snaptable.compact(spark, path, target_files=2)  # v4: nothing
+
+    changes = snaptable.read_changes(spark, path, since=0)
+    # geocode_pages passes non-page columns through, so the change tag
+    # rides along with each geocoded row
+    tagged = pipeline.geocode_pages(
+        changes.select("url", "text", "_change_type"), regions,
+        broadcast_index=True,
+    ).select("url", "region", "_change_type")
+    maintained = (
+        tagged.groupBy("region")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("n_pages")
+        )
+        .filter(F.col("n_pages") > 0)
+    )
+    full = (
+        _geocode(snaptable.read(spark, path), regions)
+        .groupBy("region")
+        .count()
+        .withColumnRenamed("count", "n_pages")
+    )
+    m = {r["region"]: r["n_pages"] for r in maintained.collect()}
+    f = {r["region"]: r["n_pages"] for r in full.collect()}
+    assert m == f
