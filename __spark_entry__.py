@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mundipy_spark.functions import st
@@ -88,27 +88,14 @@ geo AS (
 """
 
 
-# n-gram Jaccard refine over MinHash-LSH candidates — shared by the
-# jaccard_pairs oracle and the dedup_clusters connected-components oracle
-_JACCARD_PAIRS_SQL = """
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS t FROM documents
-), sh AS (
-  SELECT DISTINCT doc_id,
-         array_to_string(t[i : i + 2], ' ') AS shingle
-  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
-), sizes AS (
-  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ninter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+# FULL LSH-pipeline twin (banding + bucket cap + jaccard refine) —
+# shared by the jaccard_pairs oracle and the dedup_clusters
+# connected-components oracle. An all-pairs jaccard twin would NOT be
+# equivalent: LSH deliberately never examines non-colliding mid-range
+# pairs (review pass 8).
+_JACCARD_PAIRS_SQL = dedup.lsh_jaccard_pairs_sql(
+    n_hashes=8, bands=4, bucket_cap=200, shingle_k=3, threshold=0.2
 )
-SELECT i.a, i.b,
-       CAST(round(CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter), 6) AS DOUBLE) AS jaccard
-FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
-WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.2
-"""
 
 
 def _rasterize_sql() -> str:
@@ -933,6 +920,28 @@ _HTML_WRAP_PARTS = [
 ]
 
 
+def html_wrap_expr(i: Column, text: Column) -> Column:
+    """The deterministic markup wrap used by q_extract_text,
+    q_warc_extract, and bench.py's extract_scan — ONE constructor so
+    the Spark side, its two oracles, and the benchmark can never
+    drift apart (review pass 8)."""
+    p = _HTML_WRAP_PARTS
+    return F.concat(
+        F.lit(p[0]), i, F.lit(p[1]), i, F.lit(p[2]), i, F.lit(p[3]),
+        text, F.lit(p[4]), i, F.lit(p[5]),
+    )
+
+
+def html_wrap_sql(i: str, text: str) -> str:
+    """DuckDB twin of html_wrap_expr (same parts, same interleave)."""
+    p = _HTML_WRAP_PARTS
+    lit = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
+    return (
+        f"{lit(p[0])} || {i} || {lit(p[1])} || {i} || {lit(p[2])} || {i} "
+        f"|| {lit(p[3])} || {text} || {lit(p[4])} || {i} || {lit(p[5])}"
+    )
+
+
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML->text extraction (operators/html.py): every doc's text is
     wrapped in deterministic markup (title, script, style, comment,
@@ -942,12 +951,7 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    i = F.col("doc_id").cast("string")
-    p = _HTML_WRAP_PARTS
-    raw = F.concat(
-        F.lit(p[0]), i, F.lit(p[1]), i, F.lit(p[2]), i, F.lit(p[3]),
-        F.col("text"), F.lit(p[4]), i, F.lit(p[5]),
-    )
+    raw = html_wrap_expr(F.col("doc_id").cast("string"), F.col("text"))
     out = html_ops.extract_text(
         docs.withColumn("html", raw), html_col="html", out_col="extracted"
     )
@@ -979,11 +983,7 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     i = F.col("doc_id").cast("string")
-    p = _HTML_WRAP_PARTS
-    raw = F.concat(
-        F.lit(p[0]), i, F.lit(p[1]), i, F.lit(p[2]), i, F.lit(p[3]),
-        F.col("text"), F.lit(p[4]), i, F.lit(p[5]),
-    )
+    raw = html_wrap_expr(i, F.col("text"))
     pages = docs.select(
         F.concat(F.lit("https://corpus.example/doc/"), i).alias("url"),
         raw.alias("html"),
@@ -1330,12 +1330,7 @@ def _extract_text_oracle() -> str:
     """DuckDB twin of q_extract_text: identical wrapper built from the
     SAME _HTML_WRAP_PARTS literals, extracted with the same regexp
     chain (operators/html.extract_text_sql)."""
-    p = [s.replace("'", "''") for s in _HTML_WRAP_PARTS]
-    i = "CAST(doc_id AS VARCHAR)"
-    wrap = (
-        f"'{p[0]}' || {i} || '{p[1]}' || {i} || '{p[2]}' || {i} || "
-        f"'{p[3]}' || text || '{p[4]}' || {i} || '{p[5]}'"
-    )
+    wrap = html_wrap_sql("CAST(doc_id AS VARCHAR)", "text")
     return f"""
 WITH h AS (
   SELECT doc_id, text, {wrap} AS html FROM documents
@@ -1356,12 +1351,7 @@ def _warc_extract_oracle() -> str:
     identity on (url, rec_type, payload), so the twin builds the same
     wrapper and extracts directly; n_bytes is the UTF-8 octet length
     the WARC Content-Length framed."""
-    p = [s.replace("'", "''") for s in _HTML_WRAP_PARTS]
-    i = "CAST(doc_id AS VARCHAR)"
-    wrap = (
-        f"'{p[0]}' || {i} || '{p[1]}' || {i} || '{p[2]}' || {i} || "
-        f"'{p[3]}' || text || '{p[4]}' || {i} || '{p[5]}'"
-    )
+    wrap = html_wrap_sql("CAST(doc_id AS VARCHAR)", "text")
     return f"""
 WITH h AS (
   SELECT doc_id, {wrap} AS html FROM documents
@@ -1379,6 +1369,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_geocode_regions(spark, "/root/testdata/sf0.001")
 
 
+def _tmp_table_dir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup: the returned DataFrames are lazy (the
+    driver collects after the query function returns), so the table
+    directory must outlive the call — but repeated sweeps/rounds must
+    not accumulate full table copies under /tmp until the disk fills.
+    atexit removal is the earliest safe point."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def q_snap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-manifest table end-to-end (sources/snaptable.py, the
     north rule's Iceberg role): documents land as snapshot 1, a
@@ -1389,14 +1394,12 @@ def q_snap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-batch union + filter directly, so a commit that loses files, a
     stats collector that mis-ranges a file, or a pruner that drops a
     live file all break value-exactness."""
-    import tempfile
-
     from mundipy_spark.sources import snaptable
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", F.length("text").alias("text_len")
     )
-    path = tempfile.mkdtemp(prefix="snaptable_q_")
+    path = _tmp_table_dir("snaptable_q_")
     # range-partitioned batches -> tight per-file doc_id bounds, so the
     # predicate below actually prunes (pinned in tests/test_snaptable.py)
     snaptable.create(
@@ -1422,14 +1425,12 @@ def q_snap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin computes the same anti-join + union directly, so a
     merge that loses survivors, double-applies the delta, or rewrites
     the wrong file set breaks value-exactness."""
-    import tempfile
-
     from mundipy_spark.sources import snaptable
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", F.length("text").alias("text_len")
     )
-    path = tempfile.mkdtemp(prefix="snaptable_m_")
+    path = _tmp_table_dir("snaptable_m_")
     snaptable.create(
         spark, path, docs.repartitionByRange(8, "doc_id"), stats_cols=["doc_id"]
     )
@@ -1465,14 +1466,12 @@ def q_snap_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB twin computes filter + union directly, so a reader that
     drops the re-appended rows, resurrects deleted ones, or applies
     the delete to the wrong sequence range breaks value-exactness."""
-    import tempfile
-
     from mundipy_spark.sources import snaptable
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", F.length("text").alias("text_len")
     )
-    path = tempfile.mkdtemp(prefix="snaptable_d_")
+    path = _tmp_table_dir("snaptable_d_")
     snaptable.create(
         spark, path, docs.repartitionByRange(4, "doc_id"), stats_cols=["doc_id"]
     )
@@ -1499,14 +1498,12 @@ def q_snap_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin computes the same three-way union directly, so a changelog
     that loses retractions, re-emits compacted rows, or tags the wrong
     commit breaks value-exactness."""
-    import tempfile
-
     from mundipy_spark.sources import snaptable
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", F.length("text").alias("text_len")
     )
-    path = tempfile.mkdtemp(prefix="snaptable_c_")
+    path = _tmp_table_dir("snaptable_c_")
     snaptable.create(
         spark, path, docs.repartitionByRange(4, "doc_id"), stats_cols=["doc_id"]
     )
@@ -1535,14 +1532,12 @@ def q_snap_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, or a pruner that discards a live file (e.g. a
     Spark-vs-driver day-boundary disagreement) breaks value-exactness."""
     import datetime as _dt
-    import tempfile
-
     from mundipy_spark.sources import snaptable
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    path = tempfile.mkdtemp(prefix="snaptable_p_")
+    path = _tmp_table_dir("snaptable_p_")
     snaptable.create(
         spark, path, ev, stats_cols=["event_id"],
         partition_by=["days(ts)", "bucket(8, event_type)"],
@@ -1562,7 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     appeared in a driver CORRECTNESS file, then (c) round-3-verified
     entries with this round's code changes first. The tail beyond 50
     (earliest operators, value-exact in r01+r02+r03) rotates out; all
-    67 remain covered by tools/check_oracle.py and pytest."""
+    72 remain covered by tools/check_oracle.py and pytest."""
     return {
         # (a) never / newly oracle-checked
         "snap_cdc": q_snap_cdc,

@@ -232,12 +232,9 @@ def main() -> None:
     from mundipy_spark.operators import html as _html
 
     ex_pages = replicated_pages(spark, sf_dir, max(REPLICATION // 6, 1))
-    i = F.col("doc_id").cast("string")
-    p = entry_mod._HTML_WRAP_PARTS
     ex_html = ex_pages.select(
-        F.concat(
-            F.lit(p[0]), i, F.lit(p[1]), i, F.lit(p[2]), i, F.lit(p[3]),
-            F.col("text"), F.lit(p[4]), i, F.lit(p[5]),
+        entry_mod.html_wrap_expr(
+            F.col("doc_id").cast("string"), F.col("text")
         ).alias("html")
     )
     queries["extract_scan"] = round(
@@ -249,7 +246,20 @@ def main() -> None:
         3,
     )
 
-    # operator suite at native SF (count() forces full execution)
+    # operator suite at native SF. Outputs are consumed via a checksum
+    # over EVERY column, not count(): under a bare count() Catalyst
+    # prunes projection-only operators entirely (extract_text timed a
+    # bare parquet scan at 0.158s vs its real ~8s; zorder's Morton
+    # kernel and the lm/nb scoring projections likewise vanished), so
+    # a 10x regression in those kernels was invisible. The checksum
+    # adds one cheap hash pass over rows that must exist anyway and
+    # makes every suite number an end-to-end execution time.
+    def consume(df):
+        # bit_xor, not sum: summing 64-bit hashes overflows ANSI longs
+        return df.agg(
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))
+        ).collect()[0][0]
+
     suite = {
         "tile_cells": entry_mod.q_tile_cells,
         "minhash": entry_mod.q_minhash,
@@ -290,7 +300,7 @@ def main() -> None:
     }
     for name, fn in suite.items():
         queries[name] = round(
-            timed_best(lambda f=fn: f(spark, sf_dir).count()), 3
+            timed_best(lambda f=fn: consume(f(spark, sf_dir))), 3
         )
 
     total = round(sum(queries.values()), 3)
@@ -305,7 +315,10 @@ def main() -> None:
                 "docs_per_sec": round(docs_per_sec, 1),
                 "geocode_pages": n_pages,
                 "cpus": cpus,
-                "methodology": "warmed min-of-3 per query",
+                "methodology": (
+                    "warmed min-of-3 per query; suite outputs consumed "
+                    "via all-column checksum (not count) since r4"
+                ),
             }
         )
     )

@@ -120,6 +120,73 @@ SELECT {id_col}, {mins} FROM sh GROUP BY {id_col}
 """
 
 
+def lsh_jaccard_pairs_sql(
+    n_hashes: int = 16,
+    bands: int = 4,
+    bucket_cap: int = 200,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle twin of the FULL LSH pipeline —
+    minhash_signatures -> lsh_candidate_pairs -> jaccard_ngram_pairs —
+    banding and bucket-cap included. An all-pairs jaccard oracle is NOT
+    equivalent: LSH examines only band-colliding pairs (a mid-range
+    pair collides with probability 1-(1-j^rows)^bands) and drops
+    boilerplate buckets larger than bucket_cap, both by design; the
+    twin must mirror both or any corpus containing such a pair breaks
+    the value-exact compare on intended behavior. Band equality is on
+    the minhash value tuple, which equals the Spark side's
+    md5(concat_ws('_', values)) bucket key exactly (decimal strings
+    joined by '_' are injective)."""
+    if n_hashes % bands != 0:
+        raise ValueError("lsh_jaccard_pairs_sql: bands must divide n_hashes")
+    rows = n_hashes // bands
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {hs} FROM sigs".format(
+            b=b,
+            hs=", ".join(f"mh{b * rows + r} AS h{r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    hcols = ", ".join(f"h{r}" for r in range(rows))
+    eq = " AND ".join(f"x.h{r} = y.h{r}" for r in range(rows))
+    k1 = shingle_k - 1
+    return f"""
+WITH sigs AS ({minhash_sql(n_hashes, shingle_k, table=table)}),
+bands AS (
+  {band_selects}
+), kept AS (
+  SELECT * FROM (
+    SELECT doc_id, band, {hcols},
+           count(*) OVER (PARTITION BY band, {hcols}) AS bucket_n
+    FROM bands
+  ) WHERE bucket_n <= {bucket_cap}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM kept x JOIN kept y ON x.band = y.band AND {eq} AND x.doc_id < y.doc_id
+), toksj AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS t FROM {table}
+), shj AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i : i + {k1}], ' ') AS shingle
+  FROM toksj, UNNEST(range(1, greatest(len(t) - {k1}, 1) + 1)) AS u(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shj GROUP BY doc_id
+), inter AS (
+  SELECT c.a, c.b, count(*) AS ninter
+  FROM cand c
+  JOIN shj x ON x.doc_id = c.a
+  JOIN shj y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       CAST(round(CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter), 6) AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= {threshold}
+"""
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",

@@ -349,3 +349,69 @@ def test_embedding_near_dup_large_cluster_uncapped(spark):
     # LSH recall is probabilistic but near-identical vectors share
     # every sign bit: all planted pairs land in the same buckets
     assert pairs == want
+
+
+def test_lsh_jaccard_oracle_mirrors_banding_on_midrange_pairs(spark):
+    """The DuckDB twin of the LSH pipeline must mirror BANDING, not
+    compute all pairs >= threshold: a mid-range pair (jaccard ~0.2-0.6)
+    collides only sometimes (P = 1-(1-j^rows)^bands), so the all-pairs
+    twin this replaced disagreed with Spark on exactly the corpora
+    where LSH behaves as designed (review pass 8)."""
+    import duckdb
+    import pandas as pd
+
+    from mundipy_spark.operators import dedup, textstats  # noqa: F401
+
+    # near-identical pair (0,1), several mid-range pairs (2..9 share a
+    # sliding fraction of tokens with doc 2), and unrelated docs
+    docs = []
+    base = [f"tok{i}" for i in range(40)]
+    docs.append((0, " ".join(base)))
+    docs.append((1, " ".join(base[:-1] + ["changed"])))
+    for d in range(2, 10):
+        k = 4 * (d - 2)
+        toks = base[k : k + 20] + [f"only{d}_{j}" for j in range(10)]
+        docs.append((d, " ".join(toks)))
+    for d in range(10, 16):
+        docs.append((d, " ".join(f"z{d}_{j}" for j in range(25))))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+
+    sdf = spark.createDataFrame(pdf)
+    sigs = dedup.minhash_signatures(sdf, n_hashes=8)
+    cand = dedup.lsh_candidate_pairs(sigs, n_hashes=8, bands=4)
+    got = dedup.jaccard_ngram_pairs(sdf, cand, threshold=0.2)
+    spark_pairs = sorted(
+        (r["a"], r["b"], round(r["jaccard"], 6)) for r in got.collect()
+    )
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    twin = con.execute(
+        dedup.lsh_jaccard_pairs_sql(
+            n_hashes=8, bands=4, bucket_cap=200, shingle_k=3, threshold=0.2
+        )
+    ).fetchall()
+    twin_pairs = sorted((a, b, round(j, 6)) for a, b, j in twin)
+    assert spark_pairs == twin_pairs
+
+    # the corpus really exercises the gap: all-pairs >= 0.2 is a strict
+    # superset of what LSH examines here
+    allpairs = con.execute(
+        """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ninter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT count(*) FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.2
+"""
+    ).fetchone()[0]
+    assert allpairs > len(spark_pairs)

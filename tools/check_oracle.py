@@ -42,6 +42,11 @@ def _cell(v):
 
     if v is None or (isinstance(v, float) and pd.isna(v)):
         return "NULL"
+    if isinstance(v, (bool, np.bool_)):
+        # before the int branch: Python bool is an int subclass ('1'),
+        # np.bool_ is not ('True') — same logical value must
+        # canonicalize identically regardless of column dtype
+        return str(bool(v))
     if isinstance(v, decimal.Decimal):
         return f"{v:.6f}"
     if isinstance(v, (float, np.floating)):
@@ -64,6 +69,12 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name silently checking nothing would read as success
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        spark.stop()
+        return 1
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -76,9 +87,10 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(sdf)} rows (rows-only check) [{time.time()-t0:.1f}s]")
-            if len(sdf) == 0 and name != "simhash_pairs":
-                print(f"      WARNING {name} returned 0 rows")
+            # every registered query ships an oracle twin (72/72); a
+            # missing one is a contract regression, not a weaker mode
+            print(f"FAIL  {name}: no oracle_sql() entry")
+            failures += 1
             continue
         try:
             odf = con.execute(oracles[name]).df()
