@@ -380,3 +380,24 @@ def test_read_changes_delete_of_rededup_key_scoped_to_prestate(spark, tmp_path):
         (1, 2), (2, 3),
     ]
     assert all(r["_change_type"] == "delete" for r in ch)
+
+
+def test_mor_scan_plan_shape(spark, docs, tmp_path):
+    """The scale guarantee of merge-on-read: the data side scans
+    straight into a BROADCAST anti-join (never SortMergeJoin, never a
+    shuffle of the table); the only exchange in the plan is the
+    delta-sized delete-key dedup + broadcast."""
+    path = str(tmp_path / "t")
+    snaptable.create(
+        spark, path, docs.repartitionByRange(4, "doc_id"), stats_cols=["doc_id"]
+    )
+    snaptable.delete_keys(
+        spark, path, spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    )
+    plan = (
+        snaptable.read(spark, path)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # one hash exchange max: the delete-key distinct (table side: none)
+    assert plan.count("Exchange hashpartitioning") <= 1
