@@ -1,0 +1,367 @@
+"""`spark.read.format("snaptable")` — the snapshot-manifest table
+(sources/snaptable.py) exposed through Spark 4's Python Data Source
+API, so the engine's Iceberg-role table plugs into the PLANNER the way
+a real catalog format does: schema comes from the table, filters push
+down into manifest pruning before a single byte is opened, every
+surviving data file becomes one InputPartition (scan parallelism =
+file count, no driver-side collect of row data), and
+`spark.readStream.format("snaptable")` turns committed snapshots into
+exactly-once micro-batches (offset = snapshot version, the Iceberg
+streaming-read shape).
+
+Why a Data Source and not just `snaptable.scan()`: scan() is a library
+call — callers must know this repo. The registered format makes the
+table reachable from any DataFrame/stream surface (`.load()`,
+`readStream`, and SQL via `df.createOrReplaceTempView`) including code
+that never imports mundipy_spark, which is what "a user of the
+reference could switch" means for the storage layer. (Catalog
+`CREATE TABLE ... USING snaptable` is NOT supported: Spark 4.1 hands a
+Python data source EMPTY options when scanning a catalog table — the
+path arrives at schema() time but not reader() time — so only
+path-addressed reads work; register a temp view for SQL.)
+
+Scale shape (10^12 docs):
+- planning is driver-side metadata only (`plan_scan`): pushed filters
+  prune via per-file min/max stats + hidden-partition transforms; the
+  executor never sees pruned files;
+- one file = one InputPartition; reads are Arrow-native
+  (`pyarrow.parquet` -> RecordBatch pass-through, zero row-at-a-time
+  Python);
+- merge-on-read equality deletes apply per partition: each task
+  anti-joins its file against the (delta-sized by contract) delete
+  key set, so the table side never shuffles — the executor-local twin
+  of `_read_with_deletes`'s broadcast anti-join;
+- streaming offsets are snapshot versions: `latestOffset` is one
+  directory listat, micro-batch planning is a manifest set-difference,
+  and replay after a crash re-reads exactly the committed range
+  (offsets live in Spark's checkpoint, snapshots are immutable).
+
+Predicate pruning is an EXPLICIT option (`predicates`), not automatic
+`pushFilters`, after a measured dead end: Spark 4.1's Python-source
+filter pushdown caches the planned scan (read function + partitions)
+on the shared relation, so `df.filter(doc_id == 5).count()` followed
+by `df.collect()` on the SAME DataFrame reuses the '=5'-pruned
+partition list for the filterless collect — silent row loss (repro:
+100-row 4-file table returned 25 rows; returning every filter as
+unsupported does not help because the cached partitions, not the
+filters, are the poison). Until the scan is re-planned per query,
+pruning must key off state that is CONSTANT for the relation — the
+`predicates` option is exactly that, and `read()` re-applies it
+row-wise so results equal `snaptable.scan()` with the same predicates
+regardless of stats quality.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+# snapshot operations a streaming read cannot express as pure appends
+# (same fence as snaptable.read_incremental): files-rewritten ops would
+# re-deliver already-consumed rows, eq-delete retracts rows a pure
+# append stream cannot retract.
+_REWRITE_OPS = ("replace", "delete", "merge", "rollback")
+_RETRACT_OPS = ("eq-delete",)
+
+
+def _table_path(options) -> str:
+    path = options.get("path")
+    if not path:
+        raise ValueError(
+            "snaptable data source: pass the table path via .load(path) "
+            "or .option('path', ...)"
+        )
+    # Spark normalizes .load() paths to URIs (file:/tmp/x); snaptable
+    # metadata IO is plain-path (os.path / open), so unwrap local URIs
+    if path.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        path = unquote(urlparse(path).path)
+    return path
+
+
+def _arrow_batches(abs_path: str, schema: StructType, deletes: Sequence[dict]):
+    """Read one data file as Arrow batches in the TABLE schema: missing
+    columns (additive evolution) null-fill, merge-on-read delete keys
+    filter out, and every batch casts to the exact Arrow schema Spark
+    expects for `schema` (parquet physical types vary by writer)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    tbl = pq.read_table(abs_path)
+    cols = {}
+    for field in target:
+        if field.name in tbl.column_names:
+            cols[field.name] = tbl.column(field.name)
+        else:  # column added after this file was written: null-fill
+            cols[field.name] = pa.nulls(tbl.num_rows, type=field.type)
+    tbl = pa.table(cols, schema=pa.schema([target.field(i) for i in range(len(target))]))
+
+    for d in deletes:
+        key_cols = list(d["key_cols"])
+        kt = pq.read_table(d["abs_paths"][0], columns=key_cols)
+        for p in d["abs_paths"][1:]:
+            kt = pa.concat_tables([kt, pq.read_table(p, columns=key_cols)])
+        if kt.num_rows == 0 or tbl.num_rows == 0:
+            continue
+        # delete files are delta-sized by the delete_keys contract, so a
+        # task-local hash set is the executor twin of the broadcast
+        # anti-join; tuples of .as_py() values are exact (no float keys
+        # in practice, and identical coercion on both sides regardless)
+        key_set = set(
+            zip(*[kt.column(c).to_pylist() for c in key_cols])
+        )
+        mask = [
+            t not in key_set
+            for t in zip(*[tbl.column(c).to_pylist() for c in key_cols])
+        ]
+        tbl = tbl.filter(pa.array(mask, type=pa.bool_()))
+
+    for batch in tbl.to_batches():
+        yield batch
+
+
+def _delete_specs(path: str, dels: list[dict], file_seq: int) -> list[dict]:
+    """Deletes applicable to a data-file entry (seq > file seq), grouped
+    by key columns, with absolute paths — the per-partition payload."""
+    by_key: dict[tuple, list[str]] = {}
+    for d in dels:
+        if d.get("seq", 0) > file_seq:
+            by_key.setdefault(tuple(d["key_cols"]), []).append(
+                os.path.join(path, d["path"])
+            )
+    return [
+        {"key_cols": list(k), "abs_paths": v} for k, v in sorted(by_key.items())
+    ]
+
+
+def _parse_predicates(options) -> list[tuple]:
+    """`predicates` option: a JSON list of [col, op, value] triples
+    (op in =, <, <=, >, >=), ANDed — the option-string twin of
+    snaptable.scan(predicates=...). Constant for the relation, so the
+    cached-scan reuse that poisons pushFilters (module docstring) is
+    harmless: every query on this DataFrame means the same scan."""
+    raw = options.get("predicates")
+    if not raw:
+        return []
+    preds = json.loads(raw)
+    out = []
+    for p in preds:
+        if not (isinstance(p, (list, tuple)) and len(p) == 3):
+            raise ValueError(
+                f"snaptable predicates option: expected [col, op, value], got {p!r}"
+            )
+        out.append((str(p[0]), str(p[1]), p[2]))
+    return out
+
+
+def _apply_predicates(tbl, predicates: list[tuple]):
+    """Row-level re-application of the pruning predicates (Arrow
+    compute, SQL comparison semantics: null never matches), so option
+    results match snaptable.scan exactly even if stats mis-prune."""
+    import pyarrow.compute as pc
+
+    for col, op, v in predicates:
+        c = tbl.column(col)
+        mask = {
+            "=": pc.equal,
+            ">=": pc.greater_equal,
+            ">": pc.greater,
+            "<=": pc.less_equal,
+            "<": pc.less,
+        }[op](c, v)
+        tbl = tbl.filter(pc.fill_null(mask, False))
+    return tbl
+
+
+class SnaptableBatchReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self._path = _table_path(options)
+        self._schema = schema
+        snap = options.get("snapshot_id")
+        self._snapshot_id = int(snap) if snap is not None else None
+        self._predicates = _parse_predicates(options)
+
+    def partitions(self) -> list[InputPartition]:
+        from mundipy_spark.sources import snaptable
+
+        plan = snaptable.plan_scan(
+            self._path, self._predicates or None, self._snapshot_id
+        )
+        dels = plan["delete_files"]
+        return [
+            InputPartition(
+                {
+                    "abs_path": os.path.join(self._path, e["path"]),
+                    "deletes": _delete_specs(self._path, dels, e.get("seq", 0)),
+                    "predicates": self._predicates,
+                }
+            )
+            for e in plan["entries"]
+        ]
+
+    def read(self, partition: InputPartition):
+        v = partition.value
+        for batch in _arrow_batches(v["abs_path"], self._schema, v["deletes"]):
+            if v["predicates"]:
+                import pyarrow as pa
+
+                tbl = _apply_predicates(pa.table(batch), v["predicates"])
+                yield from tbl.to_batches()
+            else:
+                yield batch
+
+
+class SnaptableStreamReader(DataSourceStreamReader):
+    """Micro-batch source over snapshot versions. Offset = the last
+    snapshot version fully delivered; batch (start, end] delivers the
+    files each append snapshot in the range added (manifest set
+    difference, concurrent-committer safe — same derivation as
+    read_incremental).
+
+    Non-append snapshots fence the stream by default (the
+    read_incremental rule). Opt-outs mirror Iceberg's streaming reader:
+    `skip_rewrites=true` crosses compactions/COW-rewrites/rollbacks
+    WITHOUT delivering their files (a compaction re-adds rows the
+    stream already emitted; skipping is exact for pure compactions,
+    and for merge/delete_where it skips the rewritten rows — Iceberg's
+    documented streaming-skip-overwrite-snapshots semantics);
+    `skip_deletes=true` crosses eq-delete snapshots (retractions are
+    not expressible in an append stream; downstream sees rows that
+    were later taken down, exactly like Iceberg)."""
+
+    def __init__(self, options, schema: StructType):
+        self._path = _table_path(options)
+        self._schema = schema
+        self._skip_rewrites = str(options.get("skip_rewrites", "false")).lower() == "true"
+        self._skip_deletes = str(options.get("skip_deletes", "false")).lower() == "true"
+        initial = str(options.get("initial_snapshot", "earliest"))
+        if initial == "earliest":
+            self._initial = 0
+        elif initial == "latest":
+            from mundipy_spark.sources import snaptable
+
+            self._initial = snaptable.current_version(self._path)
+        else:
+            self._initial = int(initial)
+
+    def initialOffset(self) -> dict:
+        return {"version": self._initial}
+
+    def latestOffset(self) -> dict:
+        from mundipy_spark.sources import snaptable
+
+        return {"version": snaptable.current_version(self._path)}
+
+    def _added_files(self, start: int, end: int) -> list[str]:
+        from mundipy_spark.sources import snaptable
+
+        added: list[str] = []
+        prev = (
+            {e["path"] for e in snaptable._load_manifest(self._path, start)}
+            if start > 0
+            else set()
+        )
+        for v in range(start + 1, end + 1):
+            snap = snaptable._load_snapshot(self._path, v)
+            cur = {e["path"] for e in snaptable._load_manifest(self._path, v)}
+            op = snap["operation"]
+            if op in _REWRITE_OPS and not self._skip_rewrites:
+                raise ValueError(
+                    f"snaptable stream {self._path}: snapshot {v} is a "
+                    f"{op} (rewrite); set skip_rewrites=true to cross it "
+                    "(skipped snapshots deliver no rows)"
+                )
+            if op in _RETRACT_OPS and not self._skip_deletes:
+                raise ValueError(
+                    f"snaptable stream {self._path}: snapshot {v} is an "
+                    f"{op} (retraction); set skip_deletes=true to cross it"
+                )
+            if op not in _REWRITE_OPS and op not in _RETRACT_OPS:
+                added.extend(sorted(cur - prev))
+            prev = cur
+        return added
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        s, e = int(start["version"]), int(end["version"])
+        if e <= s:
+            return []
+        return [
+            InputPartition(
+                {"abs_path": os.path.join(self._path, p), "deletes": []}
+            )
+            for p in self._added_files(s, e)
+        ]
+
+    def read(self, partition: InputPartition):
+        v = partition.value
+        yield from _arrow_batches(v["abs_path"], self._schema, v["deletes"])
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's streaming checkpoint
+
+    def stop(self) -> None:
+        pass
+
+
+class SnaptableDataSource(DataSource):
+    """format("snaptable"). Options:
+    - path (or .load(path)): table root
+    - snapshot_id (batch): time travel to a committed snapshot
+    - predicates (batch): JSON [[col, op, value], ...] — manifest +
+      partition pruning, re-applied row-wise (== snaptable.scan)
+    - initial_snapshot (stream): 'earliest' (default) | 'latest' | int
+    - skip_rewrites / skip_deletes (stream): cross non-append snapshots
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "snaptable"
+
+    def schema(self) -> StructType:
+        from mundipy_spark.sources import snaptable
+
+        path = _table_path(self.options)
+        snap_opt = self.options.get("snapshot_id")
+        head = (
+            int(snap_opt)
+            if snap_opt is not None
+            else snaptable.current_version(path)
+        )
+        if head == 0:
+            raise ValueError(f"snaptable {path}: no committed snapshot")
+        snap = snaptable._load_snapshot(path, head)
+        stored = StructType.fromJson(json.loads(snap["schema"]))
+        # report every field nullable, like Spark's own parquet scan:
+        # the writer's not-null flags don't survive the format, and
+        # additive schema evolution null-fills late columns in old
+        # files — a non-null claim here would be a lie the planner
+        # optimizes on
+        return StructType(
+            [
+                type(f)(f.name, f.dataType, True, f.metadata)
+                for f in stored.fields
+            ]
+        )
+
+    def reader(self, schema: StructType) -> SnaptableBatchReader:
+        return SnaptableBatchReader(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> SnaptableStreamReader:
+        return SnaptableStreamReader(self.options, schema)
+
+
+def register(spark) -> None:
+    """Make format("snaptable") available on this session."""
+    spark.dataSource.register(SnaptableDataSource)

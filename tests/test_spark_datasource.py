@@ -1,0 +1,248 @@
+"""format("snaptable") Python Data Source (sources/spark_datasource.py):
+the snapshot-manifest table plugged into Spark's planner — batch reads
+with manifest-pruned partitions + pushed filters, merge-on-read
+deletes applied per partition, and a streaming source whose offsets
+are snapshot versions (exactly-once across restarts).
+
+Reference role: the north rule's Iceberg table as a first-class Spark
+format rather than a library call.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mundipy_spark.sources import snaptable, spark_datasource
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mundipy_spark.session import get_spark
+
+    s = get_spark("spark-datasource-tests", cpus=4, shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    spark_datasource.register(s)
+    yield s
+
+
+def _docs(spark, lo: int, hi: int):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("url-"), F.col("id")).alias("url"),
+        (F.col("id") % 7).alias("bucket"),
+    )
+
+
+def test_batch_read_matches_library_scan(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(
+        spark, path, _docs(spark, 0, 1000).repartition(4), stats_cols=["doc_id"]
+    )
+    snaptable.append(spark, path, _docs(spark, 1000, 1500).repartition(2))
+    via_fmt = spark.read.format("snaptable").load(path)
+    via_lib = snaptable.read(spark, path)
+    assert via_fmt.schema == via_lib.schema
+    assert via_fmt.count() == 1500
+    assert (
+        via_fmt.agg(F.sum("doc_id")).first()[0]
+        == via_lib.agg(F.sum("doc_id")).first()[0]
+    )
+
+
+def test_time_travel_option(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 100), stats_cols=["doc_id"])
+    snaptable.append(spark, path, _docs(spark, 100, 200))
+    assert (
+        spark.read.format("snaptable").option("snapshot_id", 1).load(path).count()
+        == 100
+    )
+    assert spark.read.format("snaptable").load(path).count() == 200
+
+
+def test_predicates_option_prunes_partitions(spark, tmp_path):
+    """Each surviving data file is one input partition, so a range
+    predicate on the stats column must shrink the scan's partition
+    count — file pruning observable from the RDD shape — while the
+    row-level re-application keeps results == snaptable.scan."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    snaptable.create(
+        spark,
+        path,
+        _docs(spark, 0, 1000).repartitionByRange(4, "doc_id"),
+        stats_cols=["doc_id"],
+    )
+    full = spark.read.format("snaptable").load(path)
+    n_full = full.rdd.getNumPartitions()
+    assert n_full == 4
+    pruned = (
+        spark.read.format("snaptable")
+        .option("predicates", _json.dumps([["doc_id", ">=", 900]]))
+        .load(path)
+    )
+    assert pruned.rdd.getNumPartitions() < n_full
+    # pruning never changes results: read() re-applies the predicate
+    assert pruned.count() == 100
+    assert pruned.agg(F.min("doc_id")).first()[0] == 900
+    lib = snaptable.scan(spark, path, [("doc_id", ">=", 900)])
+    assert (
+        pruned.agg(F.sum("doc_id")).first()[0]
+        == lib.agg(F.sum("doc_id")).first()[0]
+    )
+
+
+def test_shared_dataframe_filter_then_full_scan_is_exact(spark, tmp_path):
+    """The regression that killed automatic pushFilters (module
+    docstring): a filtered action followed by a filterless action on
+    the SAME DataFrame must see the full table."""
+    path = str(tmp_path / "t")
+    snaptable.create(
+        spark,
+        path,
+        _docs(spark, 0, 100).repartitionByRange(4, "doc_id"),
+        stats_cols=["doc_id"],
+    )
+    df = spark.read.format("snaptable").load(path)
+    assert df.count() == 100
+    assert df.filter(F.col("doc_id") == 5).count() == 1
+    assert len(df.select("doc_id").collect()) == 100
+    assert df.agg(F.sum("doc_id")).first()[0] == sum(range(100))
+
+
+def test_mor_deletes_and_seq_rule(spark, tmp_path):
+    """Eq-deletes apply per partition; a key re-appended AFTER the
+    delete stays visible (the sequence rule) through the format."""
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 100), stats_cols=["doc_id"])
+    snaptable.delete_keys(
+        spark, path, spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    )
+    df = spark.read.format("snaptable").load(path)
+    assert df.count() == 90
+    assert df.agg(F.min("doc_id")).first()[0] == 10
+    # re-append one deleted key: newer seq -> visible again
+    snaptable.append(spark, path, _docs(spark, 5, 6))
+    df2 = spark.read.format("snaptable").load(path)
+    assert df2.count() == 91
+    assert df2.filter(F.col("doc_id") == 5).count() == 1
+    # library scan agrees exactly
+    lib = snaptable.read(spark, path)
+    assert (
+        df2.agg(F.sum("doc_id")).first()[0] == lib.agg(F.sum("doc_id")).first()[0]
+    )
+
+
+def test_additive_schema_evolution_null_fills(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 50), stats_cols=["doc_id"])
+    snaptable.append(
+        spark, path, _docs(spark, 50, 60).withColumn("lang", F.lit("en"))
+    )
+    df = spark.read.format("snaptable").load(path)
+    assert "lang" in df.columns
+    assert df.filter(F.col("lang").isNull()).count() == 50
+    assert df.filter(F.col("lang") == "en").count() == 10
+
+
+def test_sql_via_temp_view(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 100), stats_cols=["doc_id"])
+    spark.read.format("snaptable").load(path).createOrReplaceTempView("snap_dsv")
+    row = spark.sql(
+        "SELECT count(*) AS n, sum(doc_id) AS s FROM snap_dsv"
+    ).first()
+    assert (row["n"], row["s"]) == (100, sum(range(100)))
+
+
+def _run_available_now(spark, path, out, ckpt, **options):
+    reader = spark.readStream.format("snaptable")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_exactly_once_across_restarts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    snaptable.create(spark, path, _docs(spark, 0, 10), stats_cols=["doc_id"])
+    snaptable.append(spark, path, _docs(spark, 10, 30))
+    _run_available_now(spark, path, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 30
+    # a later append is delivered by the NEXT run only — no re-delivery
+    snaptable.append(spark, path, _docs(spark, 30, 35))
+    _run_available_now(spark, path, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 35
+    assert got.agg(F.sum("doc_id")).first()[0] == sum(range(35))
+    # idempotent: nothing new -> nothing delivered
+    _run_available_now(spark, path, out, ckpt)
+    assert spark.read.parquet(out).count() == 35
+
+
+def test_stream_fences_on_retraction_and_skip_crosses(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 10), stats_cols=["doc_id"])
+    snaptable.delete_keys(
+        spark, path, spark.createDataFrame([(1,)], "doc_id long")
+    )
+    snaptable.append(spark, path, _docs(spark, 10, 12))
+    with pytest.raises(Exception, match="eq-delete"):
+        _run_available_now(
+            spark, path, str(tmp_path / "o1"), str(tmp_path / "c1")
+        )
+    out2 = str(tmp_path / "o2")
+    _run_available_now(
+        spark,
+        path,
+        out2,
+        str(tmp_path / "c2"),
+        skip_deletes="true",
+        initial_snapshot="1",
+    )
+    got = spark.read.parquet(out2)
+    # from snapshot 1: the eq-delete is crossed (no retraction), the
+    # append after it delivers
+    assert sorted(r["doc_id"] for r in got.collect()) == [10, 11]
+
+
+def test_stream_initial_latest_sees_only_new_commits(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 100), stats_cols=["doc_id"])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_available_now(spark, path, out, ckpt, initial_snapshot="latest")
+    assert not os.path.exists(out) or spark.read.parquet(out).count() == 0
+    snaptable.append(spark, path, _docs(spark, 100, 103))
+    _run_available_now(spark, path, out, ckpt, initial_snapshot="latest")
+    got = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in got.collect()) == [100, 101, 102]
+
+
+def test_stream_skip_rewrites_crosses_compaction(spark, tmp_path):
+    """A compaction re-adds every row as rewritten files; skipping it
+    keeps the stream append-only (rows delivered exactly once even
+    though the manifest's file set changed completely)."""
+    path = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    snaptable.create(spark, path, _docs(spark, 0, 10), stats_cols=["doc_id"])
+    _run_available_now(spark, path, out, ckpt, skip_rewrites="true")
+    assert spark.read.parquet(out).count() == 10
+    snaptable.compact(spark, path)
+    snaptable.append(spark, path, _docs(spark, 10, 13))
+    _run_available_now(spark, path, out, ckpt, skip_rewrites="true")
+    got = spark.read.parquet(out)
+    assert got.count() == 13
+    assert got.agg(F.sum("doc_id")).first()[0] == sum(range(13))
