@@ -1521,6 +1521,51 @@ def q_snap_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snap_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot table read back through Spark's Python Data Source
+    API (sources/spark_datasource.py — `format("snaptable")`), the
+    format-level twin of snap_scan/snap_mor: documents land at v1, a
+    full recrawl batch (doc_id+10^6) appends at v2, a takedown key set
+    (doc_id%5==0) commits as a merge-on-read eq-delete at v3 (erasing
+    those ids from BOTH earlier batches), and a re-append of half the
+    deleted ids (doc_id%10==0) lands at v4 with a newer sequence, so it
+    survives the delete. The read uses the `predicates` option
+    (doc_id < 10^6), which prunes the recrawl files at the manifest and
+    re-applies row-wise inside the reader. The DuckDB twin computes the
+    same anti-join + union directly, so a reader that drops a live
+    partition, mis-sequences the delete, or lets pruning change results
+    breaks value-exactness."""
+    import json as _json
+
+    from mundipy_spark.sources import snaptable, spark_datasource
+
+    spark_datasource.register(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.length("text").alias("text_len")
+    )
+    path = _tmp_table_dir("snaptable_r_")
+    snaptable.create(
+        spark, path, docs.repartitionByRange(4, "doc_id"), stats_cols=["doc_id"]
+    )
+    recrawl = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "source", "text_len"
+    )
+    snaptable.append(spark, path, recrawl.repartitionByRange(4, "doc_id"))
+    snaptable.delete_keys(
+        spark, path, docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    )
+    reapp = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.lit("reappend").alias("source"), "text_len"
+    )
+    snaptable.append(spark, path, reapp)
+    return (
+        spark.read.format("snaptable")
+        .option("predicates", _json.dumps([["doc_id", "<", 1_000_000]]))
+        .load(path)
+        .select("doc_id", "source", "text_len")
+    )
+
+
 def q_snap_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hidden partitioning on the snapshot table (sources/snaptable.py
     partition transforms — Iceberg's partition-spec role): events land
@@ -1560,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     72 remain covered by tools/check_oracle.py and pytest."""
     return {
         # (a) never / newly oracle-checked
+        "snap_reader": q_snap_reader,
         "snap_cdc": q_snap_cdc,
         "snap_mor": q_snap_mor,
         "snap_part": q_snap_part,
@@ -1611,8 +1657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q3": q_tpch_q3,
         "tpch_q1": q_tpch_q1,
-        "gazetteer": q_gazetteer,
         # --- driver window boundary: exactly 50 entries above ---
+        "gazetteer": q_gazetteer,
         "sessions": q_sessions,
         "events_hourly": q_events_hourly,
         "ann_topk": q_ann_topk,
@@ -1675,6 +1721,14 @@ def oracle_sql() -> dict[str, str]:
     cities_values = ", ".join(f"('{n}', {lo}, {la})" for n, lo, la in CITIES)
 
     return {
+        "snap_reader": """
+WITH base AS (
+  SELECT doc_id, source, length(text) AS text_len FROM documents
+)
+SELECT doc_id, source, text_len FROM base WHERE doc_id % 5 <> 0
+UNION ALL
+SELECT doc_id, 'reappend' AS source, text_len FROM base WHERE doc_id % 10 = 0
+""",
         "snap_cdc": """
 SELECT doc_id, source, length(text) AS text_len,
        'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
