@@ -231,6 +231,42 @@ def test_stream_initial_latest_sees_only_new_commits(spark, tmp_path):
     assert sorted(r["doc_id"] for r in got.collect()) == [100, 101, 102]
 
 
+def test_lake_loop_stream_in_table_stream_out(spark, tmp_path):
+    """The full lake round-trip the Iceberg role exists for: a crawl
+    stream lands in the snapshot table via snaptable_sink (one atomic
+    snapshot per micro-batch), and a DOWNSTREAM streaming consumer
+    tails the same table via readStream.format("snaptable") — each
+    wave of input flows through exactly once, with the table as the
+    replayable, atomic hand-off between the two queries."""
+    from mundipy_spark.streaming.stream_ops import snaptable_sink
+
+    table = str(tmp_path / "tbl")
+    in_dir = str(tmp_path / "in")
+    ck_in, ck_out = str(tmp_path / "ck_in"), str(tmp_path / "ck_out")
+    out = str(tmp_path / "out")
+
+    def ingest_wave(lo, hi):
+        _docs(spark, lo, hi).write.mode("append").parquet(in_dir)
+        src = spark.readStream.schema(
+            "doc_id long, url string, bucket long"
+        ).parquet(in_dir)
+        q = snaptable_sink(
+            src, table, stats_cols=["doc_id"],
+            checkpoint_dir=ck_in, trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    ingest_wave(0, 50)
+    _run_available_now(spark, table, out, ck_out)
+    assert spark.read.parquet(out).count() == 50
+    ingest_wave(50, 80)
+    _run_available_now(spark, table, out, ck_out)
+    got = spark.read.parquet(out)
+    assert got.count() == 80  # delta only: no re-delivery of wave 1
+    assert got.agg(F.sum("doc_id")).first()[0] == sum(range(80))
+    assert got.select("doc_id").distinct().count() == 80
+
+
 def test_stream_skip_rewrites_crosses_compaction(spark, tmp_path):
     """A compaction re-adds every row as rewritten files; skipping it
     keeps the stream append-only (rows delivered exactly once even
