@@ -92,44 +92,56 @@ def _table_path(options) -> str:
 def _arrow_batches(abs_path: str, schema: StructType, deletes: Sequence[dict]):
     """Read one data file as Arrow batches in the TABLE schema: missing
     columns (additive evolution) null-fill, merge-on-read delete keys
-    filter out, and every batch casts to the exact Arrow schema Spark
-    expects for `schema` (parquet physical types vary by writer)."""
+    anti-join out, and every batch casts to the exact Arrow schema
+    Spark expects for `schema` (parquet physical types vary by writer).
+
+    Scale shape: the file STREAMS through as row-group-sized batches
+    (`iter_batches`) — peak task memory is one batch plus the
+    delta-sized delete key tables, never the whole (cluster-sized)
+    data file. Deletes apply per batch with pyarrow's vectorized
+    left-anti hash join, the executor-local twin of the JVM reader's
+    broadcast anti-join (`snaptable._read_with_deletes`)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(schema)
-    tbl = pq.read_table(abs_path)
-    cols = {}
-    for field in target:
-        if field.name in tbl.column_names:
-            cols[field.name] = tbl.column(field.name)
-        else:  # column added after this file was written: null-fill
-            cols[field.name] = pa.nulls(tbl.num_rows, type=field.type)
-    tbl = pa.table(cols, schema=pa.schema([target.field(i) for i in range(len(target))]))
+    target_types = {f.name: f.type for f in target}
 
+    # delete key tables load once per task (delta-sized by the
+    # delete_keys contract), cast to the table's key types so the
+    # anti-join is like-typed
+    key_tables: list[tuple[list[str], pa.Table]] = []
     for d in deletes:
         key_cols = list(d["key_cols"])
-        kt = pq.read_table(d["abs_paths"][0], columns=key_cols)
-        for p in d["abs_paths"][1:]:
-            kt = pa.concat_tables([kt, pq.read_table(p, columns=key_cols)])
-        if kt.num_rows == 0 or tbl.num_rows == 0:
-            continue
-        # delete files are delta-sized by the delete_keys contract, so a
-        # task-local hash set is the executor twin of the broadcast
-        # anti-join; tuples of .as_py() values are exact (no float keys
-        # in practice, and identical coercion on both sides regardless)
-        key_set = set(
-            zip(*[kt.column(c).to_pylist() for c in key_cols])
-        )
-        mask = [
-            t not in key_set
-            for t in zip(*[tbl.column(c).to_pylist() for c in key_cols])
-        ]
-        tbl = tbl.filter(pa.array(mask, type=pa.bool_()))
+        parts = [pq.read_table(p, columns=key_cols) for p in d["abs_paths"]]
+        kt = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+        kt = kt.cast(pa.schema([(c, target_types[c]) for c in key_cols]))
+        if kt.num_rows:
+            key_tables.append((key_cols, kt))
 
-    for batch in tbl.to_batches():
-        yield batch
+    pf = pq.ParquetFile(abs_path)
+    present = set(pf.schema_arrow.names)
+    read_cols = [f.name for f in target if f.name in present]
+    for batch in pf.iter_batches(columns=read_cols):
+        n = batch.num_rows
+        cols = {}
+        for field in target:
+            if field.name in present:
+                cols[field.name] = batch.column(field.name)
+            else:  # column added after this file was written: null-fill
+                cols[field.name] = pa.nulls(n, type=field.type)
+        tbl = pa.table(cols).cast(target)
+        for key_cols, kt in key_tables:
+            if tbl.num_rows == 0:
+                break
+            # left-anti hash join; delete files never hold null keys
+            # (dropped at delete_keys), so data rows with a null key
+            # survive — the JVM anti-join's semantics exactly
+            tbl = tbl.join(kt, keys=key_cols, join_type="left anti")
+        if tbl.num_rows:
+            # join can reorder columns; re-project to the target order
+            yield from tbl.select([f.name for f in target]).cast(target).to_batches()
 
 
 def _delete_specs(path: str, dels: list[dict], file_seq: int) -> list[dict]:
