@@ -280,13 +280,28 @@ class SnaptableStreamReader(DataSourceStreamReader):
         from mundipy_spark.sources import snaptable
 
         added: list[str] = []
-        prev = (
-            {e["path"] for e in snaptable._load_manifest(self._path, start)}
-            if start > 0
-            else set()
-        )
+        try:
+            prev = (
+                {e["path"] for e in snaptable._load_manifest(self._path, start)}
+                if start > 0
+                else set()
+            )
+        except FileNotFoundError:
+            raise ValueError(
+                f"snaptable stream {self._path}: checkpointed snapshot "
+                f"{start} was expired; the stream cannot resume from a "
+                "reclaimed snapshot — restart with a fresh checkpoint "
+                "(and a retention window longer than consumer downtime)"
+            ) from None
         for v in range(start + 1, end + 1):
-            snap = snaptable._load_snapshot(self._path, v)
+            try:
+                snap = snaptable._load_snapshot(self._path, v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"snaptable stream {self._path}: snapshot {v} in the "
+                    f"batch range ({start}, {end}] was expired before the "
+                    "stream consumed it — restart with a fresh checkpoint"
+                ) from None
             cur = {e["path"] for e in snaptable._load_manifest(self._path, v)}
             op = snap["operation"]
             if op in _REWRITE_OPS and not self._skip_rewrites:

@@ -231,6 +231,20 @@ def test_stream_initial_latest_sees_only_new_commits(spark, tmp_path):
     assert sorted(r["doc_id"] for r in got.collect()) == [100, 101, 102]
 
 
+def test_stream_expired_checkpoint_raises_clearly(spark, tmp_path):
+    """A stream resuming from a snapshot that expire() reclaimed must
+    fail with an actionable message, not a raw FileNotFoundError."""
+    path = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    snaptable.create(spark, path, _docs(spark, 0, 10), stats_cols=["doc_id"])
+    _run_available_now(spark, path, out, ckpt)  # checkpoint at v1
+    snaptable.append(spark, path, _docs(spark, 10, 20))
+    snaptable.compact(spark, path)
+    snaptable.expire(path, keep_from=3)  # v1 (the checkpoint) reclaimed
+    with pytest.raises(Exception, match="expired"):
+        _run_available_now(spark, path, out, ckpt)
+
+
 def test_lake_loop_stream_in_table_stream_out(spark, tmp_path):
     """The full lake round-trip the Iceberg role exists for: a crawl
     stream lands in the snapshot table via snaptable_sink (one atomic
