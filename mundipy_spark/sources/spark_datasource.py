@@ -1,8 +1,8 @@
 """`spark.read.format("snaptable")` — the snapshot-manifest table
 (sources/snaptable.py) exposed through Spark 4's Python Data Source
 API, so the engine's Iceberg-role table plugs into the PLANNER the way
-a real catalog format does: schema comes from the table, filters push
-down into manifest pruning before a single byte is opened, every
+a real catalog format does: schema comes from the table, scan-option
+predicates prune at the manifest before a single byte is opened, every
 surviving data file becomes one InputPartition (scan parallelism =
 file count, no driver-side collect of row data), and
 `spark.readStream.format("snaptable")` turns committed snapshots into
@@ -21,9 +21,9 @@ path arrives at schema() time but not reader() time — so only
 path-addressed reads work; register a temp view for SQL.)
 
 Scale shape (10^12 docs):
-- planning is driver-side metadata only (`plan_scan`): pushed filters
-  prune via per-file min/max stats + hidden-partition transforms; the
-  executor never sees pruned files;
+- planning is driver-side metadata only (`plan_scan`): the
+  `predicates` option prunes via per-file min/max stats +
+  hidden-partition transforms; the executor never sees pruned files;
 - one file = one InputPartition; reads are Arrow-native
   (`pyarrow.parquet` -> RecordBatch pass-through, zero row-at-a-time
   Python);
@@ -32,7 +32,7 @@ Scale shape (10^12 docs):
   key set, so the table side never shuffles — the executor-local twin
   of `_read_with_deletes`'s broadcast anti-join;
 - streaming offsets are snapshot versions: `latestOffset` is one
-  directory listat, micro-batch planning is a manifest set-difference,
+  directory stat, micro-batch planning is a manifest set-difference,
   and replay after a crash re-reads exactly the committed range
   (offsets live in Spark's checkpoint, snapshots are immutable).
 
