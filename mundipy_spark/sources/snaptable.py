@@ -995,6 +995,74 @@ def compact(
     )
 
 
+def compact_small(
+    spark: SparkSession,
+    path: str,
+    small_mb: float = 32.0,
+    target_mb: float = 128.0,
+) -> int:
+    """BIN-PACK compaction (Iceberg's binpack rewrite): merge only the
+    files smaller than `small_mb` into ~`target_mb` outputs, leaving
+    every already-well-sized file untouched. compact() rewrites the
+    WHOLE table — O(table), prohibitive as routine maintenance at
+    10^12 docs — while an append-heavy crawl table's problem is the
+    micro-batch TAIL: 10^5 small commits/day. This rewrite costs
+    O(small tail) and runs nightly at any table size.
+
+    Semantics: rewritten rows read through the MOR delete path, so
+    outstanding equality deletes are APPLIED to them (their new files
+    get a fresh seq > every delete's seq, so the deletes never re-apply)
+    while untouched files keep their original seq AND the snapshot
+    keeps the delete list — deletes continue to mask those files at
+    read until a full compact() clears them. Kept entries carry their
+    seq through the commit; a concurrent commit fails the
+    require_parent fence like any rewrite (re-plan and retry). Returns
+    the new version, or the current one (no commit) when fewer than
+    two small files exist."""
+    files, snap = _files_for(path, None)
+    small_bytes = int(small_mb * 1024 * 1024)
+    small, kept = [], []
+    for e in files:
+        try:
+            sz = os.path.getsize(os.path.join(path, e["path"]))
+        except OSError:
+            sz = small_bytes  # unstatable: treat as big, never rewrite
+        (small if sz < small_bytes else kept).append(e)
+    if len(small) < 2:
+        return snap["version"]  # nothing worth merging: no-op
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(snap["schema"]))
+    dels = snap.get("delete_files") or []
+    df = _read_with_deletes(spark, path, small, schema, dels)
+    total = sum(
+        os.path.getsize(os.path.join(path, e["path"])) for e in small
+    )
+    n_out = max(1, -(-total // int(target_mb * 1024 * 1024)))
+    spec = snap.get("partition_spec")
+    sub = _write_data(df.repartition(n_out), path, spec)
+    new_entries = _collect_file_stats(spark, sub, snap["stats_cols"], spec)
+    for e in kept:
+        # see delete_where: carried legacy (pre-seq) entries keep seq 0,
+        # not this commit's version — restamping would stop outstanding
+        # deletes from applying to them
+        e.setdefault("seq", 0)
+    return _commit(
+        path,
+        kept + new_entries,  # kept carry their seq; new stamp version
+        "replace",
+        snap["stats_cols"],
+        snap["schema"],
+        False,
+        require_parent=snap["version"],
+        partition_spec=spec,
+        partition_spec_history=snap.get("partition_spec_history"),
+        # deletes stay outstanding: they still mask the KEPT files
+        # (smaller seq); the rewritten rows already absorbed them
+        delete_files=dels or None,
+    )
+
+
 def delete_where(
     spark: SparkSession,
     path: str,

@@ -785,3 +785,92 @@ def test_streaming_merge_sink_upserts_by_key(spark, tmp_path):
     assert snaptable._load_snapshot(
         path, snaptable.current_version(path)
     )["operation"] == "merge"
+
+
+def test_compact_small_binpacks_only_the_small_tail(spark, tmp_path):
+    """Bin-pack maintenance: one well-sized file plus a tail of
+    micro-batch files; compact_small merges ONLY the tail (the big
+    file's manifest entry — path and seq — survives verbatim), the
+    row set is unchanged, and sub-threshold no-ops don't commit."""
+    import os as _os
+
+    path = str(tmp_path / "t")
+    big = spark.range(0, 200_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("payload-" * 40), F.col("id")).alias("url"),
+        (F.col("id") % 7).alias("bucket"),
+    )
+    snaptable.create(spark, path, big.coalesce(1), stats_cols=["doc_id"])
+    for i in range(4):  # the micro-batch tail
+        snaptable.append(
+            spark,
+            path,
+            spark.range(200_000 + i * 10, 200_000 + i * 10 + 10).select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("u"), F.col("id")).alias("url"),
+                (F.col("id") % 7).alias("bucket"),
+            ).coalesce(1),
+        )
+    before = snaptable._load_manifest(path, snaptable.current_version(path))
+    big_entry = max(
+        before, key=lambda e: _os.path.getsize(_os.path.join(path, e["path"]))
+    )
+    v = snaptable.compact_small(spark, path, small_mb=1.0, target_mb=64.0)
+    after = snaptable._load_manifest(path, v)
+    assert len(after) < len(before)
+    kept = [e for e in after if e["path"] == big_entry["path"]]
+    assert kept and kept[0].get("seq") == big_entry.get("seq")
+    got = snaptable.read(spark, path)
+    assert got.count() == 200_040
+    assert got.agg(F.sum("doc_id")).first()[0] == sum(range(200_000)) + sum(
+        range(200_000, 200_040)
+    )
+    # nothing small left to merge: no-op, no new snapshot
+    assert snaptable.compact_small(spark, path, small_mb=1.0) == v
+
+
+def test_compact_small_applies_deletes_to_rewritten_rows_only(spark, tmp_path):
+    """Outstanding eq-deletes are absorbed by the rewritten tail (fresh
+    seq) but stay on the snapshot to keep masking the untouched big
+    file; total visibility is unchanged and a later re-append of a
+    deleted key still wins."""
+    path = str(tmp_path / "t")
+    big = spark.range(0, 100_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("pay-" * 50), F.col("id")).alias("url"),
+    )
+    snaptable.create(spark, path, big.coalesce(1), stats_cols=["doc_id"])
+    snaptable.append(
+        spark,
+        path,
+        spark.range(100_000, 100_020).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("u"), F.col("id")).alias("url"),
+        ).coalesce(1),
+    )
+    # delete keys hitting BOTH the big file (5) and the tail (100_005)
+    snaptable.delete_keys(
+        spark,
+        path,
+        spark.createDataFrame([(5,), (100_005,)], "doc_id long"),
+    )
+    visible_before = snaptable.read(spark, path).agg(
+        F.count("*"), F.sum("doc_id")
+    ).first()
+    v = snaptable.compact_small(spark, path, small_mb=0.5)
+    snap = snaptable._load_snapshot(path, v)
+    assert snap["delete_files"], "delete list must stay outstanding"
+    visible_after = snaptable.read(spark, path).agg(
+        F.count("*"), F.sum("doc_id")
+    ).first()
+    assert tuple(visible_before) == tuple(visible_after)
+    # the rewritten tail dropped 100_005 physically: re-append wins
+    snaptable.append(
+        spark,
+        path,
+        spark.createDataFrame([(100_005, "re")], "doc_id long, url string"),
+    )
+    assert (
+        snaptable.read(spark, path).filter(F.col("doc_id") == 100_005).count()
+        == 1
+    )
