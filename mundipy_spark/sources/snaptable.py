@@ -881,10 +881,13 @@ def plan_scan(
 
 
 def read(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
-    """Full snapshot read (time travel via snapshot_id)."""
-    return scan(spark, path, None, snapshot_id)
+    """Full snapshot read (time travel via snapshot_id or a tag name)."""
+    return scan(spark, path, None, snapshot_id, ref)
 
 
 def scan(
@@ -892,6 +895,7 @@ def scan(
     path: str,
     predicates: list[tuple] | None = None,
     snapshot_id: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Predicate scan with manifest pruning. `predicates` is a list of
     (col, op, value) with op in {=, <, <=, >, >=}, ANDed. The same
@@ -899,6 +903,10 @@ def scan(
     results — only how many files Spark opens."""
     from pyspark.sql.types import StructType
 
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("snaptable scan: pass snapshot_id OR ref, not both")
+        snapshot_id = resolve_ref(path, ref)
     plan = plan_scan(path, predicates, snapshot_id)
     schema = StructType.fromJson(json.loads(plan["schema"]))
     df = _read_with_deletes(
@@ -1357,11 +1365,22 @@ def expire(path: str, keep_from: int) -> dict:
     """Delete data/manifest files referenced ONLY by snapshots older
     than `keep_from`, then the old metadata itself — Iceberg's
     expire_snapshots. Time travel to >= keep_from keeps working;
-    anything older is gone. Returns deletion accounting."""
+    anything older is gone — EXCEPT tagged snapshots (see tag()):
+    a tag pins its snapshot's metadata, manifest, and data files
+    through any expire, Iceberg's ref-retention rule. Staged (WAP)
+    snapshots' files are likewise never touched: they belong to no
+    committed snapshot, and drop_staged()/publish_staged() own their
+    lifecycle. Returns deletion accounting."""
     head = current_version(path)
     keep_from = max(1, min(keep_from, head))
+    keep_versions = set(range(keep_from, head + 1))
+    keep_versions |= {v for v in tags(path).values() if 1 <= v <= head}
     live: set[str] = set()
-    for v in range(keep_from, head + 1):
+    for s in staged(path):
+        live |= {
+            e["path"] for e in _load_staged(path, s["id"])["entries"]
+        }
+    for v in sorted(keep_versions):
         if os.path.exists(_snap_path(path, v)):
             live |= {e["path"] for e in _load_manifest(path, v)}
             live |= {
@@ -1371,11 +1390,11 @@ def expire(path: str, keep_from: int) -> dict:
     removed_data = 0
     live_manifests = {
         _load_snapshot(path, v)["manifest"]
-        for v in range(keep_from, head + 1)
+        for v in sorted(keep_versions)
         if os.path.exists(_snap_path(path, v))
     }
     for v in range(1, keep_from):
-        if not os.path.exists(_snap_path(path, v)):
+        if v in keep_versions or not os.path.exists(_snap_path(path, v)):
             continue
         old_snap = _load_snapshot(path, v)
         dead = [e["path"] for e in _load_manifest(path, v)]
@@ -1663,4 +1682,287 @@ def manifest_df(spark: SparkSession, path: str, snapshot_id: int | None = None):
     return spark.createDataFrame(
         [(e["path"], e["rows"], json.dumps(e["stats"])) for e in files],
         "path string, rows long, stats string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# named refs (tags) + write-audit-publish staging
+#
+# Iceberg's two collaboration features this table was still missing:
+# TAGS (immutable named refs with retention protection — pin "the
+# corpus release we trained on" so expire() can never reap it) and
+# WAP (write-audit-publish: land a crawl wave as a STAGED snapshot
+# outside the main lineage, run quality gates against head+stage, then
+# publish atomically via cherry-pick — Iceberg's wap.id workflow).
+
+
+_REF_NAME_OK = None  # compiled lazily (re import kept out of module scope)
+
+
+def _check_ref_name(name: str) -> None:
+    global _REF_NAME_OK
+    if _REF_NAME_OK is None:
+        import re
+
+        _REF_NAME_OK = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+    if not _REF_NAME_OK.match(name):
+        raise ValueError(f"snaptable ref name {name!r}: use [A-Za-z0-9._-]")
+
+
+def _tag_path(path: str, name: str) -> str:
+    return os.path.join(_meta_dir(path), f"tag-{name}.json")
+
+
+def tag(path: str, name: str, snapshot_id: int | None = None) -> int:
+    """Create an IMMUTABLE named ref to a snapshot (default: head).
+    Published via the same tmp+link pattern as snapshots, so creation
+    is atomic and exclusive — two racers for the same name get exactly
+    one winner. A tagged snapshot (its metadata, manifest, and data
+    files) survives expire() regardless of `keep_from`; reads address
+    it as `read(..., ref=name)`. Re-tagging an existing name raises:
+    tags never move (Iceberg tag semantics) — drop_tag() first."""
+    _check_ref_name(name)
+    v = snapshot_id if snapshot_id is not None else current_version(path)
+    if v < 1 or not os.path.exists(_snap_path(path, v)):
+        raise ValueError(f"snaptable {path}: cannot tag snapshot {v}")
+    dst = _tag_path(path, name)
+    tmp = dst + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "at": v, "created_at": time.time()}, f)
+    try:
+        os.link(tmp, dst)
+    except FileExistsError:
+        raise ValueError(
+            f"snaptable {path}: tag {name!r} already exists "
+            f"(at snapshot {tags(path)[name]}) — tags are immutable"
+        )
+    finally:
+        _unlink_quiet(tmp)
+    return v
+
+
+def drop_tag(path: str, name: str) -> None:
+    """Remove a tag; the snapshot it pinned becomes expirable again."""
+    p = _tag_path(path, name)
+    if not os.path.exists(p):
+        raise ValueError(f"snaptable {path}: no tag {name!r}")
+    os.unlink(p)
+
+
+def tags(path: str) -> dict[str, int]:
+    """All tags as {name: snapshot version}."""
+    meta = _meta_dir(path)
+    out = {}
+    if not os.path.isdir(meta):
+        return out
+    for fname in os.listdir(meta):
+        if fname.startswith("tag-") and fname.endswith(".json"):
+            with open(os.path.join(meta, fname)) as f:
+                t = json.load(f)
+            out[t["name"]] = t["at"]
+    return out
+
+
+def resolve_ref(path: str, ref: str) -> int:
+    """Tag name -> snapshot version."""
+    t = tags(path)
+    if ref not in t:
+        raise ValueError(f"snaptable {path}: unknown ref {ref!r}")
+    return t[ref]
+
+
+# --- write-audit-publish ---------------------------------------------------
+
+
+def _staged_path(path: str, staged_id: str) -> str:
+    return os.path.join(_meta_dir(path), f"staged-{staged_id}.json")
+
+
+def _load_staged(path: str, staged_id: str) -> dict:
+    p = _staged_path(path, staged_id)
+    if not os.path.exists(p):
+        raise ValueError(
+            f"snaptable {path}: no staged snapshot {staged_id!r} "
+            "(published, dropped, or never staged)"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def stage_append(
+    spark: SparkSession, path: str, df: DataFrame, wap_id: str | None = None
+) -> str:
+    """Write `df`'s data files and stats like append(), but commit
+    NOTHING to the table lineage: the result is a STAGED snapshot
+    (metadata/staged-{id}.json) invisible to every read path — head,
+    time travel, incremental, changelog, and the streaming source all
+    ignore it. Audit it with read_staged(); make it real with
+    publish_staged(); discard it with drop_staged(). This is Iceberg's
+    write-audit-publish: the crawl wave lands at full write throughput,
+    quality gates run against exactly what the table WOULD become, and
+    the publish is a pure metadata commit. Returns the staged id
+    (`wap_id` if given — O_EXCL-exclusive, so a duplicate id raises)."""
+    head = current_version(path)
+    if head == 0:
+        raise ValueError(f"snaptable {path}: stage_append to missing table")
+    snap = _load_snapshot(path, head)
+    _check_additive(path, snap, df, "stage_append")
+    staged_id = wap_id if wap_id is not None else uuid.uuid4().hex[:12]
+    _check_ref_name(staged_id)
+    spec = snap.get("partition_spec")
+    sub = _write_data(df, path, spec)
+    entries = _collect_file_stats(spark, sub, snap["stats_cols"], spec)
+    dst = _staged_path(path, staged_id)
+    tmp = dst + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "id": staged_id,
+                "operation": "stage-append",
+                "entries": entries,
+                "schema": df.schema.json(),
+                "partition_spec": spec,
+                "based_on": head,
+                "created_at": time.time(),
+            },
+            f,
+        )
+    try:
+        os.link(tmp, dst)
+    except FileExistsError:
+        raise ValueError(
+            f"snaptable {path}: staged id {staged_id!r} already exists"
+        )
+    finally:
+        _unlink_quiet(tmp)
+    return staged_id
+
+
+def staged(path: str) -> list[dict]:
+    """All staged (unpublished) snapshots, metadata only."""
+    meta = _meta_dir(path)
+    out = []
+    if not os.path.isdir(meta):
+        return out
+    for fname in sorted(os.listdir(meta)):
+        if fname.startswith("staged-") and fname.endswith(".json"):
+            with open(os.path.join(meta, fname)) as f:
+                s = json.load(f)
+            out.append(
+                {
+                    "id": s["id"],
+                    "based_on": s["based_on"],
+                    "files": len(s["entries"]),
+                    "rows": sum(e["rows"] for e in s["entries"]),
+                    "created_at": s["created_at"],
+                }
+            )
+    return out
+
+
+def read_staged(
+    spark: SparkSession, path: str, staged_id: str
+) -> DataFrame:
+    """The AUDIT view: current head PLUS the staged rows — exactly what
+    the table becomes if publish_staged() runs now. Outstanding
+    equality deletes apply to the head side only (staged rows publish
+    with a fresh sequence number, so deletes never mask them). Quality
+    gates (row counts, dedup rates, language mix) run against this
+    frame before anything is committed."""
+    st = _load_staged(path, staged_id)
+    from pyspark.sql.types import StructType
+
+    head_df = read(spark, path)
+    schema = StructType.fromJson(json.loads(st["schema"]))
+    stage_df = _read_with_deletes(spark, path, st["entries"], schema, [])
+    return head_df.unionByName(stage_df, allowMissingColumns=True)
+
+
+def publish_staged(spark: SparkSession, path: str, staged_id: str) -> int:
+    """CHERRY-PICK the staged snapshot onto the CURRENT head as a
+    normal append commit — a pure metadata operation (the data files
+    were written at stage time; no rows move). Commits that landed
+    after staging are preserved: the staged entries are re-applied on
+    whatever the head is now, exactly like Iceberg's cherrypick of a
+    wap.id snapshot. Fences: the table's partition spec must be
+    unchanged since staging (the staged files' layout followed it),
+    and the head schema must still be satisfied by the staged schema
+    (additive evolution that landed meanwhile makes the stage stale —
+    re-stage). The staged metadata is consumed on success; do not race
+    publish_staged and drop_staged for the same id."""
+    st = _load_staged(path, staged_id)
+    head = current_version(path)
+    snap = _load_snapshot(path, head)
+    if (snap.get("partition_spec") or None) != (st.get("partition_spec") or None):
+        raise ConflictError(
+            f"snaptable {path}: partition spec changed since "
+            f"{staged_id!r} was staged — the staged files follow the "
+            "old layout; drop and re-stage"
+        )
+    from pyspark.sql.types import StructType
+
+    old = StructType.fromJson(json.loads(snap["schema"]))
+    staged_fields = {
+        f.name: f.dataType
+        for f in StructType.fromJson(json.loads(st["schema"])).fields
+    }
+    for f in old.fields:
+        if f.name not in staged_fields or staged_fields[f.name] != f.dataType:
+            raise ConflictError(
+                f"snaptable {path}: head schema evolved past staged "
+                f"{staged_id!r} (column {f.name!r}) — drop and re-stage"
+            )
+    entries = [dict(e) for e in st["entries"]]  # unstamped: seq = commit v
+    v = _commit(
+        path,
+        entries,
+        "append",
+        snap["stats_cols"],
+        st["schema"],
+        True,
+        extra={"wap_id": staged_id},
+        partition_spec=snap.get("partition_spec"),
+        partition_spec_history=snap.get("partition_spec_history"),
+    )
+    _unlink_quiet(_staged_path(path, staged_id))
+    return v
+
+
+def drop_staged(path: str, staged_id: str) -> int:
+    """Discard a staged snapshot: unlink its metadata FIRST (so a later
+    publish_staged finds nothing), then delete its data files — they
+    are referenced by no committed snapshot by construction. Returns
+    the number of data files removed."""
+    st = _load_staged(path, staged_id)
+    os.unlink(_staged_path(path, staged_id))
+    removed = 0
+    for e in st["entries"]:
+        p = os.path.join(path, e["path"])
+        if os.path.exists(p):
+            os.remove(p)
+            removed += 1
+    return removed
+
+
+def partitions_df(spark: SparkSession, path: str, snapshot_id: int | None = None):
+    """Per-partition file/row accounting — Iceberg's `table.partitions`
+    metadata table, the skew dashboard for a hidden-partitioned crawl
+    table (which buckets are hot, which day directories need
+    compact_small). Unpartitioned tables return one row with
+    partition='{}'. The partition tuple is emitted as a JSON string so
+    the schema is stable across specs and spec evolution."""
+    files, _ = _files_for(path, snapshot_id)
+    agg: dict[str, list[int]] = {}
+    for e in files:
+        key = json.dumps(e.get("partition") or {}, sort_keys=True)
+        a = agg.setdefault(key, [0, 0, 0])
+        a[0] += 1
+        a[1] += e["rows"]
+        try:
+            a[2] += os.path.getsize(os.path.join(path, e["path"]))
+        except OSError:
+            pass
+    return spark.createDataFrame(
+        [(k, v[0], v[1], v[2]) for k, v in sorted(agg.items())],
+        "partition string, file_count long, row_count long, bytes long",
     )

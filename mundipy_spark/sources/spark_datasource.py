@@ -197,12 +197,27 @@ def _apply_predicates(tbl, predicates: list[tuple]):
     return tbl
 
 
+def _snapshot_opt(options, path: str) -> int | None:
+    """Resolve the batch snapshot address: `snapshot_id` (int) or
+    `ref` (tag name, resolved ONCE here on the driver so the whole
+    read is pinned to one version even if the tag is dropped and
+    recreated mid-query)."""
+    snap = options.get("snapshot_id")
+    ref = options.get("ref")
+    if snap is not None and ref is not None:
+        raise ValueError("snaptable: pass snapshot_id OR ref, not both")
+    if ref is not None:
+        from mundipy_spark.sources import snaptable
+
+        return snaptable.resolve_ref(path, ref)
+    return int(snap) if snap is not None else None
+
+
 class SnaptableBatchReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         self._path = _table_path(options)
         self._schema = schema
-        snap = options.get("snapshot_id")
-        self._snapshot_id = int(snap) if snap is not None else None
+        self._snapshot_id = _snapshot_opt(options, self._path)
         self._predicates = _parse_predicates(options)
 
     def partitions(self) -> list[InputPartition]:
@@ -346,6 +361,7 @@ class SnaptableDataSource(DataSource):
     """format("snaptable"). Options:
     - path (or .load(path)): table root
     - snapshot_id (batch): time travel to a committed snapshot
+    - ref (batch): time travel to a TAG name (snaptable.tag)
     - predicates (batch): JSON [[col, op, value], ...] — manifest +
       partition pruning, re-applied row-wise (== snaptable.scan)
     - initial_snapshot (stream): 'earliest' (default) | 'latest' | int
@@ -360,9 +376,9 @@ class SnaptableDataSource(DataSource):
         from mundipy_spark.sources import snaptable
 
         path = _table_path(self.options)
-        snap_opt = self.options.get("snapshot_id")
+        snap_opt = _snapshot_opt(self.options, path)
         head = (
-            int(snap_opt)
+            snap_opt
             if snap_opt is not None
             else snaptable.current_version(path)
         )

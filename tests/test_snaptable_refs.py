@@ -1,0 +1,233 @@
+"""Named refs (tags) + write-audit-publish staging on the snapshot
+table (sources/snaptable.py): tag retention through expire, read by
+ref (library + format("snaptable")), staged-snapshot invisibility,
+audit view, cherry-pick publish over concurrent commits, and the
+publish fences (partition-spec / schema evolution since staging).
+
+Reference role: the north rule's Iceberg input table — tags and WAP
+are Iceberg's ref-retention and wap.id workflows, the collaboration
+surface a shared 10^12-doc crawl table needs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mundipy_spark.sources import snaptable
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mundipy_spark.session import get_spark
+
+    s = get_spark("snaptable-refs-tests", cpus=4, shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _docs(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("url-"), F.col("id")).alias("url"),
+    )
+
+
+def test_tag_pins_snapshot_through_expire(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 100), stats_cols=["doc_id"])
+    snaptable.append(spark, path, _docs(spark, 100, 200))  # v2
+    snaptable.append(spark, path, _docs(spark, 200, 300))  # v3
+    assert snaptable.tag(path, "release-1") == 3  # default: head
+    snaptable.tag(path, "genesis", snapshot_id=1)
+    snaptable.append(spark, path, _docs(spark, 300, 400))  # v4
+    assert snaptable.tags(path) == {"release-1": 3, "genesis": 1}
+
+    # expire everything below head: tagged v1 and v3 must survive,
+    # untagged v2 must be gone
+    snaptable.expire(path, keep_from=4)
+    assert snaptable.read(spark, path, ref="genesis").count() == 100
+    assert snaptable.read(spark, path, ref="release-1").count() == 300
+    with pytest.raises(Exception):
+        snaptable.read(spark, path, snapshot_id=2).count()
+    assert snaptable.read(spark, path).count() == 400
+
+    # drop the tag -> the pin is gone and expire reclaims it
+    snaptable.drop_tag(path, "genesis")
+    snaptable.expire(path, keep_from=4)
+    with pytest.raises(Exception):
+        snaptable.read(spark, path, snapshot_id=1).count()
+    # release-1 still pinned
+    assert snaptable.read(spark, path, ref="release-1").count() == 300
+
+
+def test_tag_is_immutable_and_validated(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 10), stats_cols=["doc_id"])
+    snaptable.tag(path, "r1")
+    with pytest.raises(ValueError, match="immutable"):
+        snaptable.tag(path, "r1")
+    with pytest.raises(ValueError, match="cannot tag"):
+        snaptable.tag(path, "r2", snapshot_id=99)
+    with pytest.raises(ValueError, match="ref name"):
+        snaptable.tag(path, "bad/name")
+    with pytest.raises(ValueError, match="unknown ref"):
+        snaptable.resolve_ref(path, "nope")
+    with pytest.raises(ValueError, match="no tag"):
+        snaptable.drop_tag(path, "nope")
+
+
+def test_format_reads_by_ref(spark, tmp_path):
+    from mundipy_spark.sources import spark_datasource
+
+    spark_datasource.register(spark)
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 50), stats_cols=["doc_id"])
+    snaptable.tag(path, "small")
+    snaptable.append(spark, path, _docs(spark, 50, 500))
+    got = (
+        spark.read.format("snaptable")
+        .option("path", path)
+        .option("ref", "small")
+        .load()
+    )
+    assert got.count() == 50
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("snaptable")
+            .option("path", path)
+            .option("ref", "small")
+            .option("snapshot_id", "1")
+            .load()
+            .count()
+        )
+
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 100), stats_cols=["doc_id"])
+    sid = snaptable.stage_append(
+        spark, path, _docs(spark, 100, 160), wap_id="wave-7"
+    )
+    assert sid == "wave-7"
+    # invisible to every committed read path
+    assert snaptable.current_version(path) == 1
+    assert snaptable.read(spark, path).count() == 100
+    assert snaptable.read_incremental(spark, path, since=0).count() == 100
+    st = snaptable.staged(path)
+    assert [s["id"] for s in st] == ["wave-7"] and st[0]["rows"] == 60
+    # audit view = head + stage, exactly what publish would produce
+    audit = snaptable.read_staged(spark, path, "wave-7")
+    assert audit.count() == 160
+    assert audit.agg(F.sum("doc_id")).first()[0] == sum(range(160))
+    v = snaptable.publish_staged(spark, path, "wave-7")
+    assert v == 2
+    assert snaptable.read(spark, path).count() == 160
+    assert snaptable._load_snapshot(path, v)["wap_id"] == "wave-7"
+    assert snaptable.staged(path) == []  # consumed
+    with pytest.raises(ValueError, match="no staged"):
+        snaptable.publish_staged(spark, path, "wave-7")
+    # duplicate wap_id is rejected at stage time
+    snaptable.stage_append(spark, path, _docs(spark, 160, 170), wap_id="w8")
+    with pytest.raises(ValueError, match="already exists"):
+        snaptable.stage_append(spark, path, _docs(spark, 170, 180), wap_id="w8")
+
+
+def test_wap_publish_cherry_picks_over_concurrent_commits(spark, tmp_path):
+    """Commits landing between stage and publish are preserved — the
+    staged entries re-apply on the new head (Iceberg cherrypick), and
+    an eq-delete landing meanwhile does NOT mask the staged rows
+    (their seq is the publish version, newer than the delete)."""
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 100), stats_cols=["doc_id"])
+    sid = snaptable.stage_append(spark, path, _docs(spark, 100, 150))
+    snaptable.append(spark, path, _docs(spark, 150, 200))  # v2, concurrent
+    # a takedown for a key that ALSO exists in the staged wave
+    snaptable.delete_keys(
+        spark, path, spark.createDataFrame([(120,), (5,)], "doc_id long")
+    )  # v3: deletes 5 from v1; 120 not yet visible
+    v = snaptable.publish_staged(spark, path, sid)
+    got = snaptable.read(spark, path)
+    # 100 base - 1 deleted (5) + 50 concurrent + 50 staged (120 kept:
+    # staged seq > delete seq)
+    assert got.count() == 199
+    assert got.filter(F.col("doc_id") == 120).count() == 1
+    assert got.filter(F.col("doc_id") == 5).count() == 0
+    assert snaptable._load_snapshot(path, v)["operation"] == "append"
+
+
+def test_wap_publish_fences_schema_and_spec_evolution(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 50), stats_cols=["doc_id"])
+    sid = snaptable.stage_append(spark, path, _docs(spark, 50, 60))
+    # additive evolution lands after staging: head gains a column the
+    # staged files lack -> publish must refuse (stale stage)
+    snaptable.append(
+        spark,
+        path,
+        _docs(spark, 60, 70).withColumn("lang", F.lit("en")),
+    )
+    with pytest.raises(snaptable.ConflictError, match="evolved past"):
+        snaptable.publish_staged(spark, path, sid)
+    snaptable.drop_staged(path, sid)
+
+    # partition-spec evolution after staging -> publish must refuse
+    sid2 = snaptable.stage_append(
+        spark, path, _docs(spark, 70, 80).withColumn("lang", F.lit("fr"))
+    )
+    snaptable.evolve_partition_by(path, ["bucket(4, doc_id)"])
+    with pytest.raises(snaptable.ConflictError, match="partition spec"):
+        snaptable.publish_staged(spark, path, sid2)
+
+
+def test_drop_staged_reclaims_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 50), stats_cols=["doc_id"])
+    sid = snaptable.stage_append(spark, path, _docs(spark, 50, 90).coalesce(2))
+    entries = snaptable._load_staged(path, sid)["entries"]
+    assert all(os.path.exists(os.path.join(path, e["path"])) for e in entries)
+    removed = snaptable.drop_staged(path, sid)
+    assert removed == len(entries) >= 2
+    assert not any(
+        os.path.exists(os.path.join(path, e["path"])) for e in entries
+    )
+    with pytest.raises(ValueError, match="no staged"):
+        snaptable.publish_staged(spark, path, sid)
+    # table untouched
+    assert snaptable.read(spark, path).count() == 50
+
+
+def test_expire_leaves_staged_files_alone(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 50), stats_cols=["doc_id"])
+    sid = snaptable.stage_append(spark, path, _docs(spark, 50, 70))
+    snaptable.append(spark, path, _docs(spark, 70, 90))
+    snaptable.expire(path, keep_from=2)
+    # the stage is still fully publishable after the expire
+    v = snaptable.publish_staged(spark, path, sid)
+    assert snaptable.read(spark, path, snapshot_id=v).count() == 90
+
+
+def test_partitions_df_accounting(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+    )
+    snaptable.create(
+        spark, path, df, stats_cols=["doc_id"],
+        partition_by=["bucket(4, doc_id)"],
+    )
+    parts = snaptable.partitions_df(spark, path).collect()
+    assert len(parts) == 4
+    assert sum(r["row_count"] for r in parts) == 400
+    assert all(r["file_count"] >= 1 and r["bytes"] > 0 for r in parts)
+
+    # unpartitioned: one '{}' row
+    path2 = str(tmp_path / "t2")
+    snaptable.create(spark, path2, df, stats_cols=["doc_id"])
+    parts2 = snaptable.partitions_df(spark, path2).collect()
+    assert len(parts2) == 1 and parts2[0]["partition"] == "{}"
+    assert parts2[0]["row_count"] == 400
