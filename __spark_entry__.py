@@ -1414,6 +1414,65 @@ def q_snap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snap_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tags + write-audit-publish on the snapshot table
+    (sources/snaptable.py tag/stage_append/publish_staged — Iceberg's
+    ref-retention and wap.id workflows): documents land as snapshot 1
+    and are TAGGED 'base'; a crawl wave (+1M ids, source 'wave') is
+    STAGED outside the lineage; a concurrent append (+2M ids) and an
+    equality-delete takedown (base multiples of 5, plus the staged id
+    1_000_010) land meanwhile; the stage then publishes by cherry-pick.
+    The head must keep the concurrent rows, apply the takedown to the
+    pre-delete files only, and keep EVERY staged row (their sequence is
+    the publish version, newer than the delete) — including 1_000_010.
+    expire() then reclaims everything below head except the tagged
+    snapshot, and the result unions the head with the tag-addressed
+    read (the ORIGINAL base, deletes not yet committed at v1). The
+    DuckDB twin computes all four branches directly, so a publish that
+    drops concurrent commits, a delete that masks staged rows, or an
+    expire that breaks the tag pin all break value-exactness."""
+    from mundipy_spark.sources import snaptable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.length("text").alias("text_len")
+    )
+    path = _tmp_table_dir("snaptable_w_")
+    snaptable.create(
+        spark, path, docs.repartitionByRange(4, "doc_id"), stats_cols=["doc_id"]
+    )
+    snaptable.tag(path, "base")
+    wave = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.lit("wave").alias("source"),
+        "text_len",
+    )
+    sid = snaptable.stage_append(spark, path, wave)
+    snaptable.append(
+        spark,
+        path,
+        docs.select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.lit("concurrent").alias("source"),
+            "text_len",
+        ),
+    )
+    keys = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+        .unionByName(spark.createDataFrame([(1_000_010,)], "doc_id long"))
+    )
+    snaptable.delete_keys(spark, path, keys)
+    v = snaptable.publish_staged(spark, path, sid)
+    snaptable.expire(path, keep_from=v)
+    head = snaptable.read(spark, path).select(
+        F.lit("head").alias("part"), "doc_id", "source", "text_len"
+    )
+    tagged = snaptable.read(spark, path, ref="base").select(
+        F.lit("tagged").alias("part"), "doc_id", "source", "text_len"
+    )
+    return head.unionByName(tagged)
+
+
 def q_snap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write MERGE into the snapshot table
     (sources/snaptable.py merge_into — Iceberg's MERGE INTO role, the
@@ -1602,9 +1661,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     appeared in a driver CORRECTNESS file, then (c) round-3-verified
     entries with this round's code changes first. The tail beyond 50
     (earliest operators, value-exact in r01+r02+r03) rotates out; all
-    72 remain covered by tools/check_oracle.py and pytest."""
+    74 remain covered by tools/check_oracle.py and pytest."""
     return {
         # (a) never / newly oracle-checked
+        "snap_wap": q_snap_wap,
         "snap_reader": q_snap_reader,
         "snap_cdc": q_snap_cdc,
         "snap_mor": q_snap_mor,
@@ -1656,8 +1716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crs_ingest": q_crs_ingest,
         "tpch_q5": q_tpch_q5,
         "tpch_q3": q_tpch_q3,
-        "tpch_q1": q_tpch_q1,
         # --- driver window boundary: exactly 50 entries above ---
+        "tpch_q1": q_tpch_q1,
         "gazetteer": q_gazetteer,
         "sessions": q_sessions,
         "events_hourly": q_events_hourly,
@@ -1741,6 +1801,21 @@ UNION ALL
 SELECT doc_id, 'recrawl' AS source, length(text) + 5 AS text_len,
        'insert' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
 FROM documents WHERE doc_id % 14 = 2
+""",
+        "snap_wap": """
+WITH base AS (
+  SELECT doc_id, source, length(text) AS text_len FROM documents
+)
+SELECT 'head' AS part, doc_id, source, text_len
+FROM base WHERE doc_id % 5 <> 0
+UNION ALL
+SELECT 'head' AS part, doc_id + 2000000 AS doc_id,
+       'concurrent' AS source, text_len FROM base
+UNION ALL
+SELECT 'head' AS part, doc_id + 1000000 AS doc_id,
+       'wave' AS source, text_len FROM base
+UNION ALL
+SELECT 'tagged' AS part, doc_id, source, text_len FROM base
 """,
         "snap_mor": """
 SELECT doc_id, source, length(text) AS text_len
