@@ -121,14 +121,21 @@ def _load_manifest(path: str, version: int) -> list[dict]:
 
 def _collect_file_stats(
     spark: SparkSession,
-    data_dir: str,
+    data_dir: str | list[str],
     stats_cols: list[str],
     spec: list[dict] | None = None,
 ) -> list[dict]:
     """Per-file (rows, min/max, null_count per stats col; partition
     tuple when a spec is set) in ONE distributed job — the writer-side
     stats pass an Iceberg writer does inline. Missing/all-null columns
-    record null bounds (never pruned)."""
+    record null bounds (never pruned). `data_dir` may be an explicit
+    file list (the add_files adoption path: files live OUTSIDE the
+    table directory and their entry paths stay absolute)."""
+    if isinstance(data_dir, (list, tuple)):
+        if not data_dir:
+            return []
+        df = spark.read.parquet(*data_dir)
+        return _stats_rows_to_entries(df, stats_cols, spec, relativize=False)
     # a partitionBy write of ZERO rows creates no part files at all
     # (unlike a plain write's empty part) — nothing to record, and the
     # schema-inferring read below would fail on the bare directory
@@ -139,6 +146,15 @@ def _collect_file_stats(
     ):
         return []
     df = spark.read.parquet(data_dir)
+    return _stats_rows_to_entries(df, stats_cols, spec, relativize=True)
+
+
+def _stats_rows_to_entries(
+    df: DataFrame,
+    stats_cols: list[str],
+    spec: list[dict] | None,
+    relativize: bool,
+) -> list[dict]:
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in stats_cols:
         aggs += [
@@ -179,13 +195,23 @@ def _collect_file_stats(
         # hive itself escapes ':' into) round-trips wrong unless
         # decoded back to the on-disk name exactly once
         fname = urllib.parse.unquote(d["_file"])
-        # store table-relative paths so the table directory is movable;
-        # rfind: the table's own data dir is always the LAST /data/
-        # segment (subdirs under it are uuid hex), so a table rooted at
-        # e.g. /home/user/data/tbl relativizes correctly
-        idx = fname.rfind(f"/{_DATA}/")
+        if relativize:
+            # store table-relative paths so the table directory is
+            # movable; rfind: the table's own data dir is always the
+            # LAST /data/ segment (subdirs under it are uuid hex), so a
+            # table rooted at e.g. /home/user/data/tbl relativizes right
+            idx = fname.rfind(f"/{_DATA}/")
+            rel = fname[idx + 1 :] if idx >= 0 else fname
+        else:
+            # adopted external file: stays absolute (os.path.join with
+            # an absolute second arg returns it verbatim, so every read
+            # path resolves it unchanged); strip the file: scheme and
+            # normalize the URI's slash run to a single root slash
+            rel = fname
+            if rel.startswith("file:"):
+                rel = "/" + rel[5:].lstrip("/")
         entry = {
-            "path": fname[idx + 1 :] if idx >= 0 else fname,
+            "path": rel,
             "rows": int(d["_rows"]),
             "stats": stats,
         }
@@ -1966,3 +1992,135 @@ def partitions_df(spark: SparkSession, path: str, snapshot_id: int | None = None
         [(k, v[0], v[1], v[2]) for k, v in sorted(agg.items())],
         "partition string, file_count long, row_count long, bytes long",
     )
+
+
+# ---------------------------------------------------------------------------
+# table maintenance: in-place adoption + orphan-file GC
+
+
+def add_files(
+    spark: SparkSession,
+    path: str,
+    files: str | list[str],
+    extra: dict | None = None,
+) -> int:
+    """Adopt EXISTING parquet files into the table IN PLACE — Iceberg's
+    add_files / migrate. A 100 TB corpus already sitting in parquet
+    must not be rewritten to become a table: this registers the files
+    where they are (absolute paths in the manifest), paying ONE
+    distributed stats job and a metadata commit. `files` is a list of
+    parquet file paths or a directory (recursed). Semantics:
+
+    - The files' schema must match the table schema EXACTLY by name and
+      type (extra or missing columns raise — adopting mis-shaped files
+      would corrupt every read; evolve the table first, or fix the
+      files).
+    - Adopted entries carry no partition tuple, so hidden-partition
+      pruning never drops them (conservative; stats pruning still
+      applies). A later compact() rewrites them into the table's own
+      layout.
+    - Once adopted the table OWNS the files: expire() deletes them like
+      any other data file when their snapshots age out (Iceberg's
+      behavior for imported files). remove_orphans() never touches them
+      (it only walks the table's own data directory).
+    - Re-adopting a path already in the current manifest raises —
+      double-counted rows forever would be silent corruption."""
+    head = current_version(path)
+    if head == 0:
+        raise ValueError(f"snaptable {path}: add_files to missing table")
+    if isinstance(files, str):
+        root = files
+        files = sorted(
+            os.path.join(dirpath, n)
+            for dirpath, _, names in os.walk(root)
+            for n in names
+            if n.endswith(".parquet")
+        )
+        if not files:
+            raise ValueError(f"snaptable add_files: no parquet under {root}")
+    files = [os.path.abspath(f) for f in files]
+    for f in files:
+        if not os.path.isfile(f):
+            raise ValueError(f"snaptable add_files: {f} is not a file")
+    snap = _load_snapshot(path, head)
+    from pyspark.sql.types import StructType
+
+    table_schema = StructType.fromJson(json.loads(snap["schema"]))
+    incoming = {
+        f.name: f.dataType for f in spark.read.parquet(*files).schema.fields
+    }
+    want = {f.name: f.dataType for f in table_schema.fields}
+    if set(incoming) != set(want) or any(
+        incoming[n] != want[n] for n in want
+    ):
+        raise ValueError(
+            f"snaptable add_files: file schema {sorted(incoming)} does "
+            f"not match table schema {sorted(want)} exactly (by name "
+            "and type) — adopt-in-place cannot reshape files"
+        )
+    existing = {e["path"] for e in _load_manifest(path, head)}
+    dup = [f for f in files if f in existing]
+    if dup:
+        raise ValueError(
+            f"snaptable add_files: already in the table: {dup[:3]}"
+            + ("..." if len(dup) > 3 else "")
+        )
+    entries = _collect_file_stats(spark, files, snap["stats_cols"])
+    return _commit(
+        path,
+        entries,
+        "append",
+        snap["stats_cols"],
+        snap["schema"],
+        True,
+        extra={**(extra or {}), "adopted_files": len(entries)},
+        partition_spec=snap.get("partition_spec"),
+        partition_spec_history=snap.get("partition_spec_history"),
+    )
+
+
+def remove_orphans(path: str, older_than_s: float = 86400.0) -> dict:
+    """Delete files under the table's own data directory that NO live
+    snapshot, delete list, or staged (WAP) snapshot references —
+    Iceberg's remove_orphan_files. Crashed or race-losing writers leave
+    data files that were never committed: invisible to every reader,
+    but never reclaimed by expire() (which only follows manifests).
+    The min-age guard (default 24 h) protects in-flight writers that
+    have written data but not yet committed — the same rule Iceberg
+    applies. Returns deletion accounting."""
+    head = current_version(path)
+    referenced: set[str] = set()
+    for v in range(1, head + 1):
+        if not os.path.exists(_snap_path(path, v)):
+            continue
+        referenced |= {e["path"] for e in _load_manifest(path, v)}
+        referenced |= {
+            d["path"]
+            for d in _load_snapshot(path, v).get("delete_files") or []
+        }
+    for s in staged(path):
+        referenced |= {
+            e["path"] for e in _load_staged(path, s["id"])["entries"]
+        }
+    data_root = os.path.join(path, _DATA)
+    removed = 0
+    now = time.time()
+    if os.path.isdir(data_root):
+        for dirpath, _, names in os.walk(data_root, topdown=False):
+            for n in names:
+                full = os.path.join(dirpath, n)
+                rel = os.path.relpath(full, path)
+                if rel in referenced:
+                    continue
+                try:
+                    if now - os.path.getmtime(full) > older_than_s:
+                        os.remove(full)
+                        removed += 1
+                except FileNotFoundError:
+                    pass
+            try:  # reap directories the removals emptied
+                if dirpath != data_root and not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+            except OSError:
+                pass
+    return {"removed_orphans": removed, "referenced": len(referenced)}

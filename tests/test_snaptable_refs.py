@@ -231,3 +231,108 @@ def test_partitions_df_accounting(spark, tmp_path):
     parts2 = snaptable.partitions_df(spark, path2).collect()
     assert len(parts2) == 1 and parts2[0]["partition"] == "{}"
     assert parts2[0]["row_count"] == 400
+
+
+def test_add_files_adopts_in_place(spark, tmp_path):
+    """External parquet joins the table with no rewrite: manifest
+    entries point at the original absolute paths, stats pruning works
+    on them, MOR deletes apply to them, and re-adoption is rejected."""
+    ext = str(tmp_path / "external")
+    _docs(spark, 1000, 1400).repartitionByRange(4, "doc_id").write.parquet(ext)
+    path = str(tmp_path / "t")
+    snaptable.create(
+        spark,
+        path,
+        _docs(spark, 0, 100).repartitionByRange(2, "doc_id"),
+        stats_cols=["doc_id"],
+    )
+    v = snaptable.add_files(spark, path, ext)
+    got = snaptable.read(spark, path)
+    assert got.count() == 500
+    assert got.agg(F.sum("doc_id")).first()[0] == sum(range(100)) + sum(
+        range(1000, 1400)
+    )
+    # files were NOT copied: entries reference the external dir
+    adopted = [
+        e
+        for e in snaptable._load_manifest(path, v)
+        if e["path"].startswith(ext)
+    ]
+    assert len(adopted) == 4
+    assert snaptable._load_snapshot(path, v)["adopted_files"] == 4
+    # stats pruning drops range-disjoint adopted files
+    plan = snaptable.plan_scan(path, [("doc_id", ">=", 1300)])
+    assert plan["files_kept"] < plan["files_total"]
+    assert (
+        snaptable.scan(spark, path, [("doc_id", ">=", 1300)]).count() == 100
+    )
+    # MOR delete reaches adopted rows
+    snaptable.delete_keys(
+        spark, path, spark.createDataFrame([(1005,)], "doc_id long")
+    )
+    assert snaptable.read(spark, path).count() == 499
+    # double adoption would double-count: rejected
+    with pytest.raises(ValueError, match="already in the table"):
+        snaptable.add_files(spark, path, ext)
+
+
+def test_add_files_schema_must_match_exactly(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 50), stats_cols=["doc_id"])
+    extra = str(tmp_path / "extra")
+    _docs(spark, 100, 150).withColumn("lang", F.lit("en")).write.parquet(extra)
+    with pytest.raises(ValueError, match="does not match table schema"):
+        snaptable.add_files(spark, path, extra)
+    missing = str(tmp_path / "missing")
+    _docs(spark, 100, 150).drop("url").write.parquet(missing)
+    with pytest.raises(ValueError, match="does not match table schema"):
+        snaptable.add_files(spark, path, missing)
+    retyped = str(tmp_path / "retyped")
+    _docs(spark, 100, 150).withColumn(
+        "doc_id", F.col("doc_id").cast("int")
+    ).write.parquet(retyped)
+    with pytest.raises(ValueError, match="does not match table schema"):
+        snaptable.add_files(spark, path, retyped)
+    with pytest.raises(ValueError, match="no parquet"):
+        snaptable.add_files(spark, path, str(tmp_path / "empty-nowhere"))
+
+
+def test_remove_orphans_reclaims_uncommitted_only(spark, tmp_path):
+    """Simulated crashed writer (data written, never committed): the
+    orphan sweep deletes exactly those files — committed data, the
+    outstanding delete file, and staged (WAP) files all survive, and
+    the table reads identically afterward."""
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 100), stats_cols=["doc_id"])
+    snaptable.delete_keys(
+        spark, path, spark.createDataFrame([(7,)], "doc_id long")
+    )
+    sid = snaptable.stage_append(spark, path, _docs(spark, 100, 120))
+    # crashed writer: _write_data without a commit
+    orphan_dir = snaptable._write_data(_docs(spark, 500, 600), path)
+    orphans = [
+        os.path.join(dp, n)
+        for dp, _, ns in os.walk(orphan_dir)
+        for n in ns
+        if n.endswith(".parquet")
+    ]
+    assert orphans
+    before = snaptable.read(spark, path).agg(
+        F.count("*"), F.sum("doc_id")
+    ).first()
+
+    # min-age guard: a fresh sweep removes nothing
+    res = snaptable.remove_orphans(path)  # default 24h
+    assert res["removed_orphans"] == 0
+    res = snaptable.remove_orphans(path, older_than_s=0.0)
+    assert res["removed_orphans"] >= len(orphans)
+    assert not any(os.path.exists(f) for f in orphans)
+    assert not os.path.exists(orphan_dir)  # emptied dir reaped
+
+    after = snaptable.read(spark, path).agg(
+        F.count("*"), F.sum("doc_id")
+    ).first()
+    assert tuple(before) == tuple(after)
+    # the staged wave is still intact and publishable
+    v = snaptable.publish_staged(spark, path, sid)
+    assert snaptable.read(spark, path, snapshot_id=v).count() == 119
