@@ -1055,26 +1055,53 @@ def compact_small(
     two small files exist."""
     files, snap = _files_for(path, None)
     small_bytes = int(small_mb * 1024 * 1024)
-    small, kept = [], []
+    small, kept, total = [], [], 0
     for e in files:
         try:
             sz = os.path.getsize(os.path.join(path, e["path"]))
         except OSError:
             sz = small_bytes  # unstatable: treat as big, never rewrite
-        (small if sz < small_bytes else kept).append(e)
-    if len(small) < 2:
+        if sz < small_bytes:
+            small.append(e)
+            total += sz
+        else:
+            kept.append(e)
+    spec = snap.get("partition_spec")
+    n_out = max(1, -(-total // int(target_mb * 1024 * 1024)))
+    # CONVERGENCE floor: hive layout writes >= one file per partition
+    # tuple, so the best possible output count is the number of
+    # distinct tuples among the small files (or n_out when
+    # unpartitioned). If the rewrite cannot strictly reduce the file
+    # count — e.g. a bucket(16) tail already at one tiny file per
+    # bucket — committing would churn the same bytes every night
+    # without progress: no-op instead.
+    if spec:
+        floor = len(
+            {
+                json.dumps(e.get("partition") or {}, sort_keys=True)
+                for e in small
+            }
+        )
+    else:
+        floor = n_out
+    if len(small) <= max(floor, 1):
         return snap["version"]  # nothing worth merging: no-op
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(snap["schema"]))
     dels = snap.get("delete_files") or []
     df = _read_with_deletes(spark, path, small, schema, dels)
-    total = sum(
-        os.path.getsize(os.path.join(path, e["path"])) for e in small
-    )
-    n_out = max(1, -(-total // int(target_mb * 1024 * 1024)))
-    spec = snap.get("partition_spec")
-    sub = _write_data(df.repartition(n_out), path, spec)
+    if spec:
+        # co-locate each partition tuple in one task: a round-robin
+        # repartition before partitionBy writes ~n_out files PER tuple
+        # (re-fragmenting the tail it is merging); hashing on the
+        # transform expressions writes one file per tuple per task
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        exprs = [_transform_expr(f, types[f["source"]]) for f in spec]
+        df = df.repartition(n_out, *exprs)
+    else:
+        df = df.repartition(n_out)
+    sub = _write_data(df, path, spec)
     new_entries = _collect_file_stats(spark, sub, snap["stats_cols"], spec)
     for e in kept:
         # see delete_where: carried legacy (pre-seq) entries keep seq 0,
@@ -1402,10 +1429,8 @@ def expire(path: str, keep_from: int) -> dict:
     keep_versions = set(range(keep_from, head + 1))
     keep_versions |= {v for v in tags(path).values() if 1 <= v <= head}
     live: set[str] = set()
-    for s in staged(path):
-        live |= {
-            e["path"] for e in _load_staged(path, s["id"])["entries"]
-        }
+    for s in _staged_full(path):
+        live |= {e["path"] for e in s["entries"]}
     for v in sorted(keep_versions):
         if os.path.exists(_snap_path(path, v)):
             live |= {e["path"] for e in _load_manifest(path, v)}
@@ -1783,8 +1808,11 @@ def tags(path: str) -> dict[str, int]:
         return out
     for fname in os.listdir(meta):
         if fname.startswith("tag-") and fname.endswith(".json"):
-            with open(os.path.join(meta, fname)) as f:
-                t = json.load(f)
+            try:
+                with open(os.path.join(meta, fname)) as f:
+                    t = json.load(f)
+            except FileNotFoundError:
+                continue  # concurrently dropped between listdir and open
             out[t["name"]] = t["at"]
     return out
 
@@ -1864,26 +1892,36 @@ def stage_append(
     return staged_id
 
 
-def staged(path: str) -> list[dict]:
-    """All staged (unpublished) snapshots, metadata only."""
+def _staged_full(path: str) -> list[dict]:
+    """Every staged snapshot's FULL metadata (entries included), read
+    once per file; a stage published or dropped between listdir and
+    open is simply skipped."""
     meta = _meta_dir(path)
     out = []
     if not os.path.isdir(meta):
         return out
     for fname in sorted(os.listdir(meta)):
         if fname.startswith("staged-") and fname.endswith(".json"):
-            with open(os.path.join(meta, fname)) as f:
-                s = json.load(f)
-            out.append(
-                {
-                    "id": s["id"],
-                    "based_on": s["based_on"],
-                    "files": len(s["entries"]),
-                    "rows": sum(e["rows"] for e in s["entries"]),
-                    "created_at": s["created_at"],
-                }
-            )
+            try:
+                with open(os.path.join(meta, fname)) as f:
+                    out.append(json.load(f))
+            except FileNotFoundError:
+                continue
     return out
+
+
+def staged(path: str) -> list[dict]:
+    """All staged (unpublished) snapshots, metadata only."""
+    return [
+        {
+            "id": s["id"],
+            "based_on": s["based_on"],
+            "files": len(s["entries"]),
+            "rows": sum(e["rows"] for e in s["entries"]),
+            "created_at": s["created_at"],
+        }
+        for s in _staged_full(path)
+    ]
 
 
 def read_staged(
@@ -1915,9 +1953,23 @@ def publish_staged(spark: SparkSession, path: str, staged_id: str) -> int:
     and the head schema must still be satisfied by the staged schema
     (additive evolution that landed meanwhile makes the stage stale —
     re-stage). The staged metadata is consumed on success; do not race
-    publish_staged and drop_staged for the same id."""
+    publish_staged and drop_staged for the same id.
+
+    Crash-safe and retryable: every publish records its wap_id in the
+    snapshot, so a retry after a crash between the commit and the
+    metadata unlink finds the already-published snapshot, finishes the
+    cleanup, and returns its version instead of appending the wave a
+    second time (Iceberg refuses a second cherrypick of one wap.id).
+    A commit landing DURING the publish fails the require_parent fence
+    (the spec/schema fences were judged against the pre-commit head;
+    retrying blindly could publish under a reverted spec/schema) —
+    re-run publish_staged and it re-fences against the new head."""
     st = _load_staged(path, staged_id)
     head = current_version(path)
+    for s in snapshots(path):
+        if s.get("wap_id") == staged_id:
+            _unlink_quiet(_staged_path(path, staged_id))
+            return s["version"]
     snap = _load_snapshot(path, head)
     if (snap.get("partition_spec") or None) != (st.get("partition_spec") or None):
         raise ConflictError(
@@ -1946,6 +1998,7 @@ def publish_staged(spark: SparkSession, path: str, staged_id: str) -> int:
         snap["stats_cols"],
         st["schema"],
         True,
+        require_parent=head,
         extra={"wap_id": staged_id},
         partition_spec=snap.get("partition_spec"),
         partition_spec_history=snap.get("partition_spec_history"),
@@ -2039,15 +2092,42 @@ def add_files(
         if not files:
             raise ValueError(f"snaptable add_files: no parquet under {root}")
     files = [os.path.abspath(f) for f in files]
+    table_root = os.path.abspath(path) + os.sep
     for f in files:
         if not os.path.isfile(f):
             raise ValueError(f"snaptable add_files: {f} is not a file")
+        if f.startswith(table_root):
+            # the table already OWNS everything under its root: either
+            # the file is committed (adopting it would double-count —
+            # manifest paths are table-relative, so a path check alone
+            # cannot prove otherwise) or it is an orphan that
+            # remove_orphans() would later delete out from under the
+            # manifest's absolute alias
+            raise ValueError(
+                f"snaptable add_files: {f} is inside the table "
+                "directory — adopt only external files"
+            )
     snap = _load_snapshot(path, head)
     from pyspark.sql.types import StructType
 
+    # per-file footer check: spark.read.parquet infers from a sampled
+    # footer, so one mis-typed file in the set could slip past a
+    # whole-set comparison and corrupt reads later. O(files) driver-side
+    # footer reads — the cost Iceberg's add_files pays too.
+    import pyarrow.parquet as pq
+
+    first = pq.read_schema(files[0])
+    for f in files[1:]:
+        if not pq.read_schema(f).equals(first):
+            raise ValueError(
+                f"snaptable add_files: {f} schema differs from "
+                f"{files[0]} — all adopted files must be identically "
+                "typed"
+            )
     table_schema = StructType.fromJson(json.loads(snap["schema"]))
     incoming = {
-        f.name: f.dataType for f in spark.read.parquet(*files).schema.fields
+        f.name: f.dataType
+        for f in spark.read.parquet(files[0]).schema.fields
     }
     want = {f.name: f.dataType for f in table_schema.fields}
     if set(incoming) != set(want) or any(
@@ -2058,7 +2138,10 @@ def add_files(
             f"not match table schema {sorted(want)} exactly (by name "
             "and type) — adopt-in-place cannot reshape files"
         )
-    existing = {e["path"] for e in _load_manifest(path, head)}
+    existing = {
+        os.path.abspath(os.path.join(path, e["path"]))
+        for e in _load_manifest(path, head)
+    }
     dup = [f for f in files if f in existing]
     if dup:
         raise ValueError(
@@ -2073,6 +2156,11 @@ def add_files(
         snap["stats_cols"],
         snap["schema"],
         True,
+        # require_parent: the duplicate check above judged THIS head's
+        # manifest; racing adopters of the same files would otherwise
+        # both pass it and double-count every row (re-plan and retry,
+        # like every other plan-validated commit)
+        require_parent=head,
         extra={**(extra or {}), "adopted_files": len(entries)},
         partition_spec=snap.get("partition_spec"),
         partition_spec_history=snap.get("partition_spec_history"),
@@ -2098,10 +2186,8 @@ def remove_orphans(path: str, older_than_s: float = 86400.0) -> dict:
             d["path"]
             for d in _load_snapshot(path, v).get("delete_files") or []
         }
-    for s in staged(path):
-        referenced |= {
-            e["path"] for e in _load_staged(path, s["id"])["entries"]
-        }
+    for s in _staged_full(path):
+        referenced |= {e["path"] for e in s["entries"]}
     data_root = os.path.join(path, _DATA)
     removed = 0
     now = time.time()

@@ -214,10 +214,18 @@ def _snapshot_opt(options, path: str) -> int | None:
 
 
 class SnaptableBatchReader(DataSourceReader):
-    def __init__(self, options, schema: StructType):
+    def __init__(self, options, schema: StructType, snapshot_id=None):
         self._path = _table_path(options)
         self._schema = schema
-        self._snapshot_id = _snapshot_opt(options, self._path)
+        # a tag-addressed read is resolved ONCE (in schema(), which
+        # Spark calls before reader()) and the pinned version passed
+        # down — re-resolving here could read a different snapshot
+        # than the schema came from if the tag moved in between
+        self._snapshot_id = (
+            snapshot_id
+            if snapshot_id is not None
+            else _snapshot_opt(options, self._path)
+        )
         self._predicates = _parse_predicates(options)
 
     def partitions(self) -> list[InputPartition]:
@@ -377,6 +385,7 @@ class SnaptableDataSource(DataSource):
 
         path = _table_path(self.options)
         snap_opt = _snapshot_opt(self.options, path)
+        self._pinned_snapshot = snap_opt  # reused by reader()
         head = (
             snap_opt
             if snap_opt is not None
@@ -399,7 +408,9 @@ class SnaptableDataSource(DataSource):
         )
 
     def reader(self, schema: StructType) -> SnaptableBatchReader:
-        return SnaptableBatchReader(self.options, schema)
+        return SnaptableBatchReader(
+            self.options, schema, getattr(self, "_pinned_snapshot", None)
+        )
 
     def streamReader(self, schema: StructType) -> SnaptableStreamReader:
         return SnaptableStreamReader(self.options, schema)

@@ -336,3 +336,98 @@ def test_remove_orphans_reclaims_uncommitted_only(spark, tmp_path):
     # the staged wave is still intact and publishable
     v = snaptable.publish_staged(spark, path, sid)
     assert snaptable.read(spark, path, snapshot_id=v).count() == 119
+
+
+def test_add_files_rejects_table_owned_paths(spark, tmp_path):
+    """Adopting files under the table's own root would double-count
+    committed rows (manifest paths are relative; an absolute alias
+    dodges any path-equality guard) or hand remove_orphans a live file
+    it would later delete — both rejected outright."""
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 100), stats_cols=["doc_id"])
+    own = [
+        os.path.join(dp, n)
+        for dp, _, ns in os.walk(os.path.join(path, "data"))
+        for n in ns
+        if n.endswith(".parquet")
+    ]
+    assert own
+    with pytest.raises(ValueError, match="inside the table"):
+        snaptable.add_files(spark, path, own)
+    with pytest.raises(ValueError, match="inside the table"):
+        snaptable.add_files(spark, path, os.path.join(path, "data"))
+
+
+def test_add_files_rejects_mixed_file_schemas(spark, tmp_path):
+    """One mis-typed file among many must fail the adoption even when
+    whole-set inference would sample a well-typed footer."""
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 10), stats_cols=["doc_id"])
+    good = str(tmp_path / "good")
+    _docs(spark, 100, 120).coalesce(1).write.parquet(good)
+    bad = str(tmp_path / "bad")
+    _docs(spark, 200, 220).withColumn(
+        "doc_id", F.col("doc_id").cast("int")
+    ).coalesce(1).write.parquet(bad)
+    mixed = sorted(
+        os.path.join(dp, n)
+        for d in (good, bad)
+        for dp, _, ns in os.walk(d)
+        for n in ns
+        if n.endswith(".parquet")
+    )
+    with pytest.raises(ValueError, match="schema differs"):
+        snaptable.add_files(spark, path, mixed)
+
+
+def test_publish_staged_retry_after_crash_is_idempotent(spark, tmp_path):
+    """Crash between the cherry-pick commit and the staged-metadata
+    unlink: the retry must find the recorded wap_id and return the
+    already-published version instead of appending the wave twice."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 100), stats_cols=["doc_id"])
+    sid = snaptable.stage_append(spark, path, _docs(spark, 100, 150))
+    staged_file = snaptable._staged_path(path, sid)
+    crash_copy = staged_file + ".crashcopy"
+    shutil.copy(staged_file, crash_copy)
+    v = snaptable.publish_staged(spark, path, sid)
+    # simulate the crash: the staged metadata survived the commit
+    os.link(crash_copy, staged_file)
+    v2 = snaptable.publish_staged(spark, path, sid)
+    assert v2 == v
+    assert snaptable.current_version(path) == v
+    assert snaptable.read(spark, path).count() == 150  # not 200
+    assert snaptable.staged(path) == []  # retry finished the cleanup
+
+
+def test_compact_small_partitioned_converges(spark, tmp_path):
+    """On a hidden-partitioned table the rewrite must merge the tail
+    toward one file per partition tuple (not fan out to n_out x tuples)
+    and must NO-OP once the tail is at the per-tuple floor — otherwise
+    nightly maintenance rewrites the same bytes forever."""
+    path = str(tmp_path / "t")
+    snaptable.create(
+        spark,
+        path,
+        _docs(spark, 0, 100).coalesce(1),
+        stats_cols=["doc_id"],
+        partition_by=["bucket(4, doc_id)"],
+    )
+    for i in range(3):  # micro-batch tail: 3 commits x 4 buckets
+        snaptable.append(
+            spark,
+            path,
+            _docs(spark, 100 + i * 20, 120 + i * 20).coalesce(1),
+        )
+    before = snaptable._load_manifest(path, snaptable.current_version(path))
+    v = snaptable.compact_small(spark, path, small_mb=1.0, target_mb=64.0)
+    after = snaptable._load_manifest(path, v)
+    assert len(after) == 4  # one file per bucket
+    assert len(after) < len(before)
+    got = snaptable.read(spark, path)
+    assert got.count() == 160
+    assert got.agg(F.sum("doc_id")).first()[0] == sum(range(160))
+    # at the per-tuple floor: no-op, no churn
+    assert snaptable.compact_small(spark, path, small_mb=1.0) == v
