@@ -274,13 +274,44 @@ class SnaptableStreamReader(DataSourceStreamReader):
     documented streaming-skip-overwrite-snapshots semantics);
     `skip_deletes=true` crosses eq-delete snapshots (retractions are
     not expressible in an append stream; downstream sees rows that
-    were later taken down, exactly like Iceberg)."""
+    were later taken down, exactly like Iceberg).
+
+    `max_versions_per_batch=N` rate-limits micro-batches (Iceberg's
+    streaming max-files admission control): a backfill from
+    'earliest' on a 10^6-snapshot table must not plan ONE batch
+    containing the whole table. The Python source API has no
+    admission-control hook — latestOffset never sees the committed
+    offset, and the JVM calls it BEFORE initialOffset even on a fresh
+    query (measured) — so the cap needs a durable base: pass
+    `stream_id` (unique per checkpoint, the sink_id twin) and the
+    reader persists its planning high-water mark in the table's
+    metadata (streamhw-{id}.json, atomic replace, written on every
+    partitions() call including WAL replays). latestOffset then
+    returns min(head, hw + N). Fresh query: no hw file, base =
+    initial_snapshot — the very first backfill batch is capped.
+    Restart: base = the persisted mark (== the last planned end), so
+    the cap can never regress the offset behind the checkpoint and
+    re-deliver rows. Deleting a live stream's hw file re-bases the
+    cap at initial_snapshot and CAN regress — leave them alone
+    (expire()/remove_orphans never touch them)."""
 
     def __init__(self, options, schema: StructType):
         self._path = _table_path(options)
         self._schema = schema
         self._skip_rewrites = str(options.get("skip_rewrites", "false")).lower() == "true"
         self._skip_deletes = str(options.get("skip_deletes", "false")).lower() == "true"
+        mvb = options.get("max_versions_per_batch")
+        self._max_versions = int(mvb) if mvb is not None else None
+        if self._max_versions is not None and self._max_versions < 1:
+            raise ValueError("snaptable stream: max_versions_per_batch >= 1")
+        self._stream_id = options.get("stream_id")
+        if self._max_versions is not None and not self._stream_id:
+            raise ValueError(
+                "snaptable stream: max_versions_per_batch needs a "
+                "stream_id option (unique per checkpoint) — the rate "
+                "limit's high-water mark must survive restarts or the "
+                "capped offset could regress behind the checkpoint"
+            )
         initial = str(options.get("initial_snapshot", "earliest"))
         if initial == "earliest":
             self._initial = 0
@@ -291,13 +322,40 @@ class SnaptableStreamReader(DataSourceStreamReader):
         else:
             self._initial = int(initial)
 
+    def _hw_path(self) -> str:
+        from mundipy_spark.sources import snaptable
+
+        snaptable._check_ref_name(self._stream_id)
+        return os.path.join(
+            self._path, "metadata", f"streamhw-{self._stream_id}.json"
+        )
+
+    def _hw_load(self) -> int:
+        try:
+            with open(self._hw_path()) as f:
+                return int(json.load(f)["seen"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return self._initial
+
+    def _hw_store(self, v: int) -> None:
+        import uuid as _uuid
+
+        p = self._hw_path()
+        tmp = p + f".{_uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"seen": v}, f)
+        os.replace(tmp, p)  # atomic; single planner process per stream
+
     def initialOffset(self) -> dict:
         return {"version": self._initial}
 
     def latestOffset(self) -> dict:
         from mundipy_spark.sources import snaptable
 
-        return {"version": snaptable.current_version(self._path)}
+        head = snaptable.current_version(self._path)
+        if self._max_versions is not None:
+            return {"version": min(head, self._hw_load() + self._max_versions)}
+        return {"version": head}
 
     def _added_files(self, start: int, end: int) -> list[str]:
         from mundipy_spark.sources import snaptable
@@ -345,6 +403,13 @@ class SnaptableStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         s, e = int(start["version"]), int(end["version"])
+        if self._max_versions is not None:
+            # advance the persisted high-water mark from every planned
+            # batch — including WAL replays after a restart, which is
+            # how the cap recovers without an admission-control API
+            hw = max(s, e)
+            if hw > self._hw_load():
+                self._hw_store(hw)
         if e <= s:
             return []
         return [
@@ -373,6 +438,9 @@ class SnaptableDataSource(DataSource):
     - predicates (batch): JSON [[col, op, value], ...] — manifest +
       partition pruning, re-applied row-wise (== snaptable.scan)
     - initial_snapshot (stream): 'earliest' (default) | 'latest' | int
+    - max_versions_per_batch + stream_id (stream): micro-batch rate
+      limit (Iceberg max-files admission control); the stream_id keys
+      the persisted high-water mark that keeps the cap restart-safe
     - skip_rewrites / skip_deletes (stream): cross non-append snapshots
     """
 

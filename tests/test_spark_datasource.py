@@ -296,3 +296,63 @@ def test_stream_skip_rewrites_crosses_compaction(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 13
     assert got.agg(F.sum("doc_id")).first()[0] == sum(range(13))
+
+
+def test_stream_rate_limit_caps_batches_and_survives_restart(spark, tmp_path):
+    """max_versions_per_batch bounds every micro-batch (including the
+    FIRST backfill batch — the JVM calls latestOffset before
+    initialOffset, so the cap's base is the persisted stream_id
+    high-water mark, seeded at initial_snapshot on a fresh query) and
+    a restart resumes from the mark with no duplicate rows."""
+    import time
+
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 10), stats_cols=["doc_id"])
+    for i in range(1, 7):
+        snaptable.append(spark, path, _docs(spark, i * 10, i * 10 + 10))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run(stop_after_rows):
+        q = (
+            spark.readStream.format("snaptable")
+            .option("max_versions_per_batch", "2")
+            .option("stream_id", "rate1")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = sum(p["numInputRows"] for p in q.recentProgress)
+            if done >= stop_after_rows:
+                break
+            time.sleep(1)
+        q.stop()
+        q.awaitTermination(60)
+        return [
+            p["numInputRows"]
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+
+    first = run(stop_after_rows=20)  # at least the first capped batch
+    assert first and first[0] == 20  # 2 versions x 10 rows, NOT 70
+    assert all(b <= 20 for b in first)
+    second = run(stop_after_rows=70 - sum(first))
+    assert all(b <= 20 for b in second)
+    got = spark.read.parquet(out)
+    assert got.count() == 70 and got.distinct().count() == 70
+    import json as _json
+
+    hw = _json.load(open(os.path.join(path, "metadata", "streamhw-rate1.json")))
+    assert hw["seen"] == 7
+
+    # the cap requires a durable mark (validated at reader construction;
+    # through a live query the error surfaces only at awaitTermination)
+    with pytest.raises(ValueError, match="stream_id"):
+        spark_datasource.SnaptableStreamReader(
+            {"path": path, "max_versions_per_batch": "2"}, got.schema
+        )
