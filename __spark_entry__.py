@@ -1414,6 +1414,38 @@ def q_snap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snap_adopt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-place parquet adoption (sources/snaptable.py add_files —
+    Iceberg's add_files/migrate): documents are written as a plain
+    EXTERNAL parquet corpus outside any table, a table is created from
+    a shifted seed batch, and the external corpus is ADOPTED where it
+    sits — absolute manifest paths, one stats job, no rewrite. A MOR
+    takedown then deletes one adopted key, and the result scans with a
+    doc_id predicate that keeps only the adopted rows (stats pruning
+    must work on adopted entries). The DuckDB twin is documents minus
+    the deleted key, so adoption that loses files, double-counts, or
+    mis-ranges stats breaks value-exactness."""
+    from mundipy_spark.sources import snaptable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.length("text").alias("text_len")
+    )
+    ext = _tmp_table_dir("snapadopt_ext_")
+    docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(ext)
+    path = _tmp_table_dir("snaptable_a_")
+    seed = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "text_len"
+    )
+    snaptable.create(spark, path, seed, stats_cols=["doc_id"])
+    snaptable.add_files(spark, path, ext)
+    snaptable.delete_keys(
+        spark, path, spark.createDataFrame([(7,)], "doc_id long")
+    )
+    return snaptable.scan(spark, path, [("doc_id", "<", 1_000_000)]).select(
+        "doc_id", "source", "text_len"
+    )
+
+
 def q_snap_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tags + write-audit-publish on the snapshot table
     (sources/snaptable.py tag/stage_append/publish_staged — Iceberg's
@@ -1661,9 +1693,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     appeared in a driver CORRECTNESS file, then (c) round-3-verified
     entries with this round's code changes first. The tail beyond 50
     (earliest operators, value-exact in r01+r02+r03) rotates out; all
-    74 remain covered by tools/check_oracle.py and pytest."""
+    75 remain covered by tools/check_oracle.py and pytest."""
     return {
         # (a) never / newly oracle-checked
+        "snap_adopt": q_snap_adopt,
         "snap_wap": q_snap_wap,
         "snap_reader": q_snap_reader,
         "snap_cdc": q_snap_cdc,
@@ -1715,8 +1748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize": q_rasterize,
         "crs_ingest": q_crs_ingest,
         "tpch_q5": q_tpch_q5,
-        "tpch_q3": q_tpch_q3,
         # --- driver window boundary: exactly 50 entries above ---
+        "tpch_q3": q_tpch_q3,
         "tpch_q1": q_tpch_q1,
         "gazetteer": q_gazetteer,
         "sessions": q_sessions,
@@ -1801,6 +1834,10 @@ UNION ALL
 SELECT doc_id, 'recrawl' AS source, length(text) + 5 AS text_len,
        'insert' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
 FROM documents WHERE doc_id % 14 = 2
+""",
+        "snap_adopt": """
+SELECT doc_id, source, length(text) AS text_len
+FROM documents WHERE doc_id <> 7
 """,
         "snap_wap": """
 WITH base AS (
