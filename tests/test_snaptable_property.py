@@ -344,3 +344,155 @@ def test_mor_delete_rollback_interleavings_match_model(
             else:
                 with pytest.raises(ValueError, match="rewrite"):
                     snaptable.read_incremental(spark, path, since, until)
+
+
+# ---------------------------------------------------------------------------
+# Session-11 lifecycle model: appends + WAP staging (stage / publish /
+# drop) + MOR deletes + bin-pack maintenance + tags + expire. The
+# interleavings to stress: a delete committed BETWEEN stage and publish
+# must not mask the staged rows (publish seq > delete seq); publish
+# must cherry-pick over appends that landed after staging; bin-pack
+# must never change the visible row set and must NO-OP (no commit)
+# when it cannot reduce the file count; tags must pin their snapshot's
+# exact contents through an expire that reclaims everything else.
+
+append4 = st.tuples(
+    st.just("append"),
+    st.integers(min_value=0, max_value=200),
+    st.integers(min_value=1, max_value=25),
+)
+stage4 = st.tuples(
+    st.just("stage"),
+    st.integers(min_value=300, max_value=500),
+    st.integers(min_value=1, max_value=25),
+)
+publish4 = st.tuples(st.just("publish"))
+drop4 = st.tuples(st.just("drop"))
+delete4 = st.tuples(
+    st.just("delete"),
+    st.integers(min_value=0, max_value=500),
+    st.integers(min_value=1, max_value=40),
+)
+binpack4 = st.tuples(st.just("binpack"))
+tag4 = st.tuples(st.just("tag"), st.integers(min_value=0, max_value=10))
+op_seqs4 = st.lists(
+    st.one_of(append4, stage4, publish4, drop4, delete4, binpack4, tag4),
+    min_size=3,
+    max_size=7,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=op_seqs4)
+def test_wap_tag_binpack_interleavings_match_model(
+    spark, tmp_path_factory, ops
+):
+    path = str(tmp_path_factory.mktemp("snapprop4") / "t")
+    rows: list[tuple[int, int]] = []  # committed (doc_id, val) multiset
+    pending: dict[str, list[tuple[int, int]]] = {}  # staged, FIFO
+    history: list[list[tuple[int, int]]] = []  # committed state per v
+    tagged: dict[str, int] = {}
+    for gen, op in enumerate(ops, start=1):
+        committed = snaptable.current_version(path) > 0
+        if op[0] == "append":
+            _, start, n = op
+            if not committed:
+                snaptable.create(
+                    spark, path, _batch2(spark, start, n, gen),
+                    stats_cols=["doc_id"],
+                )
+            else:
+                snaptable.append(spark, path, _batch2(spark, start, n, gen))
+            rows = rows + [(i, gen) for i in range(start, start + n)]
+            history.append(list(rows))
+        elif op[0] == "stage":
+            if not committed:
+                continue
+            _, start, n = op
+            sid = snaptable.stage_append(
+                spark, path, _batch2(spark, start, n, gen), wap_id=f"w{gen}"
+            )
+            pending[sid] = [(i, gen) for i in range(start, start + n)]
+        elif op[0] == "publish":
+            if not pending:
+                continue
+            sid = next(iter(pending))
+            snaptable.publish_staged(spark, path, sid)
+            # staged rows survive deletes committed after staging:
+            # their sequence number is the publish version
+            rows = rows + pending.pop(sid)
+            history.append(list(rows))
+        elif op[0] == "drop":
+            if not pending:
+                continue
+            sid = next(iter(pending))
+            snaptable.drop_staged(path, sid)
+            pending.pop(sid)
+        elif op[0] == "delete":
+            if not committed:
+                continue
+            _, start, n = op
+            snaptable.delete_keys(
+                spark,
+                path,
+                spark.range(start, start + n).select(
+                    F.col("id").alias("doc_id")
+                ),
+            )
+            keys = set(range(start, start + n))
+            # erases only rows present NOW; staged rows are untouched
+            rows = [r for r in rows if r[0] not in keys]
+            history.append(list(rows))
+        elif op[0] == "binpack":
+            if not committed:
+                continue
+            before_v = snaptable.current_version(path)
+            after_v = snaptable.compact_small(
+                spark, path, small_mb=1024.0, target_mb=4096.0
+            )
+            if after_v != before_v:  # real commit; no-ops add no history
+                history.append(list(rows))
+        else:  # tag
+            if not committed:
+                continue
+            _, pick = op
+            v = (pick % len(history)) + 1
+            name = f"t{gen}"
+            snaptable.tag(path, name, snapshot_id=v)
+            tagged[name] = v
+
+    assert len(snaptable.snapshots(path)) == len(history)
+    if not history:
+        return
+
+    def check(df, want):
+        assert df.count() == len(want)
+        if want:
+            got = df.agg(
+                F.sum("doc_id").alias("sid"), F.sum("val").alias("sval")
+            ).first()
+            assert got["sid"] == sum(r[0] for r in want)
+            assert got["sval"] == sum(r[1] for r in want)
+
+    # head, every snapshot, and every pending stage's audit view
+    check(snaptable.read(spark, path), rows)
+    for v, snap_rows in enumerate(history, start=1):
+        check(snaptable.read(spark, path, snapshot_id=v), snap_rows)
+    for sid, srows in pending.items():
+        check(snaptable.read_staged(spark, path, sid), rows + srows)
+
+    # expire to head: tags pin exactly their snapshot, everything else
+    # below head is gone, pending stages stay publishable
+    head_v = snaptable.current_version(path)
+    snaptable.expire(path, keep_from=head_v)
+    check(snaptable.read(spark, path), rows)
+    for name, v in tagged.items():
+        check(snaptable.read(spark, path, ref=name), history[v - 1])
+    for v in range(1, head_v):
+        if v not in tagged.values():
+            with pytest.raises(Exception):
+                snaptable.read(spark, path, snapshot_id=v).count()
+    if pending:
+        sid = next(iter(pending))
+        snaptable.publish_staged(spark, path, sid)
+        check(snaptable.read(spark, path), rows + pending[sid])
