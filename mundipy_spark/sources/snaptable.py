@@ -1450,8 +1450,15 @@ def expire(path: str, keep_from: int) -> dict:
         old_snap = _load_snapshot(path, v)
         dead = [e["path"] for e in _load_manifest(path, v)]
         dead += [d["path"] for d in old_snap.get("delete_files") or []]
+        table_root = os.path.abspath(path) + os.sep
         for rel in dead:
             p = os.path.join(path, rel)
+            # ownership guard: never delete files OUTSIDE the table
+            # root — a branch's expire must not reclaim fork files the
+            # parent still references, and adopted external files
+            # (add_files) belong to their original owner
+            if not os.path.abspath(p).startswith(table_root):
+                continue
             if rel not in live and os.path.exists(p):
                 os.remove(p)
                 removed_data += 1
@@ -2072,10 +2079,11 @@ def add_files(
       pruning never drops them (conservative; stats pruning still
       applies). A later compact() rewrites them into the table's own
       layout.
-    - Once adopted the table OWNS the files: expire() deletes them like
-      any other data file when their snapshots age out (Iceberg's
-      behavior for imported files). remove_orphans() never touches them
-      (it only walks the table's own data directory).
+    - Adopted files stay OUTSIDE the table's ownership boundary:
+      expire() and remove_orphans() never delete files outside the
+      table root, so retiring the originals is the external owner's
+      job (run compact() first to rewrite their rows into table-owned
+      files).
     - Re-adopting a path already in the current manifest raises —
       double-counted rows forever would be silent corruption."""
     head = current_version(path)
@@ -2210,3 +2218,223 @@ def remove_orphans(path: str, older_than_s: float = 86400.0) -> dict:
             except OSError:
                 pass
     return {"removed_orphans": removed, "referenced": len(referenced)}
+
+
+# ---------------------------------------------------------------------------
+# writable branches + fast-forward (the last Iceberg ref feature)
+#
+# A branch is a CHILD TABLE rooted at {path}/metadata/branches/{name}:
+# its first snapshot replicates the fork's manifest with data paths
+# made ABSOLUTE (shared with the parent, zero copies), and its version
+# counter is SEEDED AT THE FORK VERSION, so sequence numbers continue
+# above the fork and every sequence comparison (equality deletes vs
+# fork-era files) stays correct across the fork boundary. Because the
+# branch is a real table directory, the ENTIRE surface works on it
+# unmodified — append, delete_keys, merge_into, compact, WAP staging,
+# tags, time travel, metadata tables — via branch_root(). Publishing
+# is fast-forward only (the Iceberg rule): main must still be at the
+# fork; the branch's commits are adopted into main ONE-TO-ONE at the
+# same version numbers (history, CDC, and incremental consumers see
+# the branch's commits exactly as if they had happened on main).
+
+
+def _branch_root(path: str, name: str) -> str:
+    _check_ref_name(name)
+    return os.path.join(path, _META, "branches", name)
+
+
+def branch_root(path: str, name: str) -> str:
+    """The branch's table root — pass it to any snaptable function to
+    operate on the branch."""
+    root = _branch_root(path, name)
+    if not os.path.isdir(os.path.join(root, _META)):
+        raise ValueError(f"snaptable {path}: no branch {name!r}")
+    return root
+
+
+def branch_create(
+    path: str, name: str, from_snapshot: int | None = None
+) -> str:
+    """Create branch `name` forked at `from_snapshot` (default: head).
+    Pure metadata — the fork manifest is replicated with absolutized
+    shared paths; no data moves. Returns the branch root."""
+    fork = (
+        from_snapshot
+        if from_snapshot is not None
+        else current_version(path)
+    )
+    if fork < 1 or not os.path.exists(_snap_path(path, fork)):
+        raise ValueError(f"snaptable {path}: cannot branch at {fork}")
+    snap = _load_snapshot(path, fork)
+
+    def _absolutize(p: str) -> str:
+        return p if os.path.isabs(p) else os.path.abspath(os.path.join(path, p))
+
+    entries = [
+        {**e, "path": _absolutize(e["path"])}
+        for e in _load_manifest(path, fork)
+    ]
+    dels = [
+        {**d, "path": _absolutize(d["path"])}
+        for d in snap.get("delete_files") or []
+    ]
+    root = _branch_root(path, name)
+    os.makedirs(os.path.join(root, _META), exist_ok=True)
+    manifest_rel = os.path.join(
+        _META, f"manifest-{fork}-{uuid.uuid4().hex[:8]}.json"
+    )
+    with open(os.path.join(root, manifest_rel), "w") as f:
+        json.dump({"files": entries}, f)
+    bsnap = {
+        "version": fork,  # seeds the branch counter: seqs continue
+        "parent": None,   # above the fork, so cross-fork delete
+        "operation": "branch-fork",  # sequencing stays correct
+        "manifest": manifest_rel,
+        "stats_cols": snap["stats_cols"],
+        "partition_spec": snap.get("partition_spec"),
+        "partition_spec_history": snap.get("partition_spec_history"),
+        "delete_files": dels or None,
+        "schema": snap["schema"],
+        "added_files": 0,
+        "total_files": len(entries),
+        "total_rows": sum(e["rows"] for e in entries),
+        "committed_at": time.time(),
+        "fork": fork,
+    }
+    dst = _snap_path(root, fork)
+    tmp = dst + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(bsnap, f)
+    try:
+        os.link(tmp, dst)
+    except FileExistsError:
+        raise ValueError(f"snaptable {path}: branch {name!r} already exists")
+    finally:
+        _unlink_quiet(tmp)
+    return root
+
+
+def branches(path: str) -> dict[str, dict]:
+    """All branches as {name: {fork, head}}."""
+    bdir = os.path.join(path, _META, "branches")
+    out = {}
+    if not os.path.isdir(bdir):
+        return out
+    for name in sorted(os.listdir(bdir)):
+        root = os.path.join(bdir, name)
+        if not os.path.isdir(os.path.join(root, _META)):
+            continue
+        head = current_version(root)
+        fork = None
+        for v in range(1, head + 1):
+            if os.path.exists(_snap_path(root, v)):
+                fork = _load_snapshot(root, v).get("fork", v)
+                break
+        out[name] = {"fork": fork, "head": head}
+    return out
+
+
+def fast_forward(path: str, name: str) -> int:
+    """Publish branch `name` into main by ADOPTING its commits
+    one-to-one at the same version numbers — Iceberg's fast-forward:
+    main must not have moved past the fork (ConflictError otherwise;
+    rebase by re-branching). Pure metadata; entry paths re-relativize
+    against the main root (branch-written files stay under the branch
+    directory and main references them there — a later compact folds
+    them into main's own layout). Idempotent/resumable: a main
+    snapshot already adopted from this branch at the same version is
+    skipped, so a crash or a lost race mid-forward finishes on
+    retry."""
+    root = branch_root(path, name)
+    bhead = current_version(root)
+    fork = None
+    for v in range(1, bhead + 1):
+        if os.path.exists(_snap_path(root, v)):
+            fork = _load_snapshot(root, v).get("fork", v)
+            break
+    main_head = current_version(path)
+    for v in range(fork + 1, bhead + 1):
+        if v <= main_head:
+            adopted = _load_snapshot(path, v)
+            if adopted.get("fast_forwarded_from") != name:
+                raise ConflictError(
+                    f"snaptable {path}: cannot fast-forward branch "
+                    f"{name!r} — main moved past the fork (snapshot {v} "
+                    f"is a {adopted['operation']} not adopted from this "
+                    "branch); re-branch from the new head and re-apply"
+                )
+            continue  # already adopted (resume after crash/race)
+        bsnap = _load_snapshot(root, v)
+
+        def _rerel(p: str) -> str:
+            ap = p if os.path.isabs(p) else os.path.abspath(
+                os.path.join(root, p)
+            )
+            table_root = os.path.abspath(path) + os.sep
+            return os.path.relpath(ap, path) if ap.startswith(table_root) else ap
+
+        entries = [
+            {**e, "path": _rerel(e["path"])} for e in _load_manifest(root, v)
+        ]
+        dels = [
+            {**d, "path": _rerel(d["path"])}
+            for d in bsnap.get("delete_files") or []
+        ]
+        manifest_rel = os.path.join(
+            _META, f"manifest-{v}-{uuid.uuid4().hex[:8]}.json"
+        )
+        with open(os.path.join(path, manifest_rel), "w") as f:
+            json.dump({"files": entries}, f)
+        snap2 = {
+            **bsnap,
+            "parent": v - 1,
+            "manifest": manifest_rel,
+            "delete_files": dels or None,
+            "fast_forwarded_from": name,
+        }
+        snap2.pop("fork", None)
+        dst = _snap_path(path, v)
+        tmp = dst + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap2, f)
+        try:
+            os.link(tmp, dst)
+        except FileExistsError:
+            # a concurrent commit took this version: if it is our own
+            # adoption (racing forwarders), continue; else conflict
+            adopted = _load_snapshot(path, v)
+            if adopted.get("fast_forwarded_from") != name:
+                raise ConflictError(
+                    f"snaptable {path}: fast-forward of {name!r} lost "
+                    f"version {v} to a concurrent {adopted['operation']} "
+                    "commit — re-branch and re-apply"
+                )
+        finally:
+            _unlink_quiet(tmp)
+    return bhead
+
+
+def drop_branch(path: str, name: str) -> dict:
+    """Delete a branch. Branch-written data files are removed ONLY if
+    no live main snapshot references them (i.e. the branch was never
+    fast-forwarded); after a fast-forward the metadata goes but the
+    data stays — main owns it now."""
+    import shutil
+
+    root = branch_root(path, name)
+    prefix = os.path.relpath(root, path) + os.sep
+    referenced = False
+    for v in range(1, current_version(path) + 1):
+        if not os.path.exists(_snap_path(path, v)):
+            continue
+        snap = _load_snapshot(path, v)
+        paths = [e["path"] for e in _load_manifest(path, v)]
+        paths += [d["path"] for d in snap.get("delete_files") or []]
+        if any(p.startswith(prefix) for p in paths):
+            referenced = True
+            break
+    if referenced:
+        shutil.rmtree(os.path.join(root, _META), ignore_errors=True)
+    else:
+        shutil.rmtree(root, ignore_errors=True)
+    return {"data_kept": referenced}

@@ -1,0 +1,171 @@
+"""Writable branches + fast-forward on the snapshot table
+(sources/snaptable.py): a branch is a child table sharing the fork's
+data files by absolute path with its version counter seeded at the
+fork, so the whole surface (append, MOR deletes, merge, compact, WAP,
+time travel) works on it unmodified and sequence semantics carry
+across the fork boundary; fast-forward adopts the branch's commits
+into main one-to-one.
+
+Reference role: Iceberg branch refs + fast-forward publish — the
+multi-commit staging workflow a shared crawl table needs (the
+single-commit variant is WAP, tests/test_snaptable_refs.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mundipy_spark.sources import snaptable
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mundipy_spark.session import get_spark
+
+    s = get_spark("snaptable-branch-tests", cpus=4, shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _docs(spark, lo, hi, gen=0):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.lit(gen).cast("long").alias("val"),
+    )
+
+
+def test_branch_isolated_writes_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 100), stats_cols=["doc_id"])
+    snaptable.append(spark, path, _docs(spark, 100, 200))  # main v2
+    root = snaptable.branch_create(path, "dev")
+    assert snaptable.branches(path) == {"dev": {"fork": 2, "head": 2}}
+    # branch sees the fork state without copying any data
+    assert snaptable.read(spark, root).count() == 200
+    # writes on the branch do not touch main
+    snaptable.append(spark, root, _docs(spark, 200, 250, gen=1))
+    snaptable.append(spark, root, _docs(spark, 250, 260, gen=1))
+    assert snaptable.read(spark, root).count() == 260
+    assert snaptable.read(spark, path).count() == 200
+    assert snaptable.current_version(path) == 2
+    # branch versions continue above the fork; fork is time-travelable
+    assert snaptable.current_version(root) == 4
+    assert snaptable.read(spark, root, snapshot_id=2).count() == 200
+    # main writes do not leak into the branch
+    snaptable_v = snaptable.append(spark, path, _docs(spark, 900, 910))
+    assert snaptable.read(spark, root).count() == 260
+    assert snaptable_v == 3
+
+
+def test_branch_delete_sequences_across_fork(spark, tmp_path):
+    """An equality delete committed ON THE BRANCH must erase fork-era
+    rows (branch delete seq > fork file seqs because the branch
+    counter is seeded at the fork) while main keeps them."""
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 100), stats_cols=["doc_id"])
+    root = snaptable.branch_create(path, "takedowns")
+    snaptable.delete_keys(
+        spark, root, spark.createDataFrame([(5,), (6,)], "doc_id long")
+    )
+    assert snaptable.read(spark, root).count() == 98
+    assert snaptable.read(spark, path).count() == 100
+    # re-append one deleted key on the branch: survives (seq rule)
+    snaptable.append(spark, root, _docs(spark, 5, 6, gen=9))
+    got = snaptable.read(spark, root).filter(F.col("doc_id") == 5)
+    assert [r["val"] for r in got.collect()] == [9]
+
+
+def test_fast_forward_adopts_commits_one_to_one(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 100), stats_cols=["doc_id"])
+    root = snaptable.branch_create(path, "wave")
+    snaptable.append(spark, root, _docs(spark, 100, 150, gen=1))
+    snaptable.delete_keys(
+        spark, root, spark.createDataFrame([(7,)], "doc_id long")
+    )
+    bhead = snaptable.fast_forward(path, "wave")
+    assert bhead == 3 == snaptable.current_version(path)
+    got = snaptable.read(spark, path)
+    assert got.count() == 149  # 100 + 50 - 1 deleted
+    assert got.filter(F.col("doc_id") == 7).count() == 0
+    # history adopted 1:1 — incremental consumers see the append
+    delta = snaptable.read_incremental(spark, path, since=1, until=2)
+    assert delta.count() == 50
+    # idempotent: forwarding an already-forwarded branch is a no-op
+    assert snaptable.fast_forward(path, "wave") == 3
+    # dropping the forwarded branch keeps its data (main references it)
+    res = snaptable.drop_branch(path, "wave")
+    assert res["data_kept"] is True
+    assert snaptable.read(spark, path).count() == 149
+    # compact folds branch-dir files into main's own layout
+    snaptable.compact(spark, path, target_files=1)
+    assert snaptable.read(spark, path).count() == 149
+
+
+def test_fast_forward_conflicts_when_main_moved(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 50), stats_cols=["doc_id"])
+    snaptable.branch_create(path, "b1")
+    snaptable.append(
+        spark, snaptable.branch_root(path, "b1"), _docs(spark, 50, 60, gen=1)
+    )
+    snaptable.append(spark, path, _docs(spark, 900, 905))  # main moved
+    with pytest.raises(snaptable.ConflictError, match="moved past the fork"):
+        snaptable.fast_forward(path, "b1")
+    # dropping the unforwarded branch reclaims its data dir entirely
+    root = snaptable.branch_root(path, "b1")
+    assert snaptable.drop_branch(path, "b1") == {"data_kept": False}
+    assert not os.path.exists(root)
+    with pytest.raises(ValueError, match="no branch"):
+        snaptable.branch_root(path, "b1")
+
+
+def test_branch_expire_never_touches_parent_files(spark, tmp_path):
+    """compact on the branch makes the shared fork files dead IN THE
+    BRANCH; the branch's expire must not delete them — main still
+    reads them (the expire ownership guard)."""
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 100), stats_cols=["doc_id"])
+    root = snaptable.branch_create(path, "exp")
+    snaptable.append(spark, root, _docs(spark, 100, 120, gen=1))
+    snaptable.compact(spark, root, target_files=1)  # fork files dead in branch
+    snaptable.expire(root, keep_from=snaptable.current_version(root))
+    assert snaptable.read(spark, root).count() == 120
+    assert snaptable.read(spark, path).count() == 100  # main intact
+
+
+def test_expire_never_deletes_adopted_external_files(spark, tmp_path):
+    """Same ownership guard on main: compacting after an adoption makes
+    the external files dead, but expire leaves them in place — they
+    belong to their original owner."""
+    ext = str(tmp_path / "ext")
+    _docs(spark, 0, 50).coalesce(1).write.parquet(ext)
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 100, 120), stats_cols=["doc_id"])
+    snaptable.add_files(spark, path, ext)
+    snaptable.compact(spark, path, target_files=1)
+    snaptable.expire(path, keep_from=snaptable.current_version(path))
+    ext_files = [
+        os.path.join(dp, n)
+        for dp, _, ns in os.walk(ext)
+        for n in ns
+        if n.endswith(".parquet")
+    ]
+    assert ext_files  # originals untouched
+    assert snaptable.read(spark, path).count() == 70
+
+
+def test_branch_supports_wap_and_tags(spark, tmp_path):
+    """The branch is a full table: WAP staging and tags work on it."""
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 50), stats_cols=["doc_id"])
+    root = snaptable.branch_create(path, "full")
+    sid = snaptable.stage_append(spark, root, _docs(spark, 50, 70, gen=1))
+    assert snaptable.read(spark, root).count() == 50
+    snaptable.publish_staged(spark, root, sid)
+    snaptable.tag(root, "b-rel")
+    assert snaptable.read(spark, root, ref="b-rel").count() == 70
+    assert snaptable.read(spark, path).count() == 50
