@@ -673,10 +673,34 @@ def _points_of(geom) -> np.ndarray | None:
     return None
 
 
+def _collapse_degenerate_lines(geom):
+    """A (Multi)LineString whose EVERY component has zero extent is
+    topologically a point set: GEOS labels a collapsed edge's point as
+    line INTERIOR (the mod-2 boundary rule sees the coincident
+    endpoints an even number of times, so the boundary is empty), so
+    contains/relate treat it exactly like a Point. The segment-based
+    primitives here would instead see no segments at all and report an
+    empty interior — normalize before dispatch. Mixed lines (any
+    component with real extent) keep line semantics unchanged."""
+    t = geom[0]
+    if t == "LineString":
+        c = np.asarray(geom[1], dtype=np.float64).reshape(-1, 2)
+        if len(c) and (c == c[0]).all():
+            return ("Point", c[0].copy())
+    elif t == "MultiLineString":
+        parts = [
+            np.asarray(p, dtype=np.float64).reshape(-1, 2) for p in geom[1]
+        ]
+        if parts and all(len(p) and (p == p[0]).all() for p in parts):
+            return ("MultiPoint", np.array([p[0] for p in parts]))
+    return geom
+
+
 def intersects(a, b) -> bool:
     """Boundary-inclusive intersects (GEOS semantics)."""
     if bbox_disjoint(a, b):
         return False
+    a, b = _collapse_degenerate_lines(a), _collapse_degenerate_lines(b)
     for g in (a, b):
         if g[0] == "GeometryCollection":
             parts = g[1]
@@ -748,6 +772,7 @@ def covers(a, b) -> bool:
     stay out of b's INTERIOR (otherwise b spills over ∂a, e.g. b
     spanning a hole of a), and a representative interior point of b
     must land in a (coincident-ring degeneracies)."""
+    a, b = _collapse_degenerate_lines(a), _collapse_degenerate_lines(b)
     if bbox_disjoint(a, b):
         return False
     a0, a1, a2, a3 = wkb.bounds(a)
@@ -810,6 +835,7 @@ def contains(a, b) -> bool:
     """covers ∧ interiors intersect: b must touch a's interior — a point
     (or line) lying solely on a's boundary is covered but not
     contained."""
+    a, b = _collapse_degenerate_lines(a), _collapse_degenerate_lines(b)
     if not covers(a, b):
         return False
     pb = _points_of(b)
@@ -878,6 +904,7 @@ def touches(a, b) -> bool:
     polygons whose interiors overlap across collinear shared edges, a
     point in a line's interior, collinear overlapping lines — each of
     which a crossing/vertex-only test misreports."""
+    a, b = _collapse_degenerate_lines(a), _collapse_degenerate_lines(b)
     if not intersects(a, b):
         return False
     return not _interiors_meet(a, b)
@@ -888,6 +915,7 @@ def crosses(a, b) -> bool:
     and neither geometry is swallowed: line/line isolated interior
     contact, a line passing through a polygon's interior AND exiting,
     points split on/off a higher-dim geometry."""
+    a, b = _collapse_degenerate_lines(a), _collapse_degenerate_lines(b)
     dim_a, dim_b = _dim(a), _dim(b)
     if dim_a == 1 and dim_b == 1:
         # dim(II) must be 0: an isolated interior contact (proper cross
@@ -910,6 +938,7 @@ def overlaps(a, b) -> bool:
     """Same dimension, interiors intersect IN THAT DIMENSION, neither
     covers the other. (A point-crossing of two lines is crosses, not
     overlaps; edge-touching polygons are touches, not overlaps.)"""
+    a, b = _collapse_degenerate_lines(a), _collapse_degenerate_lines(b)
     da, db = _dim(a), _dim(b)
     if da != db:
         return False
@@ -1009,6 +1038,7 @@ def relate(a, b) -> str:
     for g in (a, b):
         if g[0] == "GeometryCollection":
             raise ValueError("relate is not supported on GeometryCollection")
+    a, b = _collapse_degenerate_lines(a), _collapse_degenerate_lines(b)
     da, db = _dim(a), _dim(b)
 
     def ii() -> str:
@@ -1193,6 +1223,7 @@ def almost_equals(a, b, decimal: int = 6) -> bool:
 def equals(a, b) -> bool:
     """Topological equality: each covers the other (area geoms); exact
     vertex-set equality after normalization otherwise."""
+    a, b = _collapse_degenerate_lines(a), _collapse_degenerate_lines(b)
     if has_area(a) and has_area(b):
         return covers(a, b) and covers(b, a)
     from mundipy_spark.kernels import constructive

@@ -480,3 +480,43 @@ def test_holed_poly_line_relate_coherence(ac, l):
     l = ("LineString", l[1] - l[1][:1] + c)  # start at the centroid (in the hole)
     _relate_coherent(a, l)
     _relate_coherent(l, a)
+
+
+def test_degenerate_zero_length_lines_are_point_like():
+    """A (Multi)LineString whose every component has zero extent is
+    topologically a point set (GEOS: the collapsed edge's point labels
+    as line INTERIOR; the mod-2 rule leaves the boundary empty).
+    Hypothesis found the pre-fix divergence: the segment-based
+    primitives saw no segments, so relate reported an empty interior
+    (FF2FF1FF2) while intersects said True — contains/touches/relate
+    all disagreed with GEOS. Pinned goldens below."""
+    poly = ("Polygon", [np.array(
+        [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float
+    )])
+    zl = ("LineString", np.array([[5.0, 5.0], [5.0, 5.0]]))
+    zl_edge = ("LineString", np.array([[5.0, 0.0], [5.0, 0.0]]))
+    zl_out = ("LineString", np.array([[50.0, 5.0], [50.0, 5.0]]))
+    pt = ("Point", np.array([5.0, 5.0]))
+
+    assert P.intersects(poly, zl) and P.intersects(zl, poly)
+    assert P.contains(poly, zl) and P.within(zl, poly)
+    assert not P.touches(poly, zl)  # interior contact, not touch
+    assert P.touches(poly, zl_edge)  # boundary-only contact IS touch
+    assert P.covers(poly, zl_edge) and not P.contains(poly, zl_edge)
+    assert P.disjoint(poly, zl_out)
+    assert P.equals(zl, pt)  # topological equality with the point
+    assert P.relate(poly, zl) == P.relate(poly, pt) == "0F2FF1FF2"
+    assert P.relate(zl, poly) == "0FFFFF212"
+    assert P.relate(zl, zl) == "0FFFFFFF2"
+
+    # a MultiLineString with ANY real-extent component keeps line
+    # semantics: only the all-collapsed case normalizes
+    ml = ("MultiLineString",
+          [np.array([[1.0, 1.0], [2.0, 2.0]]),
+           np.array([[3.0, 3.0], [3.0, 3.0]])])
+    assert P.relate(poly, ml) == "102FF1FF2"
+    mzl = ("MultiLineString",
+           [np.array([[5.0, 5.0], [5.0, 5.0]]),
+            np.array([[6.0, 6.0], [6.0, 6.0]])])
+    assert P.contains(poly, mzl)
+    assert P.relate(mzl, poly) == "0FFFFF212"
