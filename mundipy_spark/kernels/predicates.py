@@ -691,7 +691,8 @@ def _collapse_degenerate_lines(geom):
         parts = [
             np.asarray(p, dtype=np.float64).reshape(-1, 2) for p in geom[1]
         ]
-        if parts and all(len(p) and (p == p[0]).all() for p in parts):
+        parts = [p for p in parts if len(p)]  # GEOS ignores empty parts
+        if parts and all((p == p[0]).all() for p in parts):
             return ("MultiPoint", np.array([p[0] for p in parts]))
     return geom
 

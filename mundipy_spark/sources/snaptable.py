@@ -1431,6 +1431,11 @@ def expire(path: str, keep_from: int) -> dict:
     live: set[str] = set()
     for s in _staged_full(path):
         live |= {e["path"] for e in s["entries"]}
+    # cross-root liveness: files under this root that the parent chain,
+    # sibling branches, or this root's own branches still reference
+    # must survive even when dead HERE (a branch shares the fork's
+    # files by absolute path; main shares fast-forwarded branch files)
+    live |= _external_referenced(path)
     for v in sorted(keep_versions):
         if os.path.exists(_snap_path(path, v)):
             live |= {e["path"] for e in _load_manifest(path, v)}
@@ -2196,6 +2201,7 @@ def remove_orphans(path: str, older_than_s: float = 86400.0) -> dict:
         }
     for s in _staged_full(path):
         referenced |= {e["path"] for e in s["entries"]}
+    referenced |= _external_referenced(path)
     data_root = os.path.join(path, _DATA)
     removed = 0
     now = time.time()
@@ -2279,7 +2285,27 @@ def branch_create(
         for d in snap.get("delete_files") or []
     ]
     root = _branch_root(path, name)
+    if os.path.isdir(root) and not os.path.isdir(os.path.join(root, _META)):
+        # a dropped-but-fast-forwarded branch left its data directory
+        # behind because MAIN references it; a recreated branch would
+        # inherit files none of its snapshots reference and its
+        # remove_orphans could reclaim them out from under main
+        raise ValueError(
+            f"snaptable {path}: branch name {name!r} was dropped after "
+            "a fast-forward and main still references its files — "
+            "pick a new name (or compact main first, then expire)"
+        )
     os.makedirs(os.path.join(root, _META), exist_ok=True)
+    bmeta = os.path.join(root, _META, "branchmeta.json")
+    btmp = bmeta + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(btmp, "w") as f:
+        json.dump({"name": name, "fork": fork, "created_at": time.time()}, f)
+    try:
+        os.link(btmp, bmeta)  # O_EXCL existence gate: one creator wins
+    except FileExistsError:
+        raise ValueError(f"snaptable {path}: branch {name!r} already exists")
+    finally:
+        _unlink_quiet(btmp)
     manifest_rel = os.path.join(
         _META, f"manifest-{fork}-{uuid.uuid4().hex[:8]}.json"
     )
@@ -2314,6 +2340,21 @@ def branch_create(
     return root
 
 
+def _branch_fork(root: str) -> int:
+    """The branch's fork version — from the durable branchmeta record;
+    legacy branches (pre-branchmeta) fall back to the first surviving
+    snapshot's fork field."""
+    try:
+        with open(os.path.join(root, _META, "branchmeta.json")) as f:
+            return int(json.load(f)["fork"])
+    except FileNotFoundError:
+        pass
+    for v in range(1, current_version(root) + 1):
+        if os.path.exists(_snap_path(root, v)):
+            return _load_snapshot(root, v).get("fork", v)
+    raise ValueError(f"snaptable branch at {root}: no snapshots")
+
+
 def branches(path: str) -> dict[str, dict]:
     """All branches as {name: {fork, head}}."""
     bdir = os.path.join(path, _META, "branches")
@@ -2324,13 +2365,7 @@ def branches(path: str) -> dict[str, dict]:
         root = os.path.join(bdir, name)
         if not os.path.isdir(os.path.join(root, _META)):
             continue
-        head = current_version(root)
-        fork = None
-        for v in range(1, head + 1):
-            if os.path.exists(_snap_path(root, v)):
-                fork = _load_snapshot(root, v).get("fork", v)
-                break
-        out[name] = {"fork": fork, "head": head}
+        out[name] = {"fork": _branch_fork(root), "head": current_version(root)}
     return out
 
 
@@ -2347,15 +2382,14 @@ def fast_forward(path: str, name: str) -> int:
     retry."""
     root = branch_root(path, name)
     bhead = current_version(root)
-    fork = None
-    for v in range(1, bhead + 1):
-        if os.path.exists(_snap_path(root, v)):
-            fork = _load_snapshot(root, v).get("fork", v)
-            break
+    fork = _branch_fork(root)
     main_head = current_version(path)
     for v in range(fork + 1, bhead + 1):
         if v <= main_head:
-            adopted = _load_snapshot(path, v)
+            try:
+                adopted = _load_snapshot(path, v)
+            except FileNotFoundError:
+                continue  # adopted then expired: already committed
             if adopted.get("fast_forwarded_from") != name:
                 raise ConflictError(
                     f"snaptable {path}: cannot fast-forward branch "
@@ -2364,7 +2398,14 @@ def fast_forward(path: str, name: str) -> int:
                     "branch); re-branch from the new head and re-apply"
                 )
             continue  # already adopted (resume after crash/race)
-        bsnap = _load_snapshot(root, v)
+        try:
+            bsnap = _load_snapshot(root, v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snaptable {path}: branch {name!r} snapshot {v} was "
+                "expired before it was fast-forwarded — the branch "
+                "history is no longer adoptable"
+            ) from None
 
         def _rerel(p: str) -> str:
             ap = p if os.path.isabs(p) else os.path.abspath(
@@ -2402,7 +2443,10 @@ def fast_forward(path: str, name: str) -> int:
         except FileExistsError:
             # a concurrent commit took this version: if it is our own
             # adoption (racing forwarders), continue; else conflict
-            adopted = _load_snapshot(path, v)
+            try:
+                adopted = _load_snapshot(path, v)
+            except FileNotFoundError:
+                continue  # racing forwarder committed it, then expired
             if adopted.get("fast_forwarded_from") != name:
                 raise ConflictError(
                     f"snaptable {path}: fast-forward of {name!r} lost "
@@ -2422,19 +2466,94 @@ def drop_branch(path: str, name: str) -> dict:
     import shutil
 
     root = branch_root(path, name)
-    prefix = os.path.relpath(root, path) + os.sep
-    referenced = False
-    for v in range(1, current_version(path) + 1):
-        if not os.path.exists(_snap_path(path, v)):
-            continue
-        snap = _load_snapshot(path, v)
-        paths = [e["path"] for e in _load_manifest(path, v)]
-        paths += [d["path"] for d in snap.get("delete_files") or []]
-        if any(p.startswith(prefix) for p in paths):
-            referenced = True
-            break
+    absroot = os.path.abspath(root) + os.sep
+    referenced = any(
+        p.startswith(absroot)
+        for p in _family_referenced_abs(_top_root(path), skip_subtree=root)
+    )
     if referenced:
         shutil.rmtree(os.path.join(root, _META), ignore_errors=True)
     else:
         shutil.rmtree(root, ignore_errors=True)
     return {"data_kept": referenced}
+
+
+# ---------------------------------------------------------------------------
+# cross-root liveness (branches share files across table roots)
+
+
+def _top_root(path: str) -> str:
+    """Outermost table root of the branch family: walk up across
+    metadata/branches/{name} layers."""
+    root = os.path.abspath(path)
+    while True:
+        up = os.path.dirname(root)
+        up2 = os.path.dirname(up)
+        up3 = os.path.dirname(up2)
+        if (
+            os.path.basename(up) == "branches"
+            and os.path.basename(up2) == _META
+            and os.path.isdir(os.path.join(up3, _META))
+        ):
+            root = up3
+        else:
+            return root
+
+
+def _family_referenced_abs(root: str, skip_subtree: str | None = None) -> set[str]:
+    """Every data/delete/staged path referenced by this root and ALL of
+    its branches recursively, as absolute paths. `skip_subtree` omits
+    one root's own references AND its descendants (the caller's own
+    contributions, or a branch being dropped)."""
+    absroot = os.path.abspath(root)
+    if skip_subtree is not None and absroot == os.path.abspath(skip_subtree):
+        return set()
+    out: set[str] = set()
+
+    def _abs(p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(absroot, p)
+
+    for v in range(1, current_version(root) + 1):
+        if not os.path.exists(_snap_path(root, v)):
+            continue
+        try:
+            snap = _load_snapshot(root, v)
+            out |= {_abs(e["path"]) for e in _load_manifest(root, v)}
+        except FileNotFoundError:
+            continue  # concurrently expired
+        out |= {_abs(d["path"]) for d in snap.get("delete_files") or []}
+    for s in _staged_full(root):
+        out |= {_abs(e["path"]) for e in s["entries"]}
+    bdir = os.path.join(root, _META, "branches")
+    if os.path.isdir(bdir):
+        for name in sorted(os.listdir(bdir)):
+            sub = os.path.join(bdir, name)
+            if os.path.isdir(os.path.join(sub, _META)):
+                out |= _family_referenced_abs(sub, skip_subtree)
+    return out
+
+
+def _external_referenced(path: str) -> set[str]:
+    """Paths that OTHER roots of this table family (the parent chain,
+    sibling branches, this root's own branches) still reference,
+    re-addressed for THIS root: relative when under it, absolute
+    otherwise. expire()/remove_orphans() treat these as live so no
+    root can reclaim a file another root still reads — the cross-root
+    twin of Iceberg's branch-aware expire_snapshots."""
+    absroot = os.path.abspath(path)
+    fam = _family_referenced_abs(_top_root(path), skip_subtree=absroot)
+    # ...but this root's own BRANCHES must still protect (skip_subtree
+    # removed them together with the root itself): add them back
+    bdir = os.path.join(path, _META, "branches")
+    if os.path.isdir(bdir):
+        for name in sorted(os.listdir(bdir)):
+            sub = os.path.join(bdir, name)
+            if os.path.isdir(os.path.join(sub, _META)):
+                fam |= _family_referenced_abs(sub)
+    out = set()
+    for ap in fam:
+        if ap.startswith(absroot + os.sep):
+            out.add(os.path.relpath(ap, absroot))
+        else:
+            out.add(ap)
+    return out

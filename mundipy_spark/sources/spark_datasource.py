@@ -293,7 +293,11 @@ class SnaptableStreamReader(DataSourceStreamReader):
     the cap can never regress the offset behind the checkpoint and
     re-deliver rows. Deleting a live stream's hw file re-bases the
     cap at initial_snapshot and CAN regress — leave them alone
-    (expire()/remove_orphans never touch them)."""
+    (expire()/remove_orphans never touch them). Trigger.AvailableNow
+    latches latestOffset ONCE, so with the cap each invocation
+    advances at most N versions then stops — loop availableNow runs
+    until drained, or use a processingTime trigger (which drains in
+    capped batches)."""
 
     def __init__(self, options, schema: StructType):
         self._path = _table_path(options)
@@ -312,6 +316,10 @@ class SnaptableStreamReader(DataSourceStreamReader):
                 "limit's high-water mark must survive restarts or the "
                 "capped offset could regress behind the checkpoint"
             )
+        if self._stream_id:
+            from mundipy_spark.sources import snaptable
+
+            snaptable._check_ref_name(self._stream_id)  # fail at setup
         initial = str(options.get("initial_snapshot", "earliest"))
         if initial == "earliest":
             self._initial = 0
@@ -334,8 +342,18 @@ class SnaptableStreamReader(DataSourceStreamReader):
         try:
             with open(self._hw_path()) as f:
                 return int(json.load(f)["seen"])
-        except (FileNotFoundError, ValueError, KeyError):
-            return self._initial
+        except FileNotFoundError:
+            return self._initial  # fresh query: cap from initial
+        except (ValueError, KeyError) as e:
+            # a corrupt mark must NOT silently re-base the cap at
+            # initial — that regresses the offset behind the committed
+            # checkpoint and re-delivers rows; fail loudly instead
+            raise RuntimeError(
+                f"snaptable stream: high-water file {self._hw_path()} "
+                "is corrupt — remove the rate limit (or repair the "
+                "file with the last committed snapshot version) before "
+                "restarting"
+            ) from e
 
     def _hw_store(self, v: int) -> None:
         import uuid as _uuid
@@ -440,7 +458,9 @@ class SnaptableDataSource(DataSource):
     - initial_snapshot (stream): 'earliest' (default) | 'latest' | int
     - max_versions_per_batch + stream_id (stream): micro-batch rate
       limit (Iceberg max-files admission control); the stream_id keys
-      the persisted high-water mark that keeps the cap restart-safe
+      the persisted high-water mark that keeps the cap restart-safe.
+      With Trigger.AvailableNow each run advances at most the cap —
+      loop until drained, or use a processingTime trigger
     - skip_rewrites / skip_deletes (stream): cross non-append snapshots
     """
 

@@ -520,3 +520,17 @@ def test_degenerate_zero_length_lines_are_point_like():
             np.array([[6.0, 6.0], [6.0, 6.0]])])
     assert P.contains(poly, mzl)
     assert P.relate(mzl, poly) == "0FFFFF212"
+
+
+def test_degenerate_multiline_with_empty_component():
+    """GEOS ignores empty components: a MultiLineString of collapsed
+    parts plus an empty part still normalizes to the point set."""
+    poly = ("Polygon", [np.array(
+        [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float
+    )])
+    g = ("MultiLineString",
+         [np.array([[5.0, 5.0], [5.0, 5.0]]),
+          np.empty((0, 2), dtype=float)])
+    assert P.intersects(poly, g)
+    assert P.contains(poly, g)
+    assert P.relate(g, poly) == "0FFFFF212"

@@ -169,3 +169,79 @@ def test_branch_supports_wap_and_tags(spark, tmp_path):
     snaptable.tag(root, "b-rel")
     assert snaptable.read(spark, root, ref="b-rel").count() == 70
     assert snaptable.read(spark, path).count() == 50
+
+
+def test_main_expire_protects_branch_referenced_fork_files(spark, tmp_path):
+    """main compact + expire must NOT reclaim fork files a live branch
+    still reads — cross-root liveness (Iceberg's branch-aware
+    expire_snapshots)."""
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 100), stats_cols=["doc_id"])
+    root = snaptable.branch_create(path, "dev")
+    snaptable.compact(spark, path, target_files=1)  # fork files dead in main
+    snaptable.expire(path, keep_from=snaptable.current_version(path))
+    # the branch still reads the fork's file set
+    assert snaptable.read(spark, root).count() == 100
+    assert snaptable.read(spark, path).count() == 100
+
+
+def test_branch_expire_protects_fast_forwarded_files(spark, tmp_path):
+    """After a fast-forward MAIN references files under the branch
+    directory; a later branch compact + expire must not reclaim them."""
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 50), stats_cols=["doc_id"])
+    root = snaptable.branch_create(path, "w")
+    snaptable.append(spark, root, _docs(spark, 50, 80, gen=1))
+    snaptable.fast_forward(path, "w")
+    # branch keeps evolving, rewrites its own history, expires it
+    snaptable.compact(spark, root, target_files=1)
+    snaptable.expire(root, keep_from=snaptable.current_version(root))
+    snaptable.remove_orphans(root, older_than_s=0.0)
+    # main still reads the fast-forwarded (pre-compact) branch files
+    assert snaptable.read(spark, path).count() == 80
+
+
+def test_branch_name_reuse_after_forwarded_drop_is_refused(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 50), stats_cols=["doc_id"])
+    root = snaptable.branch_create(path, "wave")
+    snaptable.append(spark, root, _docs(spark, 50, 60, gen=1))
+    snaptable.fast_forward(path, "wave")
+    assert snaptable.drop_branch(path, "wave") == {"data_kept": True}
+    # the data directory main references is still there: a recreated
+    # branch would inherit files none of its snapshots reference
+    with pytest.raises(ValueError, match="pick a new name"):
+        snaptable.branch_create(path, "wave")
+    assert snaptable.read(spark, path).count() == 60
+
+
+def test_fast_forward_resume_tolerates_expired_adopted_snaps(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 50), stats_cols=["doc_id"])
+    snaptable.branch_create(path, "w")
+    root = snaptable.branch_root(path, "w")
+    snaptable.append(spark, root, _docs(spark, 50, 60, gen=1))
+    snaptable.append(spark, root, _docs(spark, 60, 70, gen=1))
+    snaptable.fast_forward(path, "w")  # main at v3
+    snaptable.append(spark, path, _docs(spark, 900, 910))  # v4
+    snaptable.expire(path, keep_from=4)  # adopted v2/v3 metadata gone
+    # a retried forward must be a clean no-op, not FileNotFoundError
+    assert snaptable.fast_forward(path, "w") == 3
+    assert snaptable.read(spark, path).count() == 80
+
+
+def test_branch_fork_survives_branch_expire(spark, tmp_path):
+    """The fork version is durable metadata: a branch that expired its
+    own early snapshots (including the fork snapshot) still reports
+    and forwards from the true fork."""
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 50), stats_cols=["doc_id"])
+    root = snaptable.branch_create(path, "w")  # fork = 1
+    snaptable.append(spark, root, _docs(spark, 50, 60, gen=1))  # v2
+    snaptable.append(spark, root, _docs(spark, 60, 70, gen=1))  # v3
+    snaptable.expire(root, keep_from=3)  # branch snap 1..2 gone
+    assert snaptable.branches(path)["w"]["fork"] == 1
+    # forwarding now must fail loudly (v2 history is gone), not adopt
+    # a gapped history silently
+    with pytest.raises(ValueError, match="expired before it was fast-forwarded"):
+        snaptable.fast_forward(path, "w")

@@ -356,3 +356,28 @@ def test_stream_rate_limit_caps_batches_and_survives_restart(spark, tmp_path):
         spark_datasource.SnaptableStreamReader(
             {"path": path, "max_versions_per_batch": "2"}, got.schema
         )
+
+
+def test_stream_rate_limit_corrupt_mark_fails_loudly(spark, tmp_path):
+    """A corrupt high-water file must raise, not silently re-base the
+    cap at initial (which would regress the offset behind the
+    checkpoint and re-deliver rows); an invalid stream_id fails at
+    reader construction."""
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 10), stats_cols=["doc_id"])
+    schema = snaptable.read(spark, path).schema
+    r = spark_datasource.SnaptableStreamReader(
+        {"path": path, "max_versions_per_batch": "2", "stream_id": "s1"},
+        schema,
+    )
+    hw = os.path.join(path, "metadata", "streamhw-s1.json")
+    with open(hw, "w") as f:
+        f.write("{not json")
+    with pytest.raises(RuntimeError, match="corrupt"):
+        r.latestOffset()
+    with pytest.raises(ValueError, match="ref name"):
+        spark_datasource.SnaptableStreamReader(
+            {"path": path, "max_versions_per_batch": "2",
+             "stream_id": "bad/name"},
+            schema,
+        )
