@@ -1414,6 +1414,43 @@ def q_snap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writable branch + fast-forward (sources/snaptable.py
+    branch_create/branch_root/fast_forward — Iceberg branch refs):
+    documents land on main; a branch forks it (shared files, no
+    copies); ON THE BRANCH a recrawl wave appends (+1M ids, source
+    'wave') and a takedown deletes fork-era key 11 (the branch's
+    version counter is seeded at the fork, so the delete's sequence
+    number correctly out-ranks the fork files); main stays untouched
+    until fast_forward adopts the branch's commits one-to-one. The
+    DuckDB twin computes base-minus-key union wave directly, so a
+    fork that copies stale state, a delete that mis-sequences across
+    the fork, or a forward that loses commits breaks value-exactness."""
+    from mundipy_spark.sources import snaptable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.length("text").alias("text_len")
+    )
+    path = _tmp_table_dir("snaptable_b_")
+    snaptable.create(spark, path, docs, stats_cols=["doc_id"])
+    root = snaptable.branch_create(path, "wave")
+    snaptable.append(
+        spark,
+        root,
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.lit("wave").alias("source"),
+            "text_len",
+        ),
+    )
+    snaptable.delete_keys(
+        spark, root, spark.createDataFrame([(11,)], "doc_id long")
+    )
+    assert snaptable.read(spark, path).count() == docs.count()  # isolated
+    snaptable.fast_forward(path, "wave")
+    return snaptable.read(spark, path).select("doc_id", "source", "text_len")
+
+
 def q_snap_adopt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-place parquet adoption (sources/snaptable.py add_files —
     Iceberg's add_files/migrate): documents are written as a plain
@@ -1693,9 +1730,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     appeared in a driver CORRECTNESS file, then (c) round-3-verified
     entries with this round's code changes first. The tail beyond 50
     (earliest operators, value-exact in r01+r02+r03) rotates out; all
-    75 remain covered by tools/check_oracle.py and pytest."""
+    76 remain covered by tools/check_oracle.py and pytest."""
     return {
         # (a) never / newly oracle-checked
+        "snap_branch": q_snap_branch,
         "snap_adopt": q_snap_adopt,
         "snap_wap": q_snap_wap,
         "snap_reader": q_snap_reader,
@@ -1747,8 +1785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vectorize": q_vectorize,
         "rasterize": q_rasterize,
         "crs_ingest": q_crs_ingest,
-        "tpch_q5": q_tpch_q5,
         # --- driver window boundary: exactly 50 entries above ---
+        "tpch_q5": q_tpch_q5,
         "tpch_q3": q_tpch_q3,
         "tpch_q1": q_tpch_q1,
         "gazetteer": q_gazetteer,
@@ -1834,6 +1872,14 @@ UNION ALL
 SELECT doc_id, 'recrawl' AS source, length(text) + 5 AS text_len,
        'insert' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
 FROM documents WHERE doc_id % 14 = 2
+""",
+        "snap_branch": """
+SELECT doc_id, source, length(text) AS text_len
+FROM documents WHERE doc_id <> 11
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, 'wave' AS source,
+       length(text) AS text_len
+FROM documents
 """,
         "snap_adopt": """
 SELECT doc_id, source, length(text) AS text_len
