@@ -93,6 +93,24 @@ def current_version(path: str) -> int:
     return best
 
 
+def earliest_version(path: str) -> int:
+    """The OLDEST live snapshot (0 = empty table): where history
+    actually starts after expire() (or at a branch's fork) — the
+    anchor for 'earliest' streaming reads and full-history scans."""
+    meta = _meta_dir(path)
+    if not os.path.isdir(meta):
+        return 0
+    best = 0
+    for name in os.listdir(meta):
+        if name.startswith("snap-") and name.endswith(".json"):
+            try:
+                v = int(name[5:-5])
+            except ValueError:
+                continue
+            best = v if best == 0 else min(best, v)
+    return best
+
+
 def snapshots(path: str) -> list[dict]:
     """Commit history, oldest first."""
     out = []

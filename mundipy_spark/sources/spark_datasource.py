@@ -322,7 +322,15 @@ class SnaptableStreamReader(DataSourceStreamReader):
             snaptable._check_ref_name(self._stream_id)  # fail at setup
         initial = str(options.get("initial_snapshot", "earliest"))
         if initial == "earliest":
-            self._initial = 0
+            from mundipy_spark.sources import snaptable
+
+            # the oldest LIVE snapshot, not version 0: a table whose
+            # early history was expired (or a branch, whose versions
+            # start at the fork) has no snapshots below it to deliver,
+            # and planning across the gap would error as "expired"
+            self._initial = max(
+                0, snaptable.earliest_version(self._path) - 1
+            )
         elif initial == "latest":
             from mundipy_spark.sources import snaptable
 
@@ -386,12 +394,21 @@ class SnaptableStreamReader(DataSourceStreamReader):
                 else set()
             )
         except FileNotFoundError:
-            raise ValueError(
-                f"snaptable stream {self._path}: checkpointed snapshot "
-                f"{start} was expired; the stream cannot resume from a "
-                "reclaimed snapshot — restart with a fresh checkpoint "
-                "(and a retention window longer than consumer downtime)"
-            ) from None
+            if start == snaptable.earliest_version(self._path) - 1:
+                # start sits exactly one before where live history
+                # begins (an 'earliest' read on an expired-history
+                # table, or a branch whose versions start at the
+                # fork): the first live snapshot's full state IS the
+                # first batch
+                prev = set()
+            else:
+                raise ValueError(
+                    f"snaptable stream {self._path}: checkpointed "
+                    f"snapshot {start} was expired; the stream cannot "
+                    "resume from a reclaimed snapshot — restart with a "
+                    "fresh checkpoint (and a retention window longer "
+                    "than consumer downtime)"
+                ) from None
         for v in range(start + 1, end + 1):
             try:
                 snap = snaptable._load_snapshot(self._path, v)

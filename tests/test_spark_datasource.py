@@ -381,3 +381,28 @@ def test_stream_rate_limit_corrupt_mark_fails_loudly(spark, tmp_path):
              "stream_id": "bad/name"},
             schema,
         )
+
+
+def test_stream_earliest_from_expired_history_and_branch(spark, tmp_path):
+    """'earliest' must anchor at the first LIVE snapshot: a table whose
+    early history was expired (and a branch, whose versions start at
+    the fork) streams its current state as the first batch instead of
+    erroring on the reclaimed versions."""
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 10), stats_cols=["doc_id"])
+    snaptable.append(spark, path, _docs(spark, 10, 30))
+    snaptable.append(spark, path, _docs(spark, 30, 40))
+    snaptable.expire(path, keep_from=3)  # v1/v2 metadata gone
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_available_now(spark, path, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 40
+    assert got.agg(F.sum("doc_id")).first()[0] == sum(range(40))
+
+    # branch: versions start at the fork; earliest = fork state
+    root = snaptable.branch_create(path, "bstream")
+    snaptable.append(spark, root, _docs(spark, 100, 105))
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    _run_available_now(spark, root, out2, ck2)
+    got2 = spark.read.parquet(out2)
+    assert got2.count() == 45
