@@ -60,6 +60,24 @@ elif job == "snapread":
         .agg(F.bit_xor(F.xxhash64("doc_id", "url", "text")), F.count("*"))
         .collect()
     )
+elif job == "snapwrite":
+    # the snapshot-table INGEST path: generate pages (map-only, the
+    # stand-in for reading an upstream feed) -> parquet write + the
+    # one-job distributed stats pass + atomic commit. Write-bound with
+    # a single groupBy(input_file_name) aggregate; each timed run
+    # lands a fresh table and removes it.
+    import shutil, tempfile
+    from mundipy_spark.sources import snaptable
+    factor = int(os.environ.get("BENCH_REPLICATION", "6000")) // 30
+    pages = bench.replicated_pages(
+        spark, sf_dir, max(factor, 1), parallelism=2 * cpus
+    ).select("doc_id", "url", "text")
+    n = pages.count()
+    def _ingest():
+        path = os.path.join(tempfile.mkdtemp(prefix="snapwrite_"), "t")
+        snaptable.create(spark, path, pages, stats_cols=["doc_id"])
+        shutil.rmtree(path, ignore_errors=True)
+    dt = bench.timed_best(_ingest)
 else:  # pardedup: the shuffle/aggregate-bound webtext regime
     from pyspark.sql import functions as F
     from mundipy_spark.operators import paragraphs
