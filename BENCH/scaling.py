@@ -217,6 +217,11 @@ def main() -> None:
             # fixed-cost-dominated (4.5s at 8 cores) and the ratio
             # reads ~0.7 regardless of plan quality
             (2, 8, "9000", "pardedup"),
+            # table read + ingest regimes (sized per the postscripts:
+            # small inputs are fixed-cost-dominated and read low
+            # regardless of plan quality)
+            (2, 8, "24000", "snapread"),
+            (2, 8, "90000", "snapwrite"),
         ]
     if any(p[3] == "snapread" for p in pairs) and "SNAPREAD_PATH" not in os.environ:
         build_snapread_table()
