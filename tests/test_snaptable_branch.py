@@ -245,3 +245,26 @@ def test_branch_fork_survives_branch_expire(spark, tmp_path):
     # a gapped history silently
     with pytest.raises(ValueError, match="expired before it was fast-forwarded"):
         snaptable.fast_forward(path, "w")
+
+
+def test_nested_branch_of_branch(spark, tmp_path):
+    """A branch root is a full table, so branching FROM a branch works
+    naturally; cross-root liveness protects the whole family chain."""
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 50), stats_cols=["doc_id"])
+    r1 = snaptable.branch_create(path, "b1")
+    snaptable.append(spark, r1, _docs(spark, 50, 70, gen=1))
+    r2 = snaptable.branch_create(r1, "b2")  # branch OF the branch
+    snaptable.append(spark, r2, _docs(spark, 70, 80, gen=2))
+    assert snaptable.read(spark, r2).count() == 80
+    assert snaptable.read(spark, r1).count() == 70
+    assert snaptable.read(spark, path).count() == 50
+    # ff the inner branch into its parent, then parent into main
+    snaptable.fast_forward(r1, "b2")
+    assert snaptable.read(spark, r1).count() == 80
+    snaptable.fast_forward(path, "b1")
+    assert snaptable.read(spark, path).count() == 80
+    # grandparent expire must not break the grandchild's files
+    snaptable.compact(spark, path, target_files=1)
+    snaptable.expire(path, keep_from=snaptable.current_version(path))
+    assert snaptable.read(spark, r2).count() == 80

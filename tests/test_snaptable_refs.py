@@ -431,3 +431,59 @@ def test_compact_small_partitioned_converges(spark, tmp_path):
     assert got.agg(F.sum("doc_id")).first()[0] == sum(range(160))
     # at the per-tuple floor: no-op, no churn
     assert snaptable.compact_small(spark, path, small_mb=1.0) == v
+
+
+def test_add_files_on_partitioned_table_scans_conservatively(spark, tmp_path):
+    """Adopted entries carry no partition tuple, so hidden-partition
+    pruning keeps them (conservative) while table-written files still
+    prune; results stay exact either way."""
+    ext = str(tmp_path / "ext")
+    _docs(spark, 1000, 1100).coalesce(1).write.parquet(ext)
+    path = str(tmp_path / "t")
+    snaptable.create(
+        spark, path, _docs(spark, 0, 400), stats_cols=["doc_id"],
+        partition_by=["bucket(4, doc_id)"],
+    )
+    snaptable.add_files(spark, path, ext)
+    got = snaptable.scan(spark, path, [("doc_id", "=", 1050)])
+    assert got.count() == 1
+    plan = snaptable.plan_scan(path, [("doc_id", "=", 3)])
+    # bucket pruning drops 3 of 4 table files; the adopted file is kept
+    # by the partition check but dropped by its doc_id stats (1000+)
+    assert plan["files_kept"] < plan["files_total"]
+    assert snaptable.read(spark, path).count() == 500
+
+
+def test_partitions_df_across_spec_evolution(spark, tmp_path):
+    """Entries written under different specs report their own tuples;
+    the JSON partition column keeps the schema stable."""
+    path = str(tmp_path / "t")
+    snaptable.create(
+        spark, path, _docs(spark, 0, 100).coalesce(1),
+        stats_cols=["doc_id"], partition_by=["bucket(2, doc_id)"],
+    )
+    snaptable.evolve_partition_by(path, ["bucket(4, doc_id)"])
+    snaptable.append(spark, path, _docs(spark, 100, 200).coalesce(1))
+    parts = snaptable.partitions_df(spark, path).collect()
+    assert sum(r["row_count"] for r in parts) == 200
+    keys = {r["partition"] for r in parts}
+    assert len(keys) == len(parts)  # distinct tuples, old + new spec
+
+
+def test_compact_small_folds_adopted_files_into_table(spark, tmp_path):
+    """Small ADOPTED files bin-pack into table-owned files; the
+    external originals stay in place (ownership boundary) but leave
+    the manifest."""
+    ext = str(tmp_path / "ext")
+    _docs(spark, 1000, 1040).repartition(4).write.parquet(ext)
+    path = str(tmp_path / "t")
+    snaptable.create(spark, path, _docs(spark, 0, 50), stats_cols=["doc_id"])
+    snaptable.add_files(spark, path, ext)
+    v = snaptable.compact_small(spark, path, small_mb=64.0)
+    man = snaptable._load_manifest(path, v)
+    assert not any(e["path"].startswith(ext) for e in man)
+    assert snaptable.read(spark, path).count() == 90
+    # originals untouched
+    assert any(
+        n.endswith(".parquet") for _, _, ns in os.walk(ext) for n in ns
+    )
