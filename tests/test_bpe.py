@@ -1,0 +1,107 @@
+"""BPE tokenizer training (operators/bpe.py): hand-derived merges,
+greedy-fold semantics, DuckDB-twin parity, and the token-count
+application."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mundipy_spark.operators import bpe
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "low lower lowest low low",
+                "newer new newest wider wide",
+                "aaaa aaaa a.b a.b c(d",
+                "héllo héllo wörld   spaced",
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_hand_derived_merges(spark):
+    # corpus: low x3, lower, lowest -> pair (l,o) appears 5x (every
+    # word), then (o,w) ... hand-check the first two merges.
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest")], ["doc_id", "text"]
+    )
+    m = bpe.bpe_train(docs, "text", n_merges=2).collect()
+    # round 0: every word contributes (l,o) and (o,w): both cnt 5;
+    # tie-break pair-string asc -> "l o" < "o w" picks (l,o).
+    assert (m[0]["left"], m[0]["right"], m[0]["pair_freq"]) == ("l", "o", 5)
+    # round 1: (lo,w) now appears 5x, beats everything else.
+    assert (m[1]["left"], m[1]["right"], m[1]["pair_freq"]) == ("lo", "w", 5)
+
+
+def test_greedy_fold_is_left_to_right(spark):
+    # "a a a a a </w>" under merge (a,a) must give "aa aa a </w>"
+    # (scan resumes AFTER a merged token), never "aa a aa </w>".
+    docs = spark.createDataFrame([(1, "aaaaa aaaaa")], ["doc_id", "text"])
+    m = bpe.bpe_train(docs, "text", n_merges=1).collect()
+    assert (m[0]["left"], m[0]["right"]) == ("a", "a")
+    v = bpe.bpe_vocab(docs, "text", n_merges=1).collect()
+    assert v[0]["seq"] == "aa aa a </w>"
+
+
+def test_duckdb_twin_parity(corpus):
+    docs, pdf = corpus
+    m_pd = (
+        bpe.bpe_train(docs, "text", n_merges=6)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    o_pd = con.sql(bpe.bpe_train_sql(6)).df().reset_index(drop=True)
+    assert m_pd.astype(str).equals(o_pd.astype(str))
+
+
+def test_token_counts_match_vocab_segmentation(corpus):
+    docs, _ = corpus
+    merges = bpe.bpe_train(docs, "text", n_merges=4)
+    tc = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe.bpe_token_counts(docs, "doc_id", "text", merges).collect()
+    }
+    # independent recomputation: segment each distinct word via the
+    # final vocab, then sum per doc.
+    vocab = {
+        r["seq"].replace(" ", "").replace(bpe.MARKER, ""): len(
+            r["seq"].split(" ")
+        )
+        for r in bpe.bpe_vocab(docs, "text", n_merges=4).collect()
+    }
+    docs_pd = docs.toPandas()
+    for _, row in docs_pd.iterrows():
+        words = [w for w in row["text"].split() if w]
+        assert tc[row["doc_id"]] == sum(vocab[w] for w in words)
+
+
+def test_vocab_exhaustion_raises(spark):
+    docs = spark.createDataFrame([(1, "ab ab")], ["doc_id", "text"])
+    # "a b </w>" has two distinct pairs; the third merge round has
+    # a single-symbol vocab left -> loud ValueError, never a silent
+    # twin divergence.
+    with pytest.raises(ValueError, match="exhausted"):
+        bpe.bpe_train(docs, "text", n_merges=4)
+
+
+def test_max_vocab_prunes_deterministically(spark):
+    docs = spark.createDataFrame(
+        [(1, "xx xx xx yy yy zz")], ["doc_id", "text"]
+    )
+    # top-2 words by (freq desc, seq asc): xx (3), yy (2) — zz pruned,
+    # so the (z,z) pair never appears in any round.
+    m = bpe.bpe_train(docs, "text", n_merges=2, max_vocab=2).collect()
+    assert all("z" not in r["merged"] for r in m)
+    # round 0: (x,x) and (x,</w>) both count 3; binary tie-break
+    # "x </w>" < "x x" picks the marker pair first.
+    assert (m[0]["left"], m[0]["right"]) == ("x", "</w>")
+    assert (m[1]["left"], m[1]["right"]) == ("x", "x</w>")
