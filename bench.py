@@ -297,6 +297,7 @@ def main() -> None:
         "len_quantiles": entry_mod.q_len_quantiles,
         "curate_gopher": entry_mod.q_curate_gopher,
         "kmeans": entry_mod.q_kmeans,
+        "bpe_train": entry_mod.q_bpe_train,
     }
     for name, fn in suite.items():
         queries[name] = round(

@@ -155,10 +155,14 @@ def bpe_train(
             merges.append((step_i, a, b, a + b, int(cnt)))
             nxt = _apply_merge(vocab, a, b)
             if (step_i + 1) % checkpoint_every == 0 and step_i + 1 < n_merges:
+                # lineage cut: materializes eagerly, parents safe to drop
                 nxt = nxt.localCheckpoint(eager=True)
             else:
+                # lazy persist: the next round's argmax job materializes
+                # it; until then the ≤checkpoint_every pending folds
+                # replay over the last cut — map-only work on the vocab,
+                # cheaper than an extra eager pass per round
                 nxt = nxt.persist()
-                nxt.count()
             vocab.unpersist()
             vocab = nxt
     finally:
