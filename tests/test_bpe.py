@@ -105,3 +105,41 @@ def test_max_vocab_prunes_deterministically(spark):
     # "x </w>" < "x x" picks the marker pair first.
     assert (m[0]["left"], m[0]["right"]) == ("x", "</w>")
     assert (m[1]["left"], m[1]["right"]) == ("x", "x</w>")
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# words over a hostile alphabet: regex metachars, quotes, unicode,
+# multi-byte; never whitespace (words are split on \s).
+_word = st.text(
+    alphabet="ab.()[]$^\\'\"é☃z0", min_size=1, max_size=5
+).filter(lambda w: w.strip() == w and w != "")
+_doc = st.lists(_word, min_size=1, max_size=8).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=6), st.integers(1, 3))
+def test_bpe_twin_parity_property(spark, docs_texts, n_merges):
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(docs_texts)), "text": docs_texts}
+    )
+    docs = spark.createDataFrame(pdf)
+    try:
+        m_pd = (
+            bpe.bpe_train(docs, "text", n_merges=n_merges)
+            .toPandas()
+            .reset_index(drop=True)
+        )
+    except ValueError:
+        # vocab exhausted: the twin has no early stop — skip, the
+        # dedicated exhaustion test pins the loud failure mode
+        return
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    o_pd = (
+        con.sql(bpe.bpe_train_sql(n_merges)).df().reset_index(drop=True)
+    )
+    assert m_pd.astype(str).equals(o_pd.astype(str))
