@@ -119,6 +119,7 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 8,
     max_vocab: int | None = None,
+    min_freq: int = 1,
     checkpoint_every: int = 4,
 ) -> DataFrame:
     """Learn `n_merges` BPE merges from the corpus; returns the merge
@@ -132,7 +133,15 @@ def bpe_train(
     early stop, so exhaustion is loud rather than silently divergent.
     """
     spark = docs.sparkSession
-    vocab = _initial_vocab(word_counts(docs, text_col))
+    wc = word_counts(docs, text_col)
+    if min_freq > 1:
+        # the SCALE path for bounding the vocab: a map-side filter, no
+        # global order. `max_vocab` (top-N by freq) plans a
+        # TakeOrdered whose single reduce task holds N rows — fine for
+        # tokenizer-sized N (1e5..1e6), wrong for "most of the vocab";
+        # a frequency cutoff bounds the tail at any corpus size.
+        wc = wc.filter(F.col("freq") >= min_freq)
+    vocab = _initial_vocab(wc)
     if max_vocab is not None:
         vocab = vocab.orderBy(F.desc("freq"), F.asc("seq")).limit(max_vocab)
     vocab = vocab.persist()

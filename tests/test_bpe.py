@@ -143,3 +143,15 @@ def test_bpe_twin_parity_property(spark, docs_texts, n_merges):
         con.sql(bpe.bpe_train_sql(n_merges)).df().reset_index(drop=True)
     )
     assert m_pd.astype(str).equals(o_pd.astype(str))
+
+
+def test_min_freq_bounds_the_tail(spark):
+    docs = spark.createDataFrame(
+        [(1, "xx xx xx yy yy zz")], ["doc_id", "text"]
+    )
+    # min_freq=2 drops the singleton zz before any round — same
+    # merges as the max_vocab=2 run, via a map-side filter instead of
+    # a global top-N (the 100 TB path).
+    m = bpe.bpe_train(docs, "text", n_merges=2, min_freq=2).collect()
+    assert all("z" not in r["merged"] for r in m)
+    assert (m[0]["left"], m[0]["right"]) == ("x", "</w>")
