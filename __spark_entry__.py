@@ -1427,6 +1427,46 @@ def q_snap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snap_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format("snaptable") WRITE path (sources/spark_datasource.py
+    SnaptableBatchWriter): documents land through
+    `df.write.format("snaptable")` — mode("overwrite") creates the
+    table (hidden bucket partitioning + doc_id stats declared via
+    options), mode("append") lands a shifted recrawl wave, and a MOR
+    takedown between the two proves the format writer's snapshots
+    carry correct sequence numbers (the re-appended key survives the
+    older delete). Read back through the format with a pruning
+    predicate. The DuckDB twin computes create+delete+append directly,
+    so a writer that drops a partition tuple, mis-stamps seq, or
+    mis-collects stats (silent mis-prune) breaks value-exactness."""
+    from mundipy_spark.sources import snaptable, spark_datasource
+
+    spark_datasource.register(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.length("text").alias("text_len")
+    )
+    path = _tmp_table_dir("snapwrite_q_")
+    docs.write.format("snaptable").mode("overwrite").option(
+        "stats_cols", '["doc_id"]'
+    ).option("partition_by", '["bucket(4, source)"]').save(path)
+    # MOR takedown of doc_id % 9 == 3, then a format append that
+    # re-adds the 3-mod-90 slice with a NEW source tag: those rows'
+    # higher seq must out-rank the delete
+    snaptable.delete_keys(
+        spark, path, docs.filter(F.col("doc_id") % 9 == 3).select("doc_id")
+    )
+    wave = docs.filter(F.col("doc_id") % 90 == 3).select(
+        "doc_id", F.lit("rewave").alias("source"), "text_len"
+    )
+    wave.write.format("snaptable").mode("append").save(path)
+    return (
+        spark.read.format("snaptable")
+        .option("predicates", '[["doc_id", ">=", 40]]')
+        .load(path)
+        .select("doc_id", "source", "text_len")
+    )
+
+
 def q_snap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Writable branch + fast-forward (sources/snaptable.py
     branch_create/branch_root/fast_forward — Iceberg branch refs):
@@ -1743,10 +1783,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     appeared in a driver CORRECTNESS file, then (c) round-3-verified
     entries with this round's code changes first. The tail beyond 50
     (earliest operators, value-exact in r01+r02+r03) rotates out; all
-    77 remain covered by tools/check_oracle.py and pytest."""
+    78 remain covered by tools/check_oracle.py and pytest."""
     return {
         # (a) never / newly oracle-checked
         "bpe_train": q_bpe_train,
+        "snap_write": q_snap_write,
         "snap_branch": q_snap_branch,
         "snap_adopt": q_snap_adopt,
         "snap_wap": q_snap_wap,
@@ -1797,8 +1838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_weighted": q_overlap_weighted,
         "geocode_triangles": q_geocode_triangles,
         "vectorize": q_vectorize,
-        "rasterize": q_rasterize,
         # --- driver window boundary: exactly 50 entries above ---
+        "rasterize": q_rasterize,
         "crs_ingest": q_crs_ingest,
         "tpch_q5": q_tpch_q5,
         "tpch_q3": q_tpch_q3,
@@ -1867,6 +1908,16 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "bpe_train": bpe.bpe_train_sql(8),
+        "snap_write": """
+WITH base AS (
+  SELECT doc_id, source, length(text) AS text_len FROM documents
+)
+SELECT doc_id, source, text_len FROM base
+WHERE doc_id % 9 <> 3 AND doc_id >= 40
+UNION ALL
+SELECT doc_id, 'rewave' AS source, text_len FROM base
+WHERE doc_id % 90 = 3 AND doc_id >= 40
+""",
         "snap_reader": """
 WITH base AS (
   SELECT doc_id, source, length(text) AS text_len FROM documents

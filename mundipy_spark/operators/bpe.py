@@ -184,12 +184,14 @@ def bpe_vocab(
     text_col: str = "text",
     n_merges: int = 8,
     max_vocab: int | None = None,
+    min_freq: int = 1,
 ) -> DataFrame:
     """(seq, freq) vocabulary AFTER applying the learned merges —
     the distinct-word segmentation table used to encode the corpus
     (broadcast-join it against exploded words; the fold runs |V|
-    times, never |corpus| times)."""
-    merges = bpe_train(docs, text_col, n_merges, max_vocab).collect()
+    times, never |corpus| times). Merges are learned on the
+    min_freq/max_vocab-bounded vocab but applied to the full one."""
+    merges = bpe_train(docs, text_col, n_merges, max_vocab, min_freq).collect()
     vocab = _initial_vocab(word_counts(docs, text_col))
     for m in merges:
         vocab = _apply_merge(vocab, m["left"], m["right"])

@@ -682,10 +682,16 @@ def _check_additive(path: str, snap: dict, df: DataFrame, op: str) -> None:
     df may grow columns beyond the table schema, but every existing
     column must keep its name and type (dropping or retyping would
     silently corrupt reads of pre-evolution files)."""
+    _check_additive_schema(path, snap, df.schema, op)
+
+
+def _check_additive_schema(path: str, snap: dict, schema, op: str) -> None:
+    """Schema-typed variant (used by the format("snaptable") writer,
+    which holds a StructType rather than a DataFrame)."""
     from pyspark.sql.types import StructType
 
     old = StructType.fromJson(json.loads(snap["schema"]))
-    new_fields = {f.name: f.dataType for f in df.schema.fields}
+    new_fields = {f.name: f.dataType for f in schema.fields}
     for f in old.fields:
         if f.name not in new_fields:
             raise ValueError(

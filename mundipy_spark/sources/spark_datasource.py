@@ -59,9 +59,11 @@ from typing import Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -519,6 +521,258 @@ class SnaptableDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> SnaptableStreamReader:
         return SnaptableStreamReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return SnaptableBatchWriter(self.options, schema, overwrite)
+
+
+class _WriteMessage(WriterCommitMessage):
+    """Per-task commit message: the manifest entries (table-relative
+    path, rows, stats, partition tuple) for each file the task wrote.
+    This must be picklable; entries are plain JSON-safe dicts."""
+
+    def __init__(self, entries: list[dict]):
+        self.entries = entries
+
+
+def _naive_utc(v):
+    """Normalize a tz-aware datetime to the naive-UTC wall clock the
+    library's stats collection records (Spark collect under the
+    pinned UTC session returns naive datetimes); other values pass
+    through untouched."""
+    import datetime
+
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+def _hive_component(name: str, value) -> str:
+    """Directory name for one partition value. Values are NEVER parsed
+    back from directory names (the manifest carries the tuple; see the
+    session-9 review note in snaptable._stats_rows_to_entries), so the
+    encoding only needs to be filesystem-safe and distinct per value."""
+    from urllib.parse import quote
+
+    if value is None:
+        return f"{name}=__HIVE_DEFAULT_PARTITION__"
+    return f"{name}={quote(str(value), safe='')}"
+
+
+class SnaptableBatchWriter(DataSourceArrowWriter):
+    """`df.write.format("snaptable").mode("append"|"overwrite")` — the
+    WRITE half of the format surface, so code that never imports
+    mundipy_spark can land data in the Iceberg-role table.
+
+    Semantics match the library writers exactly:
+    - append  -> one `append` snapshot (additive schema evolution
+      allowed, same guard as snaptable.append); table must exist.
+    - overwrite -> one `replace` snapshot (INSERT OVERWRITE: all prior
+      files dropped from the head, outstanding eq-deletes cleared,
+      history stays time-travelable); creates the table when missing
+      (`stats_cols` / `partition_by` options apply only then).
+
+    Scale + atomicity shape:
+    - each task STREAMS its Arrow batches straight into parquet
+      (ParquetWriter per partition tuple — peak memory is one batch
+      per open tuple), collecting the manifest stats (rows, min/max,
+      nulls per stats col) incrementally as it writes — the Iceberg
+      writer's inline stats pass, no second read;
+    - files land under data/<job-uuid>/ with unique names: invisible
+      until the driver's single atomic `_commit`, a crashed/killed job
+      leaves only orphans that `remove_orphans` reclaims, and `abort`
+      unlinks the reported ones eagerly;
+    - hidden-partition tuples are computed per row with the SAME
+      `_transform_py` the planner prunes with (exact by construction).
+      This is the one Python-per-row spot in the path (a Data Source
+      writer cannot run JVM expressions); bulk ingest that needs the
+      JVM transform path should call snaptable.append — this writer is
+      the interoperability surface, and partition-aligned upstreams
+      (the compact_small discipline) see a handful of tuples per task.
+    """
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        from mundipy_spark.sources import snaptable as st
+
+        self._path = _table_path(options)
+        self._schema = schema
+        self._overwrite = overwrite
+        self._job = __import__("uuid").uuid4().hex[:12]
+        head = st.current_version(self._path)
+        if head == 0:
+            if not overwrite:
+                raise ValueError(
+                    f"snaptable {self._path}: append to missing table — "
+                    "create it first (snaptable.create or "
+                    "mode('overwrite'))"
+                )
+            self._creating = True
+            self._stats_cols = list(
+                json.loads(options.get("stats_cols") or "[]")
+            )
+            pby = options.get("partition_by")
+            self._spec = (
+                st._parse_partition_by(json.loads(pby), schema)
+                if pby
+                else None
+            )
+            self._hist = None
+        else:
+            snap = st._load_snapshot(self._path, head)
+            st._check_additive_schema(
+                self._path, snap, schema,
+                "overwrite" if overwrite else "append",
+            )
+            self._creating = False
+            self._stats_cols = snap["stats_cols"]
+            self._spec = snap.get("partition_spec")
+            self._hist = snap.get("partition_spec_history")
+
+    # ---------------------------------------------------------- task side
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from mundipy_spark.sources import snaptable as st
+
+        task_id = __import__("uuid").uuid4().hex[:12]
+        spec = self._spec or []
+        src_cols = [f["source"] for f in spec]
+        writers: dict[tuple, tuple] = {}  # tuple -> (writer, absp, rel, stats)
+
+        def _open(ptuple):
+            comps = [
+                _hive_component(f["name"], v)
+                for f, v in zip(spec, ptuple)
+            ]
+            rel = os.path.join(
+                "data", self._job, *comps, f"part-{task_id}.parquet"
+            )
+            absp = os.path.join(self._path, rel)
+            os.makedirs(os.path.dirname(absp), exist_ok=True)
+            return absp, rel
+
+        def _update_stats(state, batch):
+            state["rows"] += batch.num_rows
+            for c in self._stats_cols:
+                col = batch.column(c)
+                nulls = col.null_count
+                s = state["stats"].setdefault(
+                    c, {"min": None, "max": None, "nulls": 0}
+                )
+                s["nulls"] += nulls
+                if nulls < len(col):
+                    import pyarrow.compute as pc
+
+                    mm = pc.min_max(col).as_py()
+                    mn = st._json_safe(_naive_utc(mm["min"]))
+                    mx = st._json_safe(_naive_utc(mm["max"]))
+                    s["min"] = mn if s["min"] is None else min(s["min"], mn)
+                    s["max"] = mx if s["max"] is None else max(s["max"], mx)
+
+        def _sink(ptuple, batch):
+            got = writers.get(ptuple)
+            if got is None:
+                absp, rel = _open(ptuple)
+                w = pq.ParquetWriter(absp, batch.schema)
+                got = writers[ptuple] = (
+                    w, absp, rel, {"rows": 0, "stats": {}},
+                )
+            got[0].write_batch(batch)
+            _update_stats(got[3], batch)
+
+        for batch in iterator:
+            if not spec:
+                _sink((), batch)
+                continue
+            # per-row partition tuples via the SAME transform the
+            # planner prunes with
+            src = [
+                [_naive_utc(v) for v in batch.column(c).to_pylist()]
+                for c in src_cols
+            ]
+            groups: dict[tuple, list[int]] = {}
+            for i in range(batch.num_rows):
+                key = tuple(
+                    st._transform_py(f, src[k][i])
+                    for k, f in enumerate(spec)
+                )
+                groups.setdefault(key, []).append(i)
+            tbl = pa.Table.from_batches([batch])
+            for key, idx in groups.items():
+                for sub in tbl.take(idx).to_batches():
+                    if sub.num_rows:
+                        _sink(key, sub)
+
+        entries = []
+        for key, (w, absp, rel, state) in writers.items():
+            w.close()
+            entry = {
+                "path": rel,
+                "rows": state["rows"],
+                "stats": {
+                    c: state["stats"].get(
+                        c, {"min": None, "max": None, "nulls": 0}
+                    )
+                    for c in self._stats_cols
+                },
+            }
+            if spec:
+                entry["partition"] = {
+                    f["name"]: st._json_safe(v)
+                    for f, v in zip(spec, key)
+                }
+            entries.append(entry)
+        return _WriteMessage(entries)
+
+    # -------------------------------------------------------- driver side
+
+    def commit(self, messages) -> None:
+        from mundipy_spark.sources import snaptable as st
+
+        entries = [
+            e for m in messages if m is not None for e in m.entries
+        ]
+        if self._overwrite:
+            st._commit(
+                self._path, entries,
+                "create" if self._creating else "replace",
+                self._stats_cols, self._schema.json(),
+                carry_parent_files=False,
+                partition_spec=self._spec,
+                partition_spec_history=self._hist,
+                delete_files=[],
+            )
+        else:
+            st._commit(
+                self._path, entries, "append",
+                self._stats_cols, self._schema.json(),
+                carry_parent_files=True,
+                partition_spec=self._spec,
+                partition_spec_history=self._hist,
+            )
+
+    def abort(self, messages) -> None:
+        # eager best-effort cleanup of the files successful tasks
+        # reported; anything a dead task left behind is an orphan under
+        # data/<job-uuid>/ that remove_orphans reclaims (never visible:
+        # no manifest references it)
+        import shutil
+
+        for m in messages:
+            for e in getattr(m, "entries", None) or []:
+                try:
+                    os.unlink(os.path.join(self._path, e["path"]))
+                except OSError:
+                    pass
+        try:
+            shutil.rmtree(
+                os.path.join(self._path, "data", self._job),
+                ignore_errors=True,
+            )
+        except OSError:
+            pass
 
 
 def register(spark) -> None:

@@ -406,3 +406,146 @@ def test_stream_earliest_from_expired_history_and_branch(spark, tmp_path):
     _run_available_now(spark, root, out2, ck2)
     got2 = spark.read.parquet(out2)
     assert got2.count() == 45
+
+
+# ------------------------------------------------------------- write path
+
+
+def test_write_append_matches_library_append(spark, tmp_path):
+    pa, pb = str(tmp_path / "wa"), str(tmp_path / "wb")
+    snaptable.create(spark, pa, _docs(spark, 0, 60), stats_cols=["doc_id"])
+    snaptable.create(spark, pb, _docs(spark, 0, 60), stats_cols=["doc_id"])
+    snaptable.append(spark, pa, _docs(spark, 60, 90))
+    _docs(spark, 60, 90).write.format("snaptable").mode("append").save(pb)
+    ra = {tuple(r) for r in snaptable.read(spark, pa).collect()}
+    rb = {tuple(r) for r in snaptable.read(spark, pb).collect()}
+    assert ra == rb and len(rb) == 90
+    # stats parity: both appends must prune identically
+    for p in (pa, pb):
+        plan = snaptable.plan_scan(p, [("doc_id", ">=", 75)])
+        assert plan["files_kept"] < plan["files_total"]
+    # format-written snapshot is a normal append (CDC/incremental see it)
+    inc = snaptable.read_incremental(spark, pb, 1, 2)
+    assert inc.count() == 30
+
+
+def test_write_overwrite_creates_and_replaces(spark, tmp_path):
+    path = str(tmp_path / "wo")
+    d = _docs(spark, 0, 40)
+    # overwrite on a missing table CREATES it with the declared layout
+    d.write.format("snaptable").mode("overwrite").option(
+        "stats_cols", '["doc_id"]'
+    ).option("partition_by", '["bucket(4, url)"]').save(path)
+    assert snaptable.current_version(path) == 1
+    assert snaptable.read(spark, path).count() == 40
+    plan = snaptable.plan_scan(path, [("url", "=", "url-5")])
+    assert plan["files_kept"] < plan["files_total"]  # hidden partitions
+    # overwrite existing = replace: head swaps, history stays readable
+    _docs(spark, 100, 110).write.format("snaptable").mode(
+        "overwrite"
+    ).save(path)
+    assert snaptable.read(spark, path).count() == 10
+    assert snaptable.read(spark, path, snapshot_id=1).count() == 40
+    with pytest.raises(ValueError, match="replace|fence|rewritten"):
+        snaptable.read_incremental(spark, path, 1, 2).count()
+
+
+def test_write_partition_tuples_match_library_writer(spark, tmp_path):
+    pa, pb = str(tmp_path / "pa"), str(tmp_path / "pb")
+    d = _docs(spark, 0, 50)
+    snaptable.create(
+        spark, pa, d, stats_cols=["doc_id"],
+        partition_by=["bucket(8, url)", "truncate(5, url)"],
+    )
+    d.write.format("snaptable").mode("overwrite").option(
+        "stats_cols", '["doc_id"]'
+    ).option("partition_by", '["bucket(8, url)", "truncate(5, url)"]').save(pb)
+    # the python-side per-row transforms must equal the JVM writer's
+    def tuples(p):
+        ents = snaptable._load_manifest(p, snaptable.current_version(p))
+        out = {}
+        for e in ents:
+            key = tuple(sorted(e["partition"].items()))
+            out[key] = out.get(key, 0) + e["rows"]
+        return out
+    assert tuples(pa) == tuples(pb)
+
+
+def test_write_timestamp_stats_naive_utc_parity(spark, tmp_path):
+    pa, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    d = spark.range(0, 20).select(
+        F.col("id").alias("doc_id"),
+        (F.lit("2026-03-01 00:00:00").cast("timestamp")
+         + F.make_interval(hours=F.col("id"))).alias("warc_ts"),
+    )
+    snaptable.create(spark, pa, d, stats_cols=["warc_ts"])
+    d.write.format("snaptable").mode("overwrite").option(
+        "stats_cols", '["warc_ts"]'
+    ).save(pb)
+    def bounds(p):
+        ents = snaptable._load_manifest(p, snaptable.current_version(p))
+        return {
+            (min(e["stats"]["warc_ts"]["min"] for e in ents),
+             max(e["stats"]["warc_ts"]["max"] for e in ents))
+        }
+    assert bounds(pa) == bounds(pb)
+    # and a timestamp predicate prunes the format-written table
+    import datetime
+    plan = snaptable.plan_scan(
+        pb, [("warc_ts", ">=", datetime.datetime(2026, 3, 1, 15))]
+    )
+    assert plan["files_kept"] < plan["files_total"]
+
+
+def test_write_rejects_retype_and_missing_table_append(spark, tmp_path):
+    path = str(tmp_path / "g")
+    snaptable.create(spark, path, _docs(spark, 0, 10), stats_cols=[])
+    bad = spark.range(0, 5).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.lit("u").alias("url"),
+        F.col("id").alias("bucket"),
+    )
+    with pytest.raises(Exception, match="retypes"):
+        bad.write.format("snaptable").mode("append").save(path)
+    with pytest.raises(Exception, match="missing table"):
+        _docs(spark, 0, 5).write.format("snaptable").mode("append").save(
+            str(tmp_path / "nope")
+        )
+
+
+def test_write_failed_job_leaves_table_unchanged(spark, tmp_path):
+    path = str(tmp_path / "f")
+    snaptable.create(spark, path, _docs(spark, 0, 10), stats_cols=[])
+    v1 = snaptable.current_version(path)
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import LongType
+
+    @udf(returnType=LongType())
+    def boom(v):
+        raise RuntimeError("task failure")
+
+    bad = _docs(spark, 10, 20).withColumn("bucket", boom(F.col("doc_id")))
+    with pytest.raises(Exception):
+        bad.write.format("snaptable").mode("append").save(path)
+    assert snaptable.current_version(path) == v1
+    assert snaptable.read(spark, path).count() == 10
+    # any on-disk leftovers are invisible orphans the GC reclaims
+    snaptable.remove_orphans(path, older_than_s=0.0)
+    assert snaptable.read(spark, path).count() == 10
+
+
+def test_write_then_mor_delete_seq_interplay(spark, tmp_path):
+    path = str(tmp_path / "m")
+    snaptable.create(
+        spark, path, _docs(spark, 0, 20), stats_cols=["doc_id"]
+    )
+    snaptable.delete_keys(
+        spark, path, spark.createDataFrame([(5,), (15,)], ["doc_id"])
+    )
+    # a format append AFTER the delete gets a higher seq: re-appended
+    # keys must survive the older delete
+    _docs(spark, 5, 6).write.format("snaptable").mode("append").save(path)
+    ids = sorted(
+        r["doc_id"] for r in snaptable.read(spark, path).collect()
+    )
+    assert 15 not in ids and ids.count(5) == 1
