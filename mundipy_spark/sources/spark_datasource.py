@@ -61,6 +61,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -525,6 +526,9 @@ class SnaptableDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool):
         return SnaptableBatchWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return SnaptableStreamWriter(self.options, schema)
+
 
 class _WriteMessage(WriterCommitMessage):
     """Per-task commit message: the manifest entries (table-relative
@@ -773,6 +777,70 @@ class SnaptableBatchWriter(DataSourceArrowWriter):
             )
         except OSError:
             pass
+
+
+class SnaptableStreamWriter(SnaptableBatchWriter, DataSourceStreamArrowWriter):
+    """`df.writeStream.format("snaptable")` — the format twin of
+    `stream_ops.snaptable_sink`: every micro-batch lands as ONE atomic
+    append snapshot, exactly-once across restarts.
+
+    Replay idempotence is the sink's exact contract: the engine
+    re-runs an uncommitted batchId after a crash between the table
+    commit and Spark's streaming-checkpoint commit, so each snapshot
+    records (sink_id, sink_epoch=batchId) and `commit` SKIPS a batch
+    some committed snapshot already carries (unlinking the replay's
+    freshly written, never-referenced files). sink_id defaults to the
+    query's checkpointLocation — stable across restarts and distinct
+    across queries writing the same table; without one, a fresh uuid
+    per writer (no replay exists, and a shared constant would make a
+    second run's epoch 0 look like a replay of the first's — the
+    session-4b cross-query finding on the foreachBatch sink)."""
+
+    def __init__(self, options, schema: StructType):
+        super().__init__(options, schema, overwrite=False)
+        self._sink_id = (
+            options.get("sink_id")
+            or options.get("checkpointlocation")
+            or options.get("checkpointLocation")
+            or f"nockpt-{__import__('uuid').uuid4()}"
+        )
+
+    def _committed(self, batch_id: int) -> bool:
+        from mundipy_spark.sources import snaptable as st
+
+        return any(
+            s.get("sink_id") == self._sink_id
+            and s.get("sink_epoch") == batch_id
+            for s in st.snapshots(self._path)
+        )
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        from mundipy_spark.sources import snaptable as st
+
+        entries = [
+            e for m in messages if m is not None for e in m.entries
+        ]
+        if self._committed(batchId):
+            # crash-replay of an already-committed epoch: this run's
+            # files were written before commit() could decide — they
+            # are unreferenced; drop them eagerly
+            for e in entries:
+                try:
+                    os.unlink(os.path.join(self._path, e["path"]))
+                except OSError:
+                    pass
+            return
+        st._commit(
+            self._path, entries, "append",
+            self._stats_cols, self._schema.json(),
+            carry_parent_files=True,
+            partition_spec=self._spec,
+            partition_spec_history=self._hist,
+            extra={"sink_id": self._sink_id, "sink_epoch": batchId},
+        )
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        SnaptableBatchWriter.abort(self, messages)
 
 
 def register(spark) -> None:

@@ -549,3 +549,77 @@ def test_write_then_mor_delete_seq_interplay(spark, tmp_path):
         r["doc_id"] for r in snaptable.read(spark, path).collect()
     )
     assert 15 not in ids and ids.count(5) == 1
+
+
+def test_stream_writer_exactly_once_across_restarts(spark, tmp_path):
+    tbl, src, ck = (
+        str(tmp_path / "swt"), str(tmp_path / "swsrc"), str(tmp_path / "swck")
+    )
+    snaptable.create(
+        spark, tbl,
+        spark.range(0, 5).select(F.col("id").alias("doc_id")),
+        stats_cols=["doc_id"],
+    )
+    spark.range(5, 15).select(F.col("id").alias("doc_id")).write.parquet(
+        src + "/a"
+    )
+    def run():
+        q = (
+            spark.readStream.schema("doc_id long").parquet(src + "/*")
+            .writeStream.format("snaptable")
+            .option("checkpointLocation", ck).option("path", tbl)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    run()
+    # restart with new data: only the new files land, exactly once
+    spark.range(15, 18).select(F.col("id").alias("doc_id")).write.parquet(
+        src + "/b"
+    )
+    run()
+    rows = sorted(r[0] for r in snaptable.read(spark, tbl).collect())
+    assert rows == list(range(18))
+    tags = [
+        (s.get("sink_id"), s.get("sink_epoch"))
+        for s in snaptable.snapshots(tbl)
+        if s.get("sink_epoch") is not None
+    ]
+    assert [e for _, e in sorted(tags, key=lambda t: t[1])] == [0, 1]
+
+
+def test_stream_writer_replayed_epoch_skips_and_drops_files(spark, tmp_path):
+    tbl = str(tmp_path / "swr")
+    snaptable.create(
+        spark, tbl,
+        spark.range(0, 5).select(F.col("id").alias("doc_id")),
+        stats_cols=["doc_id"],
+    )
+    w = spark_datasource.SnaptableStreamWriter(
+        {"path": tbl, "sink_id": "q1"}, snaptable.read(spark, tbl).schema
+    )
+    import pyarrow as pa
+
+    def msg():
+        batch = pa.record_batch({"doc_id": pa.array([99, 100], pa.int64())})
+        return w.write(iter([batch]))
+    m1 = msg()
+    w.commit([m1], 7)
+    v_after = snaptable.current_version(tbl)
+    # crash-replay: same batchId arrives again with freshly written
+    # files -> skipped, no new snapshot, replay files unlinked
+    m2 = msg()
+    w.commit([m2], 7)
+    assert snaptable.current_version(tbl) == v_after
+    for e in m2.entries:
+        assert not os.path.exists(os.path.join(tbl, e["path"]))
+    rows = sorted(r[0] for r in snaptable.read(spark, tbl).collect())
+    assert rows == [0, 1, 2, 3, 4, 99, 100]
+    # a DIFFERENT query (distinct sink_id) with the same epoch number
+    # is NOT a replay (the session-4b cross-query contract)
+    w2 = spark_datasource.SnaptableStreamWriter(
+        {"path": tbl, "sink_id": "q2"}, snaptable.read(spark, tbl).schema
+    )
+    m3_batch = pa.record_batch({"doc_id": pa.array([200], pa.int64())})
+    m3 = w2.write(iter([m3_batch]))
+    w2.commit([m3], 7)
+    assert 200 in {r[0] for r in snaptable.read(spark, tbl).collect()}
