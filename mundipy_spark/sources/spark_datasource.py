@@ -732,12 +732,47 @@ class SnaptableBatchWriter(DataSourceArrowWriter):
 
     # -------------------------------------------------------- driver side
 
+    def _fence_concurrent_evolution(self) -> None:
+        """The writer stamped partition tuples and carries a schema
+        captured at INIT time; committing after a concurrent
+        evolve_partition_by (or a concurrent append that widened the
+        schema) would silently REVERT that evolution in the new head —
+        the publish_staged race from review pass 10. The entries'
+        tuples are unrecomputable post-write, so fail loudly; the
+        caller (or the restarted streaming query) re-plans against the
+        evolved table."""
+        from mundipy_spark.sources import snaptable as st
+
+        head = st.current_version(self._path)
+        if head == 0:
+            return
+        snap = st._load_snapshot(self._path, head)
+        if json.dumps(snap.get("partition_spec"), sort_keys=True) != json.dumps(
+            self._spec, sort_keys=True
+        ):
+            raise st.ConflictError(
+                f"snaptable {self._path}: partition spec evolved since "
+                "this writer planned — restart the write"
+            )
+        ours = {f.name for f in self._schema.fields}
+        theirs = {
+            f["name"] for f in json.loads(snap["schema"])["fields"]
+        }
+        if not theirs <= ours:
+            raise st.ConflictError(
+                f"snaptable {self._path}: table schema gained columns "
+                f"{sorted(theirs - ours)} since this writer planned — "
+                "restart the write"
+            )
+
     def commit(self, messages) -> None:
         from mundipy_spark.sources import snaptable as st
 
         entries = [
             e for m in messages if m is not None for e in m.entries
         ]
+        if not (self._overwrite and self._creating):
+            self._fence_concurrent_evolution()
         if self._overwrite:
             st._commit(
                 self._path, entries,
@@ -830,6 +865,7 @@ class SnaptableStreamWriter(SnaptableBatchWriter, DataSourceStreamArrowWriter):
                 except OSError:
                     pass
             return
+        self._fence_concurrent_evolution()
         st._commit(
             self._path, entries, "append",
             self._stats_cols, self._schema.json(),

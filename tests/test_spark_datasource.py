@@ -623,3 +623,37 @@ def test_stream_writer_replayed_epoch_skips_and_drops_files(spark, tmp_path):
     m3 = w2.write(iter([m3_batch]))
     w2.commit([m3], 7)
     assert 200 in {r[0] for r in snaptable.read(spark, tbl).collect()}
+
+
+def test_write_fences_concurrent_evolution(spark, tmp_path):
+    tbl = str(tmp_path / "fence")
+    snaptable.create(
+        spark, tbl,
+        spark.range(0, 10).select(F.col("id").alias("doc_id")),
+        stats_cols=["doc_id"],
+    )
+    schema = snaptable.read(spark, tbl).schema
+    w = spark_datasource.SnaptableBatchWriter(
+        {"path": tbl}, schema, overwrite=False
+    )
+    # spec evolves AFTER the writer planned: commit must fail loudly,
+    # never revert the evolution (the publish_staged race, applied to
+    # the format writer)
+    snaptable.evolve_partition_by(tbl, ["bucket(4, doc_id)"])
+    import pyarrow as pa
+
+    m = w.write(iter([pa.record_batch({"doc_id": pa.array([99], pa.int64())})]))
+    with pytest.raises(snaptable.ConflictError, match="spec evolved"):
+        w.commit([m])
+    # schema widened concurrently: same fence
+    w2 = spark_datasource.SnaptableBatchWriter(
+        {"path": tbl}, schema, overwrite=False
+    )
+    snaptable.append(
+        spark, tbl,
+        spark.range(0, 1).select(
+            F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+        ),
+    )
+    with pytest.raises(snaptable.ConflictError, match="gained columns"):
+        w2.commit([])
