@@ -45,6 +45,13 @@ def test_random_interleavings_match_model(spark, tmp_path_factory, ops):
             batch = _batch(spark, start, n)
             if snaptable.current_version(path) == 0:
                 snaptable.create(spark, path, batch, stats_cols=["doc_id"])
+            elif (start + n) % 2:
+                # half the appends land through the FORMAT writer —
+                # model-identical to the library path by contract
+                from mundipy_spark.sources import spark_datasource
+
+                spark_datasource.register(spark)
+                batch.write.format("snaptable").mode("append").save(path)
             else:
                 snaptable.append(spark, path, batch)
             ids = ids + list(range(start, start + n))
