@@ -230,6 +230,19 @@ class SnaptableBatchReader(DataSourceReader):
             else _snapshot_opt(options, self._path)
         )
         self._predicates = _parse_predicates(options)
+        # the FULL table schema backs aux columns a pruned read still
+        # needs to EVALUATE (predicate columns, MOR delete keys) but
+        # not to return — see read()
+        from mundipy_spark.sources import snaptable
+
+        head = (
+            self._snapshot_id
+            if self._snapshot_id is not None
+            else snaptable.current_version(self._path)
+        )
+        self._full_schema = StructType.fromJson(
+            json.loads(snaptable._load_snapshot(self._path, head)["schema"])
+        )
 
     def partitions(self) -> list[InputPartition]:
         from mundipy_spark.sources import snaptable
@@ -251,14 +264,42 @@ class SnaptableBatchReader(DataSourceReader):
 
     def read(self, partition: InputPartition):
         v = partition.value
-        for batch in _arrow_batches(v["abs_path"], self._schema, v["deletes"]):
-            if v["predicates"]:
-                import pyarrow as pa
+        # under a `columns` projection, predicate columns and MOR
+        # delete keys may be pruned from the OUTPUT schema yet still
+        # needed to evaluate: read target+aux, evaluate, project back
+        target_names = [f.name for f in self._schema.fields]
+        have = set(target_names)
+        aux = []
+        for col, _, _ in v["predicates"] or []:
+            if col not in have:
+                aux.append(col)
+                have.add(col)
+        for d in v["deletes"]:
+            for col in d["key_cols"]:
+                if col not in have:
+                    aux.append(col)
+                    have.add(col)
+        if aux:
+            full = {f.name: f for f in self._full_schema.fields}
+            read_schema = StructType(
+                list(self._schema.fields)
+                + [
+                    type(full[c])(c, full[c].dataType, True, full[c].metadata)
+                    for c in aux
+                ]
+            )
+        else:
+            read_schema = self._schema
+        for batch in _arrow_batches(v["abs_path"], read_schema, v["deletes"]):
+            import pyarrow as pa
 
-                tbl = _apply_predicates(pa.table(batch), v["predicates"])
+            tbl = pa.table(batch)
+            if v["predicates"]:
+                tbl = _apply_predicates(tbl, v["predicates"])
+            if aux:
+                tbl = tbl.select(target_names)
+            if tbl.num_rows or not (v["predicates"] or aux):
                 yield from tbl.to_batches()
-            else:
-                yield batch
 
 
 class SnaptableStreamReader(DataSourceStreamReader):
@@ -508,12 +549,34 @@ class SnaptableDataSource(DataSource):
         # additive schema evolution null-fills late columns in old
         # files — a non-null claim here would be a lie the planner
         # optimizes on
-        return StructType(
+        out = StructType(
             [
                 type(f)(f.name, f.dataType, True, f.metadata)
                 for f in stored.fields
             ]
         )
+        cols_opt = self.options.get("columns")
+        if cols_opt:
+            # EXPLICIT projection pushdown, the column twin of the
+            # `predicates` option: the Python Data Source API gives a
+            # source no requiredSchema hook, so without this every
+            # scan decodes every column — ruinous when the table
+            # carries a binary html payload next to thin metadata
+            # columns. Like `predicates`, the option is relation-
+            # constant state, immune to the cached-partitions
+            # poisoning that killed automatic pushdown (module
+            # docstring). Kept in STORED field order.
+            want = json.loads(cols_opt)
+            unknown = [c for c in want if c not in {f.name for f in out}]
+            if unknown or not want:
+                raise ValueError(
+                    f"snaptable columns option: unknown columns {unknown}"
+                    if unknown
+                    else "snaptable columns option: empty list"
+                )
+            keep = set(want)
+            out = StructType([f for f in out.fields if f.name in keep])
+        return out
 
     def reader(self, schema: StructType) -> SnaptableBatchReader:
         return SnaptableBatchReader(

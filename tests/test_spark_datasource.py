@@ -657,3 +657,71 @@ def test_write_fences_concurrent_evolution(spark, tmp_path):
     )
     with pytest.raises(snaptable.ConflictError, match="gained columns"):
         w2.commit([])
+
+
+def test_columns_option_prunes_projection(spark, tmp_path):
+    """Explicit projection pushdown: the `columns` option (the column
+    twin of `predicates`) must cut the relation schema while keeping
+    predicate evaluation and MOR delete keys working on pruned-out
+    columns."""
+    path = str(tmp_path / "cols")
+    snaptable.create(
+        spark, path,
+        _docs(spark, 0, 100).repartitionByRange(4, "doc_id"),
+        stats_cols=["doc_id"],
+    )
+    thin = (
+        spark.read.format("snaptable")
+        .option("columns", '["url"]')
+        .load(path)
+    )
+    assert thin.columns == ["url"]
+    assert thin.count() == 100
+    # predicates on a PRUNED column still evaluate (aux read + project)
+    got = (
+        spark.read.format("snaptable")
+        .option("columns", '["url"]')
+        .option("predicates", '[["doc_id", ">=", 90]]')
+        .load(path)
+    )
+    assert got.columns == ["url"]
+    assert sorted(r[0] for r in got.collect()) == sorted(
+        f"url-{i}" for i in range(90, 100)
+    )
+    # MOR delete keyed on a pruned column still applies
+    snaptable.delete_keys(
+        spark, path, spark.createDataFrame([(3,), (7,)], "doc_id long")
+    )
+    thin2 = (
+        spark.read.format("snaptable")
+        .option("columns", '["url"]')
+        .load(path)
+    )
+    urls = {r[0] for r in thin2.collect()}
+    assert "url-3" not in urls and "url-7" not in urls
+    assert len(urls) == 98
+    # unknown column is loud
+    with pytest.raises(Exception, match="unknown columns"):
+        spark.read.format("snaptable").option(
+            "columns", '["nope"]'
+        ).load(path).count()
+
+
+def test_columns_option_on_stream(spark, tmp_path):
+    path = str(tmp_path / "scols")
+    out, ckpt = str(tmp_path / "sout"), str(tmp_path / "sck")
+    snaptable.create(spark, path, _docs(spark, 0, 20), stats_cols=["doc_id"])
+    q = (
+        spark.readStream.format("snaptable")
+        .option("columns", '["doc_id"]')
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.columns == ["doc_id"]
+    assert got.count() == 20
