@@ -290,6 +290,10 @@ class SnaptableBatchReader(DataSourceReader):
             )
         else:
             read_schema = self._schema
+        if not (v["predicates"] or aux):
+            # fast path (the snapread regime): batches pass through
+            yield from _arrow_batches(v["abs_path"], read_schema, v["deletes"])
+            return
         for batch in _arrow_batches(v["abs_path"], read_schema, v["deletes"]):
             import pyarrow as pa
 
@@ -298,7 +302,7 @@ class SnaptableBatchReader(DataSourceReader):
                 tbl = _apply_predicates(tbl, v["predicates"])
             if aux:
                 tbl = tbl.select(target_names)
-            if tbl.num_rows or not (v["predicates"] or aux):
+            if tbl.num_rows:
                 yield from tbl.to_batches()
 
 
