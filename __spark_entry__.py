@@ -1427,6 +1427,18 @@ def q_snap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train + APPLY (operators/bpe.py bpe_token_counts): learn 8
+    merges, encode distinct words once (vocab-level folds), broadcast-
+    join the (word -> n_tokens) map back to the exploded corpus, and
+    aggregate exact per-doc token counts. The twin carries the word
+    through the unrolled round CTEs and joins the same map back, so a
+    divergence in training OR application breaks value-exactness."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe.bpe_train(docs, "text", n_merges=8)
+    return bpe.bpe_token_counts(docs, "doc_id", "text", merges)
+
+
 def q_snap_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """format("snaptable") WRITE path (sources/spark_datasource.py
     SnaptableBatchWriter): documents land through
@@ -1783,10 +1795,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     appeared in a driver CORRECTNESS file, then (c) round-3-verified
     entries with this round's code changes first. The tail beyond 50
     (earliest operators, value-exact in r01+r02+r03) rotates out; all
-    78 remain covered by tools/check_oracle.py and pytest."""
+    79 remain covered by tools/check_oracle.py and pytest."""
     return {
         # (a) never / newly oracle-checked
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "snap_write": q_snap_write,
         "snap_branch": q_snap_branch,
         "snap_adopt": q_snap_adopt,
@@ -1837,8 +1850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_blocks": q_dissolve_blocks,
         "overlap_weighted": q_overlap_weighted,
         "geocode_triangles": q_geocode_triangles,
-        "vectorize": q_vectorize,
         # --- driver window boundary: exactly 50 entries above ---
+        "vectorize": q_vectorize,
         "rasterize": q_rasterize,
         "crs_ingest": q_crs_ingest,
         "tpch_q5": q_tpch_q5,
@@ -1908,6 +1921,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "bpe_train": bpe.bpe_train_sql(8),
+        "bpe_encode": bpe.bpe_token_counts_sql(8),
         "snap_write": """
 WITH base AS (
   SELECT doc_id, source, length(text) AS text_len FROM documents

@@ -266,15 +266,11 @@ def _fold_col(a: str, b: str):
 # --------------------------------------------------------------------
 
 
-def bpe_train_sql(
-    n_merges: int = 8,
-    docs_rel: str = "documents",
-    text_col: str = "text",
-) -> str:
-    """Unrolled DuckDB twin of `bpe_train`: same word split (Java-\\s
-    faithful `[\\s\\x0b]+`), same char+marker init, same weighted pair
-    counts, same (cnt desc, pair asc) binary-collation argmax, same
-    greedy fold via list_reduce. Value-exact by construction."""
+def _round_ctes(n_merges: int, docs_rel: str, text_col: str) -> str:
+    """The shared CTE chain: word counts -> char+marker vocab -> per
+    round (weighted pair counts, binary-collation argmax, list_reduce
+    greedy fold). v{n_merges} is the fully segmented vocab; the word
+    rides along so appliers can join it back to the corpus."""
     parts = [
         f"""w0 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -282,7 +278,8 @@ def bpe_train_sql(
     FROM {docs_rel}
   ) WHERE word <> '' GROUP BY word
 ), v0 AS (
-  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' {MARKER}' AS seq,
+  SELECT word,
+         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' {MARKER}' AS seq,
          freq
   FROM w0
 )"""
@@ -302,7 +299,7 @@ def bpe_train_sql(
          pair, cnt
   FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1
 ), v{i + 1} AS (
-  SELECT list_reduce(string_split(v.seq, ' '),
+  SELECT v.word, list_reduce(string_split(v.seq, ' '),
     (acc, x) -> CASE
       WHEN x = m.b AND (acc = m.a OR ends_with(acc, ' ' || m.a))
       THEN substring(acc, 1, length(acc) - length(m.a)) || m.a || m.b
@@ -310,12 +307,24 @@ def bpe_train_sql(
   FROM v{i} v CROSS JOIN m{i} m
 )"""
         )
+    return ",\n".join(parts)
+
+
+def bpe_train_sql(
+    n_merges: int = 8,
+    docs_rel: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Unrolled DuckDB twin of `bpe_train`: same word split (Java-\\s
+    faithful `[\\s\\x0b]+`), same char+marker init, same weighted pair
+    counts, same (cnt desc, pair asc) binary-collation argmax, same
+    greedy fold via list_reduce. Value-exact by construction."""
     union = "\nUNION ALL\n".join(
         f"SELECT step, a, b, cnt FROM m{i}" for i in range(n_merges)
     )
     return (
         "WITH "
-        + ",\n".join(parts)
+        + _round_ctes(n_merges, docs_rel, text_col)
         + f""",
 all_m AS (
 {union}
@@ -323,5 +332,34 @@ all_m AS (
 SELECT CAST(step AS INTEGER) AS step, a AS left, b AS right,
        a || b AS merged, cnt AS pair_freq
 FROM all_m ORDER BY step
+"""
+    )
+
+
+def bpe_token_counts_sql(
+    n_merges: int = 8,
+    docs_rel: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Unrolled DuckDB twin of train + `bpe_token_counts`: the final
+    round's vocab (word -> segmented seq) joins back to the exploded
+    corpus, mirroring the Spark broadcast-join apply path end-to-end —
+    a divergence anywhere in training OR application breaks it."""
+    return (
+        "WITH "
+        + _round_ctes(n_merges, docs_rel, text_col)
+        + f""",
+tok AS (
+  SELECT word, len(string_split(seq, ' ')) AS n_word_tokens
+  FROM v{n_merges}
+), corpus AS (
+  SELECT {id_col}, unnest(regexp_split_to_array({text_col}, '{_TWIN_WS}')) AS word
+  FROM {docs_rel}
+)
+SELECT c.{id_col}, CAST(sum(t.n_word_tokens) AS BIGINT) AS n_tokens
+FROM corpus c JOIN tok t ON t.word = c.word
+WHERE c.word <> ''
+GROUP BY c.{id_col}
 """
     )

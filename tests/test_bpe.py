@@ -155,3 +155,19 @@ def test_min_freq_bounds_the_tail(spark):
     m = bpe.bpe_train(docs, "text", n_merges=2, min_freq=2).collect()
     assert all("z" not in r["merged"] for r in m)
     assert (m[0]["left"], m[0]["right"]) == ("x", "</w>")
+
+
+def test_token_counts_twin_parity(corpus):
+    docs, pdf = corpus
+    merges = bpe.bpe_train(docs, "text", n_merges=4)
+    got = {
+        (r["doc_id"], r["n_tokens"])
+        for r in bpe.bpe_token_counts(docs, "doc_id", "text", merges).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = {
+        (r[0], r[1])
+        for r in con.sql(bpe.bpe_token_counts_sql(4)).fetchall()
+    }
+    assert got == want
