@@ -681,6 +681,13 @@ class SnaptableBatchWriter(DataSourceArrowWriter):
             self._stats_cols = list(
                 json.loads(options.get("stats_cols") or "[]")
             )
+            names = {f.name for f in schema.fields}
+            bad = [c for c in self._stats_cols if c not in names]
+            if bad:
+                raise ValueError(
+                    f"snaptable writer: stats_cols {bad} not in the "
+                    "DataFrame schema"
+                )
             pby = options.get("partition_by")
             self._spec = (
                 st._parse_partition_by(json.loads(pby), schema)
