@@ -87,7 +87,7 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
-            # every registered query ships an oracle twin (72/72); a
+            # every registered query ships an oracle twin (79/79); a
             # missing one is a contract regression, not a weaker mode
             print(f"FAIL  {name}: no oracle_sql() entry")
             failures += 1
