@@ -82,8 +82,15 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _initial_vocab(wc: DataFrame) -> DataFrame:
     """(seq, freq): each word as a space-joined character sequence
-    plus the end-of-word marker symbol."""
-    chars = F.trim(F.regexp_replace(F.col("word"), r"(.)", "$1 "))
+    plus the end-of-word marker symbol.
+
+    DOTALL `(?s)`: Java's bare `.` skips line terminators
+    (\\u0085/\\u2028/\\u2029 are NOT Java `\\s`, so they survive word
+    splitting), while the DuckDB twin's RE2 `.` matches them — without
+    `(?s)` a word containing U+2028 char-splits differently in the two
+    engines and the learned merges diverge (ADVICE r4). `\\n` cannot
+    occur inside a word (it IS `\\s`), so with DOTALL both agree."""
+    chars = F.trim(F.regexp_replace(F.col("word"), r"(?s)(.)", "$1 "))
     return wc.select(
         F.concat(chars, F.lit(" " + MARKER)).alias("seq"), "freq"
     )
@@ -218,7 +225,9 @@ def bpe_token_counts(
     seqd = words.select("word").distinct().select(
         "word",
         F.concat(
-            F.trim(F.regexp_replace(F.col("word"), r"(.)", "$1 ")),
+            # (?s): match line-separator chars inside words — see
+            # _initial_vocab (ADVICE r4 twin-divergence fix)
+            F.trim(F.regexp_replace(F.col("word"), r"(?s)(.)", "$1 ")),
             F.lit(" " + MARKER),
         ).alias("seq"),
     )

@@ -622,12 +622,24 @@ def _hive_component(name: str, value) -> str:
     """Directory name for one partition value. Values are NEVER parsed
     back from directory names (the manifest carries the tuple; see the
     session-9 review note in snaptable._stats_rows_to_entries), so the
-    encoding only needs to be filesystem-safe and distinct per value."""
+    encoding only needs to be filesystem-safe and distinct per value.
+
+    Distinctness includes the null sentinel (ADVICE r4): quote() leaves
+    `_` verbatim, so the literal string value "__HIVE_DEFAULT_PARTITION__"
+    used to collide with None — both tuples computed the same
+    part-{task}.parquet path and the second ParquetWriter truncated the
+    first. Fix: percent-encode a LEADING underscore of real values.
+    quote(safe='') always escapes '%' itself (as %25), so its output
+    never contains a literal "%5F" — the rewrite is injective, and no
+    non-null value can ever encode to a string starting with '_'."""
     from urllib.parse import quote
 
     if value is None:
         return f"{name}=__HIVE_DEFAULT_PARTITION__"
-    return f"{name}={quote(str(value), safe='')}"
+    s = quote(str(value), safe="")
+    if s.startswith("_"):
+        s = "%5F" + s[1:]
+    return f"{name}={s}"
 
 
 class SnaptableBatchWriter(DataSourceArrowWriter):

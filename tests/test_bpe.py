@@ -113,9 +113,12 @@ from hypothesis import given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 # words over a hostile alphabet: regex metachars, quotes, unicode,
-# multi-byte; never whitespace (words are split on \s).
+# multi-byte, and the Unicode line separators U+2028/U+0085 — NOT
+# Java \s, so they survive word splitting, but Java's bare `.` skips
+# them while RE2's matches them (the ADVICE r4 divergence; pinned by
+# the (?s) DOTALL fix in _initial_vocab); never \s (words split on it).
 _word = st.text(
-    alphabet="ab.()[]$^\\'\"é☃z0", min_size=1, max_size=5
+    alphabet="ab.()[]$^\\'\"é☃z0\u2028\x85", min_size=1, max_size=5
 ).filter(lambda w: w.strip() == w and w != "")
 _doc = st.lists(_word, min_size=1, max_size=8).map(" ".join)
 
@@ -143,6 +146,48 @@ def test_bpe_twin_parity_property(spark, docs_texts, n_merges):
         con.sql(bpe.bpe_train_sql(n_merges)).df().reset_index(drop=True)
     )
     assert m_pd.astype(str).equals(o_pd.astype(str))
+
+
+def test_line_separator_in_word_twin_parity(spark):
+    # Regression (ADVICE r4): U+2028/U+2029/U+0085 inside a word are
+    # not Java \s, so they reach _initial_vocab's char-split regex,
+    # where Java's non-DOTALL `.` skipped them (glueing neighbours
+    # into one symbol) while the DuckDB twin's RE2 `.` split them.
+    # With (?s) both engines char-split identically.
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "a\u2028b a\u2028b a\u2028b x\x85y",
+                "a\u2028b c\u2029d c\u2029d",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    m_pd = (
+        bpe.bpe_train(docs, "text", n_merges=3)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    # the hottest pair must see U+2028 as its own symbol: the top
+    # merge is (a, \u2028) or (\u2028, b) territory, freq 4.
+    assert any(
+        "\u2028" in (r["left"], r["right"]) for _, r in m_pd.iterrows()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    o_pd = con.sql(bpe.bpe_train_sql(3)).df().reset_index(drop=True)
+    assert m_pd.astype(str).equals(o_pd.astype(str))
+    # and the applied token counts agree too (bpe_token_counts path)
+    merges = bpe.bpe_train(docs, "text", n_merges=3)
+    got = {
+        (r["doc_id"], r["n_tokens"])
+        for r in bpe.bpe_token_counts(docs, "doc_id", "text", merges).collect()
+    }
+    want = {
+        (r[0], r[1]) for r in con.sql(bpe.bpe_token_counts_sql(3)).fetchall()
+    }
+    assert got == want
 
 
 def test_min_freq_bounds_the_tail(spark):

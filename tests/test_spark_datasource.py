@@ -471,6 +471,45 @@ def test_write_partition_tuples_match_library_writer(spark, tmp_path):
     assert tuples(pa) == tuples(pb)
 
 
+def test_write_null_vs_sentinel_string_partition_no_collision(spark, tmp_path):
+    """Regression (ADVICE r4): a None partition value and the literal
+    string '__HIVE_DEFAULT_PARTITION__' used to map to the SAME
+    directory, so a task holding both tuples computed one
+    part-{task}.parquet path and the second ParquetWriter truncated
+    the first — silent row loss. Both tuples must survive, along with
+    a leading-underscore value (now escaped) distinct from both."""
+    path = str(tmp_path / "nullp")
+    rows = [
+        (0, None),
+        (1, "__HIVE_DEFAULT_PARTITION__"),
+        (2, "_leading"),
+        (3, "plain"),
+        (4, None),
+        (5, "__HIVE_DEFAULT_PARTITION__"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id: long, grp: string").coalesce(1)
+    d.write.format("snaptable").mode("overwrite").option(
+        "stats_cols", '["doc_id"]'
+    ).option("partition_by", '["identity(grp)"]').save(path)
+    back = spark.read.format("snaptable").load(path)
+    assert back.count() == 6
+    assert sorted(
+        (r["doc_id"], r["grp"]) for r in back.collect()
+    ) == sorted(rows)
+    # manifest: each entry's file must exist and hold exactly its rows
+    ents = snaptable._load_manifest(path, snaptable.current_version(path))
+    seen_paths = [e["path"] for e in ents]
+    assert len(seen_paths) == len(set(seen_paths)), "two tuples share a file"
+    total = 0
+    for e in ents:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(path, e["path"]))
+        assert t.num_rows == e["rows"]
+        total += t.num_rows
+    assert total == 6
+
+
 def test_write_timestamp_stats_naive_utc_parity(spark, tmp_path):
     pa, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
     d = spark.range(0, 20).select(
