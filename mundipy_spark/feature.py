@@ -28,14 +28,20 @@ def _as_geom(other):
 
 
 class Feature:
-    __slots__ = ("geom", "features", "uscale")
+    __slots__ = ("geom", "features", "uscale", "zflag")
 
     def __init__(self, geom, features: dict | None = None, uscale: float = 1.0):
         """uscale: meters -> session measurement units (1.0 = meters,
         ~3.2808 = feet). The reference gets this by choosing a PCS whose
         axis unit matches Mundi(units=...) (mundipy/pcs/__init__.py:26-62);
         here measures compute in meters and scale on the way out."""
-        self.geom = geom if isinstance(geom, tuple) else wkb.loads(geom)
+        if isinstance(geom, tuple):
+            self.geom = geom
+            self.zflag = False  # internal tuples are always 2D
+        else:
+            self.geom = wkb.loads(geom)
+            # observe the Z flag before the codec drops the ordinates
+            self.zflag = wkb.wkb_has_z(geom)
         self.features = dict(features or {})
         self.uscale = uscale
 
@@ -65,6 +71,60 @@ class Feature:
     @property
     def wkb(self) -> bytes:
         return wkb.dumps(self.geom)
+
+    @property
+    def wkb_hex(self) -> str:
+        """Uppercase hex WKB (reference geometry.py:159 — shapely's
+        `wkb_hex` passthrough, which emits uppercase digits)."""
+        return wkb.dumps(self.geom).hex().upper()
+
+    @property
+    def has_z(self) -> bool:
+        """Whether the SOURCE WKB declared a Z ordinate (reference
+        geometry.py:115). The engine itself is strictly 2D — Z values
+        are dropped at decode (kernels/wkb.py module docstring), so
+        this observes provenance, matching the reference, which
+        surfaces the flag but never computes with Z."""
+        return self.zflag
+
+    @property
+    def coords(self) -> list:
+        """Coordinate tuples for simple geometries (reference
+        geometry.py:113 — shapely's `coords`). Shapely only defines
+        the sequence for Point / LineString / LinearRing; polygons and
+        multi-part geometries raise NotImplementedError there, and the
+        reference passes that through, so we do too."""
+        t, data = self.geom
+        if t == "Point":
+            return [(float(data[0]), float(data[1]))]
+        if t == "LineString":
+            return [(float(x), float(y)) for x, y in np.asarray(data)]
+        raise NotImplementedError(
+            f"coords is not defined for {t} (shapely semantics: only "
+            "Point/LineString/LinearRing expose a coordinate sequence)"
+        )
+
+    @property
+    def xy(self):
+        """Separate x / y coordinate arrays as `array.array('d')`
+        (reference geometry.py:114+ SHAPELY_METHODS 'xy': shapely
+        returns a pair of double arrays for Point/LineString and
+        raises for everything else)."""
+        import array as _array
+
+        pts = self.coords  # shares the Point/LineString-only contract
+        return (
+            _array.array("d", [p[0] for p in pts]),
+            _array.array("d", [p[1] for p in pts]),
+        )
+
+    def svg(self, scale_factor: float = 1.0, color: str | None = None) -> str:
+        """Single-geometry SVG fragment (reference geometry.py:161 —
+        shapely's `.svg()` passthrough): circle for points, polyline
+        for lines, even-odd path for polygons, `<g>` wrapper for
+        multi-parts; invalid geometries get the red fill. Layer-level
+        rendering (the notebook repr) lives in mundipy_spark/svg.py."""
+        return _svg_fragment(self.geom, scale_factor, color, self.is_valid)
 
     @property
     def __geo_interface__(self) -> dict:
@@ -238,6 +298,71 @@ class Feature:
 
     def __repr__(self) -> str:
         return f"<Feature {self.geom_type} props={list(self.features)[:4]}>"
+
+
+def _svg_fragment(geom, scale_factor: float, color: str | None, valid: bool) -> str:
+    """Shapely-style per-geometry SVG fragment (the shapes shapely's
+    BaseGeometry.svg emits, public API): default fill #66cc99 for valid
+    geometries, #ff3333 for invalid; points r=3*sf, lines 2*sf-wide
+    polylines, polygons even-odd paths; multi-parts wrap children in
+    <g>. Empty geometries render as `<g />` like shapely."""
+    t, data = geom
+    fill = color if color is not None else ("#66cc99" if valid else "#ff3333")
+
+    def _f(v) -> str:
+        s = f"{float(v):.6f}".rstrip("0").rstrip(".")
+        return s if s not in ("-0", "") else "0"
+
+    if t == "Point":
+        d = np.asarray(data, dtype=np.float64)
+        return (
+            f'<circle cx="{_f(d[0])}" cy="{_f(d[1])}" r="{_f(3.0 * scale_factor)}" '
+            f'stroke="#555555" stroke-width="{_f(1.0 * scale_factor)}" fill="{fill}" opacity="0.6" />'
+        )
+    if t == "LineString":
+        c = np.asarray(data, dtype=np.float64)
+        if len(c) == 0:
+            return "<g />"
+        pts = " ".join(f"{_f(x)},{_f(y)}" for x, y in c)
+        return (
+            f'<polyline fill="none" stroke="{fill}" '
+            f'stroke-width="{_f(2.0 * scale_factor)}" points="{pts}" opacity="0.8" />'
+        )
+    if t == "Polygon":
+        if not data:
+            return "<g />"
+        rings = []
+        for ring in data:
+            c = np.asarray(ring, dtype=np.float64)
+            rings.append(
+                "M " + " L ".join(f"{_f(x)},{_f(y)}" for x, y in c) + " z"
+            )
+        return (
+            f'<path fill-rule="evenodd" fill="{fill}" stroke="#555555" '
+            f'stroke-width="{_f(2.0 * scale_factor)}" opacity="0.6" d="{" ".join(rings)}" />'
+        )
+    if t == "MultiPoint":
+        parts = [
+            _svg_fragment(("Point", p), scale_factor, color, valid)
+            for p in np.asarray(data).reshape(-1, 2)
+        ]
+    elif t == "MultiLineString":
+        parts = [
+            _svg_fragment(("LineString", l), scale_factor, color, valid)
+            for l in data
+        ]
+    elif t == "MultiPolygon":
+        parts = [
+            _svg_fragment(("Polygon", p), scale_factor, color, valid)
+            for p in data
+        ]
+    elif t == "GeometryCollection":
+        parts = [_svg_fragment(g, scale_factor, color, valid) for g in data]
+    else:
+        raise ValueError(f"unknown geometry type: {t}")
+    if not parts:
+        return "<g />"
+    return "<g>" + "".join(parts) + "</g>"
 
 
 class LocalIndex:

@@ -146,6 +146,45 @@ def loads(buf: bytes):
     return _read_geom(_Reader(bytes(buf)))
 
 
+def wkb_has_z(buf) -> bool:
+    """True if the WKB declares a Z ordinate (EWKB 0x80000000 flag or
+    ISO 1000/3000-range type codes). The decoder still DROPS Z values
+    (module docstring) — this observes only the flag, closing the
+    reference's `has_z` passthrough (mundipy/geometry.py:115) without
+    changing engine semantics (the reference never *uses* Z either).
+
+    Containers whose top-level header is 2D get their first child
+    peeked (the GEOSHasZ first-coordinate convention)."""
+    if buf is None:
+        return False
+    return _has_z_at(bytes(buf), 0)
+
+
+def _has_z_at(buf: bytes, pos: int) -> bool:
+    e = "<" if buf[pos] else ">"
+    (code,) = struct.unpack_from(e + "I", buf, pos + 1)
+    pos += 5
+    if code & 0x80000000:  # EWKB Z
+        return True
+    if code & 0x20000000:  # SRID payload precedes any child
+        pos += 4
+    c = code & 0x1FFFFFFF
+    if c >= 3000 or (1000 <= c < 2000):  # ISO Z / ZM ranges
+        return True
+    if c >= 2000:  # ISO M-only
+        c -= 2000
+    if c in (
+        WKB_MULTIPOINT,
+        WKB_MULTILINESTRING,
+        WKB_MULTIPOLYGON,
+        WKB_GEOMETRYCOLLECTION,
+    ):
+        (n,) = struct.unpack_from(e + "I", buf, pos)
+        if n > 0:
+            return _has_z_at(buf, pos + 4)
+    return False
+
+
 # ---------------------------------------------------------------------------
 # encode
 # ---------------------------------------------------------------------------

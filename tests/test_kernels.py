@@ -634,3 +634,119 @@ def test_projected_codes_property_roundtrip():
         lo, la = inv(*fwd(lons, lats))
         assert np.abs(lo - lons).max() < 1e-6, code
         assert np.abs(la - lats).max() < 1e-6, code
+
+
+# --- accessor trivia (VERDICT r4 "What's missing" items 1-4) ------------------
+
+
+def test_feature_coords_and_xy():
+    """Reference geometry.py:113-114 ('coords'/'xy' passthroughs):
+    shapely exposes the coordinate sequence only on Point/LineString/
+    LinearRing and raises NotImplementedError elsewhere — the
+    reference passes both behaviors through, so Feature must too."""
+    import array
+
+    from mundipy_spark.feature import Feature
+
+    pt = Feature(("Point", np.array([3.0, 4.0])))
+    assert pt.coords == [(3.0, 4.0)]
+    xs, ys = pt.xy
+    assert isinstance(xs, array.array) and xs.typecode == "d"
+    assert list(xs) == [3.0] and list(ys) == [4.0]
+
+    line = Feature(("LineString", np.array([[0.0, 0.0], [1.0, 2.0], [3.0, 1.0]])))
+    assert line.coords == [(0.0, 0.0), (1.0, 2.0), (3.0, 1.0)]
+    xs, ys = line.xy
+    assert list(xs) == [0.0, 1.0, 3.0] and list(ys) == [0.0, 2.0, 1.0]
+
+    poly = Feature(
+        ("Polygon", [np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)])
+    )
+    with pytest.raises(NotImplementedError):
+        poly.coords
+    with pytest.raises(NotImplementedError):
+        poly.xy
+
+
+def test_feature_wkb_hex_roundtrip():
+    """geometry.py:159: wkb_hex is the uppercase hex of wkb, and
+    decodes back to the same geometry."""
+    from mundipy_spark.feature import Feature
+
+    f = Feature(("Point", np.array([1.5, -2.5])))
+    h = f.wkb_hex
+    assert h == f.wkb.hex().upper() and h.upper() == h
+    back = wkb.loads(bytes.fromhex(h))
+    assert back[0] == "Point" and np.allclose(back[1], f.geom[1])
+
+
+def test_feature_has_z_observes_source_flag():
+    """geometry.py:115: has_z surfaces whether the SOURCE WKB carried
+    a Z ordinate even though the codec drops the values (engine is
+    2D). ISO 1000-range, ISO 3000-range (ZM) and EWKB-flag variants
+    all count; M-only (2000-range) does not; containers with a 2D
+    top-level header defer to their first child."""
+    import struct
+
+    from mundipy_spark.feature import Feature
+
+    p2d = b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", 1.0, 2.0)
+    pz_iso = b"\x01" + struct.pack("<I", 1001) + struct.pack("<ddd", 1.0, 2.0, 3.0)
+    pzm_iso = b"\x01" + struct.pack("<I", 3001) + struct.pack("<dddd", 1, 2, 3, 4)
+    pm_iso = b"\x01" + struct.pack("<I", 2001) + struct.pack("<ddd", 1.0, 2.0, 9.0)
+    pz_ewkb = b"\x01" + struct.pack("<I", 0x80000001) + struct.pack("<ddd", 1, 2, 3)
+
+    assert not Feature(p2d).has_z
+    assert Feature(pz_iso).has_z
+    assert Feature(pzm_iso).has_z
+    assert not Feature(pm_iso).has_z
+    assert Feature(pz_ewkb).has_z
+    # 2D-coded MultiPoint whose child is an ISO PointZ
+    mp = b"\x01" + struct.pack("<II", 4, 1) + pz_iso
+    assert Feature(mp).has_z
+    # internal tuples (engine-made geometries) are always 2D
+    assert not Feature(("Point", np.array([0.0, 0.0]))).has_z
+    # geometry values untouched: Z dropped as before
+    assert np.allclose(Feature(pz_iso).geom[1], [1.0, 2.0])
+
+
+def test_feature_svg_fragment():
+    """geometry.py:161: per-geometry svg() — shapely's fragment shapes
+    (circle / polyline / even-odd path / <g> wrapper), valid-green vs
+    invalid-red default fill, explicit color override."""
+    from mundipy_spark.feature import Feature
+
+    pt = Feature(("Point", np.array([1.0, 2.0])))
+    s = pt.svg()
+    assert s.startswith("<circle") and 'cx="1"' in s and 'r="3"' in s
+    assert "#66cc99" in s  # valid default fill
+    assert "#abcdef" in pt.svg(color="#abcdef")
+    assert 'r="6"' in pt.svg(scale_factor=2.0)
+
+    line = Feature(("LineString", np.array([[0.0, 0.0], [1.0, 1.0]])))
+    s = line.svg()
+    assert s.startswith("<polyline") and 'points="0,0 1,1"' in s
+
+    poly = Feature(
+        ("Polygon", [np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float)])
+    )
+    s = poly.svg()
+    assert s.startswith("<path") and "evenodd" in s and s.rstrip("/> ").endswith('z"')
+
+    # bowtie: invalid -> red fill
+    bow = Feature(
+        ("Polygon", [np.array([[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], float)])
+    )
+    assert "#ff3333" in bow.svg()
+
+    mp = Feature(
+        (
+            "MultiPolygon",
+            [
+                [np.array([[0, 0], [1, 0], [1, 1], [0, 0]], float)],
+                [np.array([[5, 5], [6, 5], [6, 6], [5, 5]], float)],
+            ],
+        )
+    )
+    s = mp.svg()
+    assert s.startswith("<g>") and s.endswith("</g>") and s.count("<path") == 2
