@@ -77,11 +77,18 @@ def test_predicates_option_prunes_partitions(spark, tmp_path):
         _docs(spark, 0, 1000).repartitionByRange(4, "doc_id"),
         stats_cols=["doc_id"],
     )
-    full = spark.read.format("snaptable").load(path)
+    # pin the Python DSv2 reader: this test asserts its 1-partition-
+    # per-file scan shape, which the JVM auto-route replaces
+    full = (
+        spark.read.format("snaptable")
+        .option("use_python_reader", "true")
+        .load(path)
+    )
     n_full = full.rdd.getNumPartitions()
     assert n_full == 4
     pruned = (
         spark.read.format("snaptable")
+        .option("use_python_reader", "true")
         .option("predicates", _json.dumps([["doc_id", ">=", 900]]))
         .load(path)
     )
@@ -107,7 +114,13 @@ def test_shared_dataframe_filter_then_full_scan_is_exact(spark, tmp_path):
         _docs(spark, 0, 100).repartitionByRange(4, "doc_id"),
         stats_cols=["doc_id"],
     )
-    df = spark.read.format("snaptable").load(path)
+    # the guarded regression lives in the Python source's cached scan:
+    # keep this test on the DSv2 reader (the JVM route has no cache)
+    df = (
+        spark.read.format("snaptable")
+        .option("use_python_reader", "true")
+        .load(path)
+    )
     assert df.count() == 100
     assert df.filter(F.col("doc_id") == 5).count() == 1
     assert len(df.select("doc_id").collect()) == 100
@@ -147,6 +160,99 @@ def test_additive_schema_evolution_null_fills(spark, tmp_path):
     assert "lang" in df.columns
     assert df.filter(F.col("lang").isNull()).count() == 50
     assert df.filter(F.col("lang") == "en").count() == 10
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_jvm_route_plans_native_parquet_scan(spark, tmp_path):
+    """VERDICT r4 #3: a no-delete format("snaptable") batch read must
+    plan as a native JVM parquet FileScan (zero Python nodes), while
+    use_python_reader / columns / MOR deletes keep the DSv2 path."""
+    path = str(tmp_path / "t")
+    snaptable.create(
+        spark, path,
+        _docs(spark, 0, 200).repartitionByRange(4, "doc_id"),
+        stats_cols=["doc_id"],
+    )
+    routed = spark.read.format("snaptable").load(path)
+    plan = _physical_plan(routed)
+    assert "FileScan parquet" in plan and "PythonScan" not in plan
+    # snapshot_id + predicates also route
+    routed2 = (
+        spark.read.format("snaptable")
+        .option("snapshot_id", 1)
+        .option("predicates", '[["doc_id", ">=", 100]]')
+        .load(path)
+    )
+    assert "FileScan parquet" in _physical_plan(routed2)
+    assert routed2.count() == 100
+    # explicit opt-out pins the Python source
+    pinned = (
+        spark.read.format("snaptable")
+        .option("use_python_reader", "true")
+        .load(path)
+    )
+    assert "FileScan parquet" not in _physical_plan(pinned)
+    # the columns option stays on the Python reader (task-side decode
+    # pruning is its own measured path)
+    cols = (
+        spark.read.format("snaptable")
+        .option("columns", '["url"]')
+        .load(path)
+    )
+    assert "FileScan parquet" not in _physical_plan(cols)
+    # outstanding eq-deletes disqualify the route
+    snaptable.delete_keys(
+        spark, path, spark.createDataFrame([(3,)], "doc_id long")
+    )
+    mor = spark.read.format("snaptable").load(path)
+    assert "FileScan parquet" not in _physical_plan(mor)
+    assert mor.count() == 199
+
+
+def test_jvm_route_equivalence_with_python_reader(spark, tmp_path):
+    """Routed and DSv2 answers must be value-identical across plain
+    reads, time travel, predicates, and additive schema evolution."""
+    path = str(tmp_path / "t")
+    snaptable.create(
+        spark, path,
+        _docs(spark, 0, 300).repartitionByRange(3, "doc_id"),
+        stats_cols=["doc_id"],
+    )
+    snaptable.append(
+        spark, path, _docs(spark, 300, 350).withColumn("lang", F.lit("en"))
+    )
+
+    def both(*opts):
+        r = spark.read.format("snaptable")
+        p = spark.read.format("snaptable").option("use_python_reader", "true")
+        for k, v in opts:
+            r, p = r.option(k, v), p.option(k, v)
+        return r.load(path), p.load(path)
+
+    for opts in (
+        (),
+        ((("snapshot_id", 1)),),
+        ((("predicates", '[["doc_id", ">=", 250]]')),),
+    ):
+        r, p = both(*opts)
+        assert r.schema == p.schema, opts
+        a = sorted(map(tuple, r.collect()))
+        b = sorted(map(tuple, p.collect()))
+        assert a == b, opts
+    # evolution null-fill parity on the routed (JVM) path
+    r, _ = both()
+    assert r.filter(F.col("lang").isNull()).count() == 300
+    # pinned-at-load: a commit AFTER load() must not leak into the
+    # routed DataFrame (snapshot-consistent like an Iceberg scan)
+    r_before = spark.read.format("snaptable").load(path)
+    snaptable.append(
+        spark, path, _docs(spark, 1000, 1010).withColumn("lang", F.lit("de"))
+    )
+    assert r_before.count() == 350
+    assert spark.read.format("snaptable").load(path).count() == 360
 
 
 def test_sql_via_temp_view(spark, tmp_path):
