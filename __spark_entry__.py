@@ -1786,71 +1786,79 @@ def q_snap_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "ts", "user_id", "event_type", "value")
 
 
+def q_stream_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming lake loop (streaming/stream_ops.py +
+    sources/spark_datasource.py), end-to-end with exactly-once
+    evidence: wave 1 of documents lands in an UPSTREAM snapshot table;
+    a streaming query (`readStream.format("snaptable")` -> transform
+    -> `snaptable_sink`) ingests it into the LAKE table with a
+    checkpoint; wave 2 appends upstream and the SAME checkpointed
+    query runs again, delivering ONLY the delta (snapshot-version
+    offsets); a third run delivers nothing (replay idempotence — a
+    re-delivered wave would double rows and break the value hash);
+    finally a streamed takedown (`takedown_sink`) erases doc_id%7==0
+    as one merge-on-read eq-delete snapshot. The DuckDB twin is the
+    closed form: all documents minus the takedown keys — any
+    re-delivery, dropped delta, or mis-applied delete diverges."""
+    from mundipy_spark.sources import snaptable, spark_datasource
+    from mundipy_spark.streaming import stream_ops
+
+    spark_datasource.register(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.length("text").alias("text_len")
+    )
+    up = _tmp_table_dir("lake_up_")
+    lake = _tmp_table_dir("lake_t_")
+    ck_in = _tmp_table_dir("lake_cki_")
+    ck_td = _tmp_table_dir("lake_ckt_")
+
+    snaptable.create(
+        spark, up, docs.filter(F.col("doc_id") % 3 != 0), stats_cols=["doc_id"]
+    )
+
+    def run_ingest() -> None:
+        src = spark.readStream.format("snaptable").load(up)
+        stream_ops.snaptable_sink(
+            src.select("doc_id", "source", "text_len"),
+            lake,
+            stats_cols=["doc_id"],
+            checkpoint_dir=ck_in,
+            trigger_once=True,
+        ).awaitTermination()
+
+    run_ingest()  # wave 1
+    snaptable.append(spark, up, docs.filter(F.col("doc_id") % 3 == 0))
+    run_ingest()  # delta only (same checkpoint)
+    run_ingest()  # no-op: nothing new, nothing re-delivered
+
+    req = _tmp_table_dir("lake_req_")
+    snaptable.create(
+        spark, req,
+        docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+        stats_cols=[],
+    )
+    stream_ops.takedown_sink(
+        spark.readStream.format("snaptable").load(req),
+        lake,
+        checkpoint_dir=ck_td,
+        trigger_once=True,
+    ).awaitTermination()
+    return snaptable.read(spark, lake).select("doc_id", "source", "text_len")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order = driver-verification priority (VERDICT r03
+    """Registry order = driver-verification priority (VERDICT r04
     item 1): the harness records the FIRST 50 entries in
     CORRECTNESS_r{N}.json, so the least-recently-driver-verified
-    queries lead — (a) new this round (warc_extract, the newly
-    value-exact lsh/ivf ANN), (b) the 16 late-r3 operators that never
-    appeared in a driver CORRECTNESS file, then (c) round-3-verified
-    entries with this round's code changes first. The tail beyond 50
-    (earliest operators, value-exact in r01+r02+r03) rotates out; all
-    79 remain covered by tools/check_oracle.py and pytest."""
+    queries lead — (a) the 29 r01/r02-era queries whose last driver
+    row is r03 (rotated back per the verdict), (b) new this round
+    (stream_lake), then (c) r4-verified entries whose code this round
+    touched (bpe DOTALL fix, the snaptable format routing + writer
+    fix, pagerank placement) ahead of the rest. The tail beyond 50
+    (all driver-verified in r04) rotates out this round; all queries
+    remain covered by tools/check_oracle.py and pytest."""
     return {
-        # (a) never / newly oracle-checked
-        "bpe_train": q_bpe_train,
-        "bpe_encode": q_bpe_encode,
-        "snap_write": q_snap_write,
-        "snap_branch": q_snap_branch,
-        "snap_adopt": q_snap_adopt,
-        "snap_wap": q_snap_wap,
-        "snap_reader": q_snap_reader,
-        "snap_cdc": q_snap_cdc,
-        "snap_mor": q_snap_mor,
-        "snap_part": q_snap_part,
-        "snap_merge": q_snap_merge,
-        "snap_scan": q_snap_scan,
-        "warc_extract": q_warc_extract,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        # (b) late-r3, absent from every driver CORRECTNESS file
-        "host_graph": q_host_graph,
-        "extract_text": q_extract_text,
-        "span_dedup": q_span_dedup,
-        "dsir": q_dsir,
-        "embed_neardup": q_embed_neardup,
-        "nb_lang": q_nb_lang,
-        "snapshot_diff": q_snapshot_diff,
-        "anchor_text": q_anchor_text,
-        "gopher": q_gopher,
-        "curate_gopher": q_curate_gopher,
-        "robots": q_robots,
-        "frontier": q_frontier,
-        "zorder": q_zorder,
-        "len_quantiles": q_len_quantiles,
-        "kmeans": q_kmeans,
-        "semdedup": q_semdedup,
-        # (c) r3-verified; changed-this-round and webtext suite first
-        "pagerank": q_pagerank,
-        "curate": q_curate,
-        "lm_score": q_lm_score,
-        "domain_stats": q_domain_stats,
-        "decontam": q_decontam,
-        "par_dedup": q_par_dedup,
-        "url_dedup": q_url_dedup,
-        "incr_dedup": q_incr_dedup,
-        "rep_signals": q_rep_signals,
-        "pii_scrub": q_pii_scrub,
-        "asof_events": q_asof_events,
-        "audio_features": q_audio_features,
-        "multimodal_features": q_multimodal_features,
-        "lang_profile": q_lang_profile,
-        "winnow_fp": q_winnow_fp,
-        "simhash_pairs": q_simhash_pairs,
-        "dissolve_blocks": q_dissolve_blocks,
-        "overlap_weighted": q_overlap_weighted,
-        "geocode_triangles": q_geocode_triangles,
-        # --- driver window boundary: exactly 50 entries above ---
+        # (a) r01-era tail, last driver-verified r03
         "vectorize": q_vectorize,
         "rasterize": q_rasterize,
         "crs_ingest": q_crs_ingest,
@@ -1880,6 +1888,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_cells": q_tile_cells,
         "geoparse_points": q_geoparse_points,
         "geocode_regions": q_geocode_regions,
+        # (b) new this round: streaming lake loop end-to-end
+        "stream_lake": q_stream_lake,
+        # (c) r4-verified, code touched this round first
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
+        "snap_write": q_snap_write,
+        "snap_reader": q_snap_reader,
+        "snap_scan": q_snap_scan,
+        "snap_mor": q_snap_mor,
+        "snap_part": q_snap_part,
+        "snap_cdc": q_snap_cdc,
+        "snap_merge": q_snap_merge,
+        "snap_wap": q_snap_wap,
+        "snap_branch": q_snap_branch,
+        "snap_adopt": q_snap_adopt,
+        "pagerank": q_pagerank,
+        "warc_extract": q_warc_extract,
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "par_dedup": q_par_dedup,
+        "url_dedup": q_url_dedup,
+        "geocode_triangles": q_geocode_triangles,
+        "dissolve_blocks": q_dissolve_blocks,
+        # --- driver window boundary: exactly 50 entries above ---
+        # (all below: driver-verified value-exact in CORRECTNESS_r04)
+        "host_graph": q_host_graph,
+        "extract_text": q_extract_text,
+        "span_dedup": q_span_dedup,
+        "dsir": q_dsir,
+        "embed_neardup": q_embed_neardup,
+        "nb_lang": q_nb_lang,
+        "snapshot_diff": q_snapshot_diff,
+        "anchor_text": q_anchor_text,
+        "gopher": q_gopher,
+        "curate_gopher": q_curate_gopher,
+        "robots": q_robots,
+        "frontier": q_frontier,
+        "zorder": q_zorder,
+        "len_quantiles": q_len_quantiles,
+        "kmeans": q_kmeans,
+        "semdedup": q_semdedup,
+        "curate": q_curate,
+        "lm_score": q_lm_score,
+        "domain_stats": q_domain_stats,
+        "decontam": q_decontam,
+        "incr_dedup": q_incr_dedup,
+        "rep_signals": q_rep_signals,
+        "pii_scrub": q_pii_scrub,
+        "asof_events": q_asof_events,
+        "audio_features": q_audio_features,
+        "multimodal_features": q_multimodal_features,
+        "lang_profile": q_lang_profile,
+        "winnow_fp": q_winnow_fp,
+        "simhash_pairs": q_simhash_pairs,
+        "overlap_weighted": q_overlap_weighted,
     }
 
 
@@ -1922,6 +1985,14 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bpe_train": bpe.bpe_train_sql(8),
         "bpe_encode": bpe.bpe_token_counts_sql(8),
+        # closed form of the exactly-once lake loop: wave1 (id%3!=0)
+        # + wave2 (id%3==0) = all docs, minus the streamed takedown
+        # keys (id%7==0); any re-delivered wave doubles rows and any
+        # dropped delta loses them — both break the value hash
+        "stream_lake": """
+SELECT doc_id, source, length(text) AS text_len
+FROM documents WHERE doc_id % 7 <> 0
+""",
         "snap_write": """
 WITH base AS (
   SELECT doc_id, source, length(text) AS text_len FROM documents

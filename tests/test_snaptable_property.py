@@ -503,3 +503,139 @@ def test_wap_tag_binpack_interleavings_match_model(
         sid = next(iter(pending))
         snaptable.publish_staged(spark, path, sid)
         check(snaptable.read(spark, path), rows + pending[sid])
+
+
+# ---------------------------------------------------------------------------
+# Format-writer model (VERDICT r4 #8): random interleavings of
+# format("snaptable") APPEND and OVERWRITE commits, library appends,
+# and concurrent-evolution races against a pre-planned format writer.
+# The writer path joined the stateful model for appends in r4; this
+# extends it to INSERT OVERWRITE (replace snapshot: resets the head,
+# history stays) and to the ConflictError fence: a SnaptableBatchWriter
+# planned against schema S must refuse to commit after the table gained
+# a column, and the failed commit must leave the table byte-identical
+# to the model (no partial snapshot, no reverted evolution).
+
+fmt_append = st.tuples(
+    st.just("append"),
+    st.integers(min_value=0, max_value=4000),
+    st.integers(min_value=1, max_value=25),
+    st.booleans(),  # True -> format writer, False -> library append
+)
+fmt_overwrite = st.tuples(
+    st.just("overwrite"),
+    st.integers(min_value=0, max_value=4000),
+    st.integers(min_value=1, max_value=25),
+)
+evolve_race = st.tuples(st.just("evolve_race"))
+fmt_ops = st.lists(
+    st.one_of(fmt_append, fmt_overwrite, evolve_race), min_size=1, max_size=5
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=fmt_ops)
+def test_format_writer_interleavings_match_model(spark, tmp_path_factory, ops):
+    from pyspark.sql.types import StructType
+
+    from mundipy_spark.sources import snaptable, spark_datasource
+
+    spark_datasource.register(spark)
+    path = str(tmp_path_factory.mktemp("fmtprop") / "t")
+
+    # model state
+    extra_cols: list[str] = []          # evolution-added columns
+    rows: list[tuple[int, dict]] = []   # (doc_id, {col: 7 or None})
+    history: list[list] = []            # committed snapshots' row sets
+
+    def batch_df(start, n):
+        df = spark.range(start, start + n).select(F.col("id").alias("doc_id"))
+        for c in extra_cols:
+            df = df.withColumn(c, F.lit(7).cast("long"))
+        return df
+
+    def model_rows(start, n):
+        return [
+            (i, {c: 7 for c in extra_cols}) for i in range(start, start + n)
+        ]
+
+    for op in ops:
+        exists = snaptable.current_version(path) > 0
+        if op[0] == "append":
+            _, start, n, via_fmt = op
+            if not exists:
+                # mode("append") on a missing table is a loud error by
+                # contract; the model creates via the library instead
+                snaptable.create(
+                    spark, path, batch_df(start, n), stats_cols=["doc_id"]
+                )
+            elif via_fmt:
+                batch_df(start, n).write.format("snaptable").mode(
+                    "append"
+                ).save(path)
+            else:
+                snaptable.append(spark, path, batch_df(start, n))
+            rows = rows + model_rows(start, n)
+            history.append(list(rows))
+        elif op[0] == "overwrite":
+            _, start, n = op
+            batch_df(start, n).write.format("snaptable").mode(
+                "overwrite"
+            ).option("stats_cols", '["doc_id"]').save(path)
+            rows = model_rows(start, n)
+            history.append(list(rows))
+        else:  # evolve_race
+            if not exists:
+                continue
+            import pyarrow as pa
+
+            stale_schema = StructType.fromJson(
+                __import__("json").loads(
+                    snaptable._load_snapshot(
+                        path, snaptable.current_version(path)
+                    )["schema"]
+                )
+            )
+            w = spark_datasource.SnaptableBatchWriter(
+                {"path": path}, stale_schema, overwrite=False
+            )
+            arrow_cols = {"doc_id": pa.array([999_999], pa.int64())}
+            for c in extra_cols:
+                arrow_cols[c] = pa.array([7], pa.int64())
+            m = w.write(iter([pa.record_batch(arrow_cols)]))
+            # concurrent evolution: the table gains a column AND rows
+            new_col = f"ev{len(extra_cols)}"
+            evolved = batch_df(0, 1).withColumn(
+                new_col, F.lit(7).cast("long")
+            )
+            snaptable.append(spark, path, evolved)
+            extra_cols.append(new_col)
+            rows = rows + [(0, {c: 7 for c in extra_cols})]
+            history.append(list(rows))
+            with pytest.raises(snaptable.ConflictError, match="gained"):
+                w.commit([m])
+            # the fenced commit must not have landed a snapshot
+
+    assert len(snaptable.snapshots(path)) == len(history)
+    if not history:
+        assert snaptable.current_version(path) == 0
+        return
+
+    def check(df, want):
+        assert df.count() == len(want)
+        if want:
+            assert df.agg(F.sum("doc_id")).first()[0] == sum(
+                r[0] for r in want
+            )
+            for c in extra_cols:
+                if c in df.columns:
+                    got = df.agg(F.sum(c)).first()[0]
+                    exp = sum(r[1].get(c) or 0 for r in want)
+                    assert (got or 0) == exp, c
+
+    check(snaptable.read(spark, path), rows)
+    for v, snap_rows in enumerate(history, start=1):
+        check(snaptable.read(spark, path, snapshot_id=v), snap_rows)
+    # the routed format read agrees with the library head read
+    fmt_df = spark.read.format("snaptable").load(path)
+    check(fmt_df, rows)
