@@ -125,11 +125,20 @@ def parse_gazetteer(
     ~4.5x win (measured at 5M pages, 1% mention rate — BENCH r03).
     """
     toks = pages
-    places = [r[0] for r in gazetteer.select(F.lower("place")).distinct().collect()]
+    # count first; collect the place list ONLY when the prefilter will
+    # actually compile it (<= cap). A GeoNames-scale gazetteer (10^5-
+    # 10^6 rows) must never round-trip through the driver just to
+    # decide "too big for the alternation" — count + min-length are
+    # two tiny aggregates (r5; the old code collected unconditionally)
+    n_places = gazetteer.select(F.lower("place")).distinct().count()
     if prefilter:
         import re as _re
 
-        if 0 < len(places) <= prefilter_cap:
+        if 0 < n_places <= prefilter_cap:
+            places = [
+                r[0]
+                for r in gazetteer.select(F.lower("place")).distinct().collect()
+            ]
             alt = "|".join(_re.escape(p) for p in sorted(places))
             # custom boundaries (NOT \b: '_' is a regex word char but a
             # tokenizer separator, so \b would wrongly drop "place_x")
@@ -139,7 +148,11 @@ def parse_gazetteer(
     # every place can never join, so this prunes the explode output
     # with ZERO effect on results — a fixed floor (the old >= 3) made
     # shorter gazetteer entries ('LA') silently unmatchable
-    minlen = min((len(p) for p in places), default=1)
+    minlen = (
+        gazetteer.agg(F.min(F.length("place"))).first()[0] or 1
+        if n_places
+        else 1
+    )
     toks = toks.withColumn(
         "_tok", F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"))
     ).filter(F.length("_tok") >= max(minlen, 1))
