@@ -1786,6 +1786,43 @@ def q_snap_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "ts", "user_id", "event_type", "value")
 
 
+def q_gazetteer_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-word gazetteer geoparse (r5): place names tokenize through
+    the SAME [^a-z0-9]+ tokenizer as page text and match as n-gram
+    token windows, so 'zz-plaza' and 'zz  plaza' in text both match
+    gazetteer 'Zz Plaza'. The synthetic mentions cycle separator
+    variety (space / hyphen / double space) and lengths 1-3; overlap
+    resolution is min-by-place (binary collation in both engines)."""
+    pages = _pages(spark, sf_dir)
+    sep = F.element_at(
+        F.array(F.lit(" "), F.lit("-"), F.lit("  ")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    mention = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" zz"), sep, F.lit("plaza")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit(" qq"), sep, F.lit("port"), sep, F.lit("east")),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.lit(" zz"))
+        .otherwise(F.lit(""))
+    )
+    pages = pages.withColumn("text", F.concat(F.col("text"), mention))
+    gaz = spark.createDataFrame(
+        [
+            ("Zz Plaza", -74.0, 40.71),
+            ("qq port east", 4.48, 51.92),
+            ("zz", 2.35, 48.86),
+        ],
+        "place string, glon double, glat double",
+    )
+    out = geoparse.parse_gazetteer(pages, gaz)
+    return out.select("url", "place", "glon", "glat")
+
+
 def q_stream_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full streaming lake loop (streaming/stream_ops.py +
     sources/spark_datasource.py), end-to-end with exactly-once
@@ -1888,8 +1925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_cells": q_tile_cells,
         "geoparse_points": q_geoparse_points,
         "geocode_regions": q_geocode_regions,
-        # (b) new this round: streaming lake loop end-to-end
+        # (b) new this round: streaming lake loop + multi-word gazetteer
         "stream_lake": q_stream_lake,
+        "gazetteer_multi": q_gazetteer_multi,
         # (c) r4-verified, code touched this round first
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
@@ -1910,9 +1948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "par_dedup": q_par_dedup,
         "url_dedup": q_url_dedup,
         "geocode_triangles": q_geocode_triangles,
-        "dissolve_blocks": q_dissolve_blocks,
         # --- driver window boundary: exactly 50 entries above ---
         # (all below: driver-verified value-exact in CORRECTNESS_r04)
+        "dissolve_blocks": q_dissolve_blocks,
         "host_graph": q_host_graph,
         "extract_text": q_extract_text,
         "span_dedup": q_span_dedup,
@@ -2272,6 +2310,46 @@ hits AS (
   WHERE list_contains(regexp_split_to_array(lower(p.text), '[^a-z0-9]+'), g.place)
 )
 SELECT url, min(place) AS place FROM hits GROUP BY url
+""",
+        "gazetteer_multi": f"""
+{GEO_SQL_CTE.rstrip()},
+mut AS (
+  SELECT url,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ' zz' || sep || 'plaza'
+           WHEN 1 THEN ' qq' || sep || 'port' || sep || 'east'
+           WHEN 2 THEN ' zz'
+           ELSE '' END AS text
+  FROM (
+    SELECT *, CASE doc_id % 3 WHEN 0 THEN ' ' WHEN 1 THEN '-'
+              ELSE '  ' END AS sep
+    FROM pages
+  )
+), toks AS (
+  SELECT url,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM mut
+), g1 AS (
+  SELECT url, unnest(l) AS g FROM toks
+), g2 AS (
+  SELECT url, array_to_string(l[i:i+1], ' ') AS g
+  FROM (SELECT url, l, unnest(range(1, len(l))) AS i FROM toks)
+), g3 AS (
+  SELECT url, array_to_string(l[i:i+2], ' ') AS g
+  FROM (SELECT url, l, unnest(range(1, len(l) - 1)) AS i FROM toks)
+), allg AS (
+  SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3
+), gaz(place, key, glon, glat) AS (VALUES
+  ('Zz Plaza', 'zz plaza', -74.0, 40.71),
+  ('qq port east', 'qq port east', 4.48, 51.92),
+  ('zz', 'zz', 2.35, 48.86)
+), ranked AS (
+  SELECT a.url, g.place, g.glon, g.glat,
+         row_number() OVER (PARTITION BY a.url ORDER BY g.place) AS rn
+  FROM allg a JOIN gaz g ON g.key = a.g
+)
+SELECT url, place, glon, glat FROM ranked WHERE rn = 1
 """,
         "sessions": f"""
 WITH base AS ({sessions.sessionize_sql(1800)})

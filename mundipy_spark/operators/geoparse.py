@@ -99,64 +99,128 @@ def parse_decimal_pairs(pages: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _norm_gazetteer(gazetteer: DataFrame) -> DataFrame:
+    """Gazetteer names through the SAME tokenizer as page text:
+    lowercase, split on [^a-z0-9]+, empties dropped. The match key is
+    the space-joined token sequence, so page text "New-York" (or
+    "new  york") matches gazetteer "New York" and vice versa."""
+    gtoks = F.filter(
+        F.split(F.lower(F.col("place")), r"[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    return gazetteer.withColumn("_key", F.array_join(gtoks, " ")).withColumn(
+        "_L", F.size(gtoks)
+    )
+
+
 def parse_gazetteer(
     pages: DataFrame,
     gazetteer: DataFrame,
     text_col: str = "text",
     prefilter: bool = True,
     prefilter_cap: int = 5000,
+    max_ngram: int = 8,
 ) -> DataFrame:
     """Tag pages with the first gazetteer place they mention.
 
     gazetteer: DataFrame(place string, lat double, lon double) — small,
-    broadcast. At web scale the vast majority of pages mention NO place,
-    so a page-level regexp prefilter compiled from the gazetteer drops
-    them BEFORE the token explode (which multiplies the probe stream by
-    ~tokens-per-doc); only mentioning pages explode and join. The
-    boundary class `[^a-z0-9]` mirrors the tokenizer's split exactly, so
-    the prefilter can never drop a page the join would keep. The join is
-    a broadcast hash join — the pages table is never shuffled.
+    broadcast. Place names may be MULTI-WORD ("new york"): both sides
+    normalize through the same tokenizer (lowercase, [^a-z0-9]+
+    separators), and the page side generates L-gram token windows for
+    exactly the distinct token counts L present in the gazetteer — one
+    pass over the token array per distinct L, flattened into a single
+    explode, so the pages table is still scanned once and never
+    shuffled (broadcast hash join on the space-joined gram key). A
+    single-token gazetteer plans the identical explode+join as before.
+
+    At web scale the vast majority of pages mention NO place, so a
+    page-level regexp prefilter compiled from the gazetteer drops them
+    BEFORE the gram explode; each place's inter-token gaps compile to
+    `[^a-z0-9]+`, mirroring the tokenizer exactly, so the prefilter can
+    never drop a page the join would keep.
 
     prefilter_cap: above this many places the alternation pattern stops
-    paying for itself (regex state blowup) — fall back to explode-only.
-    On a corpus where most pages DO mention a gazetteer term (dense
-    boilerplate), the prefilter is a pure extra regex pass — pass
-    prefilter=False there; on web text with sparse mentions it is a
-    ~4.5x win (measured at 5M pages, 1% mention rate — BENCH r03).
+    paying for itself (regex state blowup) — fall back to explode-only
+    (exercised at 200k places by bench_gazetteer_xl). On a corpus where
+    most pages DO mention a gazetteer term the prefilter is a pure
+    extra regex pass — pass prefilter=False there; on web text with
+    sparse mentions it is a ~4.5x win (measured at 5M pages, 1%
+    mention rate — BENCH r03).
+
+    max_ngram bounds the gram generation (one token-array pass per
+    distinct L): a place with more tokens raises loudly rather than
+    silently never matching.
     """
+    g_norm = _norm_gazetteer(gazetteer)
+    # tiny driver-side aggregate: place count (cap decision), distinct
+    # token counts (gram lengths), min key length (gram floor). The
+    # place LIST is collected only when the prefilter will compile it
+    # (<= cap) — a GeoNames-scale gazetteer must never round-trip the
+    # driver just to learn "too big for the alternation" (r5).
+    stats = g_norm.agg(
+        F.count_distinct(F.col("_key")).alias("n"),
+        F.min(F.length("_key")).alias("minkey"),
+        F.array_sort(F.collect_set("_L")).alias("ls"),
+    ).first()
+    n_places = stats["n"]
+    lengths = [int(l) for l in (stats["ls"] or []) if l and l > 0]
+    if lengths and lengths[-1] > max_ngram:
+        raise ValueError(
+            f"parse_gazetteer: place names up to {lengths[-1]} tokens "
+            f"exceed max_ngram={max_ngram}; raise max_ngram (each "
+            "distinct token count adds one gram pass per page)"
+        )
     toks = pages
-    # count first; collect the place list ONLY when the prefilter will
-    # actually compile it (<= cap). A GeoNames-scale gazetteer (10^5-
-    # 10^6 rows) must never round-trip through the driver just to
-    # decide "too big for the alternation" — count + min-length are
-    # two tiny aggregates (r5; the old code collected unconditionally)
-    n_places = gazetteer.select(F.lower("place")).distinct().count()
-    if prefilter:
+    if prefilter and 0 < n_places <= prefilter_cap:
         import re as _re
 
-        if 0 < n_places <= prefilter_cap:
-            places = [
-                r[0]
-                for r in gazetteer.select(F.lower("place")).distinct().collect()
-            ]
-            alt = "|".join(_re.escape(p) for p in sorted(places))
-            # custom boundaries (NOT \b: '_' is a regex word char but a
-            # tokenizer separator, so \b would wrongly drop "place_x")
-            pat = f"(?i)(^|[^a-z0-9])({alt})([^a-z0-9]|$)"
-            toks = toks.filter(F.col(text_col).rlike(pat))
-    # token length floor = shortest place name: tokens shorter than
-    # every place can never join, so this prunes the explode output
-    # with ZERO effect on results — a fixed floor (the old >= 3) made
-    # shorter gazetteer entries ('LA') silently unmatchable
-    minlen = (
-        gazetteer.agg(F.min(F.length("place"))).first()[0] or 1
-        if n_places
-        else 1
+        keys = [r[0] for r in g_norm.select("_key").distinct().collect()]
+        alt = "|".join(
+            "[^a-z0-9]+".join(_re.escape(t) for t in k.split(" "))
+            for k in sorted(keys)
+        )
+        # custom boundaries (NOT \b: '_' is a regex word char but a
+        # tokenizer separator, so \b would wrongly drop "place_x")
+        pat = f"(?i)(^|[^a-z0-9])({alt})([^a-z0-9]|$)"
+        toks = toks.filter(F.col(text_col).rlike(pat))
+    # gram-length floor = shortest normalized place: grams shorter than
+    # every key can never join — prunes the explode with ZERO effect on
+    # results (a fixed floor made short entries like 'LA' unmatchable)
+    minkey = int(stats["minkey"] or 1)
+    raw_arr = F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+    # empties must be dropped BEFORE multi-token grams join ("a--b"
+    # would otherwise gram to "a  b"); the single-token stream skips
+    # the array copy — its empties die at the length floor below
+    toks_arr = F.filter(raw_arr, lambda t: t != "")
+
+    def _grams_of(L: int):
+        # factory, NOT a defaulted lambda param: pyspark treats a
+        # 2-parameter lambda as the (element, index) binary form, so
+        # `lambda i, _L=L:` would bind _L to the element INDEX
+        n = F.size(toks_arr)
+        # sequence() descends when stop < start — guard short docs
+        return F.when(
+            n >= L,
+            F.transform(
+                F.sequence(F.lit(1), n - (L - 1)),
+                lambda i: F.array_join(F.slice(toks_arr, i, L), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    gram_arrays = [
+        raw_arr if L == 1 else _grams_of(L) for L in lengths or [1]
+    ]
+    grams = (
+        gram_arrays[0]
+        if len(gram_arrays) == 1
+        else F.flatten(F.array(*gram_arrays))
     )
-    toks = toks.withColumn(
-        "_tok", F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"))
-    ).filter(F.length("_tok") >= max(minlen, 1))
-    g = F.broadcast(gazetteer.withColumn("_tok", F.lower(F.col("place"))))
+    toks = toks.withColumn("_tok", F.explode(grams)).filter(
+        F.length("_tok") >= max(minkey, 1)
+    )
+    g = F.broadcast(
+        g_norm.drop("_L").withColumnRenamed("_key", "_tok")
+    )
     hits = toks.join(g, "_tok", "inner").drop("_tok")
     # first hit per page (deterministic: min by place)
     from pyspark.sql import Window as W

@@ -369,3 +369,75 @@ def test_gazetteer_short_places_matchable(spark):
     )
     out = geoparse.parse_gazetteer(pages, gaz)
     assert [r.url for r in out.collect()] == ["u1"]
+
+
+def test_gazetteer_multiword_places(spark):
+    """Multi-word place names (r5): both sides normalize through the
+    tokenizer, so 'New York' matches 'new-york', 'new  york', and
+    'NEW YORK!' in page text; single tokens of a multi-word name
+    ('york' alone) never match; the first-hit tie-break stays min by
+    original place string."""
+    df = spark.createDataFrame(
+        [
+            ("u1", "moving to New-York next year"),
+            ("u2", "flight to new  york city"),
+            ("u3", "YORK alone should not match"),
+            ("u4", "the port of los angeles is busy"),
+            ("u5", "angeles without los"),
+            ("u6", "NEW YORK! exclaimed"),
+            ("u7", "nothing to see"),
+        ],
+        "url string, text string",
+    )
+    gaz = spark.createDataFrame(
+        [
+            ("New York", 40.71, -74.00),
+            ("Los Angeles", 34.05, -118.24),
+        ],
+        "place string, glat double, glon double",
+    )
+    out = {r.url: r.place for r in geoparse.parse_gazetteer(df, gaz).collect()}
+    assert out == {
+        "u1": "New York",
+        "u2": "New York",
+        "u4": "Los Angeles",
+        "u6": "New York",
+    }
+    # prefilter equivalence holds for multi-word alternations too
+    without = {
+        (r.url, r.place)
+        for r in geoparse.parse_gazetteer(df, gaz, prefilter=False).collect()
+    }
+    assert {(u, p) for u, p in out.items()} == without
+
+
+def test_gazetteer_mixed_lengths_and_overlap(spark):
+    """Mixed 1/2/3-token gazetteers: every length L present generates
+    its gram stream; overlapping matches resolve to min(place); a
+    too-long place raises loudly instead of silently never matching."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "visit new york city today"),
+            ("u2", "just york here"),
+        ],
+        "url string, text string",
+    )
+    gaz = spark.createDataFrame(
+        [
+            ("new york city", 40.71, -74.00),
+            ("new york", 40.71, -74.00),
+            ("york", 53.96, -1.08),
+        ],
+        "place string, glat double, glon double",
+    )
+    out = {r.url: r.place for r in geoparse.parse_gazetteer(df, gaz).collect()}
+    # u1 matches all three; min by place string -> "new york"
+    assert out == {"u1": "new york", "u2": "york"}
+    big = spark.createDataFrame(
+        [("a b c d e f g h i", 0.0, 0.0)],
+        "place string, glat double, glon double",
+    )
+    with _pytest.raises(ValueError, match="max_ngram"):
+        geoparse.parse_gazetteer(df, big)
