@@ -750,3 +750,21 @@ def test_feature_svg_fragment():
     )
     s = mp.svg()
     assert s.startswith("<g>") and s.endswith("</g>") and s.count("<path") == 2
+
+
+def test_wkb_has_z_false_on_all_engine_encoded_geoms():
+    """The engine's own encoder is strictly 2D, so wkb_has_z must be
+    False for every geometry it emits — and True only for external
+    Z-flagged buffers (pinned in test_feature_has_z_observes_source_flag)."""
+    geoms = [
+        ("Point", np.array([1.0, 2.0])),
+        ("LineString", np.array([[0.0, 0.0], [1.0, 1.0]])),
+        ("Polygon", [np.array([[0, 0], [1, 0], [1, 1], [0, 0]], float)]),
+        ("MultiPoint", np.array([[0.0, 0.0], [2.0, 2.0]])),
+        (
+            "GeometryCollection",
+            [("Point", np.array([5.0, 6.0]))],
+        ),
+    ]
+    for g in geoms:
+        assert not wkb.wkb_has_z(wkb.dumps(g)), g[0]

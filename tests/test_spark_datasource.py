@@ -870,3 +870,28 @@ def test_columns_option_on_stream(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.columns == ["doc_id"]
     assert got.count() == 20
+
+
+def test_hive_component_injective_property():
+    """Property (ADVICE r4 follow-through): distinct partition values —
+    including None vs any string, the sentinel literal, and
+    leading-underscore collisions — must encode to distinct directory
+    components."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vals = st.one_of(
+        st.none(),
+        st.text(max_size=12),
+        st.just("__HIVE_DEFAULT_PARTITION__"),
+        st.text(alphabet="_%az0", max_size=8),
+        st.integers(-100, 100),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(vals, min_size=2, max_size=6, unique_by=lambda v: (v is None, str(v))))
+    def check(values):
+        encs = [spark_datasource._hive_component("k", v) for v in values]
+        assert len(set(encs)) == len(encs), (values, encs)
+
+    check()
