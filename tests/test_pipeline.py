@@ -441,3 +441,63 @@ def test_gazetteer_mixed_lengths_and_overlap(spark):
     )
     with _pytest.raises(ValueError, match="max_ngram"):
         geoparse.parse_gazetteer(df, big)
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_gz_tok = st.sampled_from(["aa", "b", "c0", "dd", "e"])
+_gz_sep = st.sampled_from([" ", "-", "  ", ". "])
+_gz_place = st.lists(_gz_tok, min_size=1, max_size=3).map(" ".join)
+_gz_text = st.lists(
+    st.tuples(_gz_tok, _gz_sep), min_size=0, max_size=10
+).map(lambda ps: "".join(t + s for t, s in ps))
+
+
+def _gz_ref(pages, places):
+    """Pure-Python reference: first (min) place whose token sequence
+    appears as a contiguous window of the page's token stream."""
+    import re as _re
+
+    out = {}
+    for url, text in pages:
+        toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+        hits = set()
+        for place in places:
+            ptoks = [t for t in _re.split(r"[^a-z0-9]+", place.lower()) if t]
+            L = len(ptoks)
+            if not L:
+                continue
+            if any(
+                toks[i : i + L] == ptoks for i in range(len(toks) - L + 1)
+            ):
+                hits.add(place)
+        if hits:
+            out[url] = min(hits)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(_gz_text, min_size=1, max_size=5),
+    places=st.lists(_gz_place, min_size=1, max_size=4, unique=True),
+    use_prefilter=st.booleans(),
+)
+def test_gazetteer_matches_python_reference_property(
+    spark, texts, places, use_prefilter
+):
+    pages = [(f"u{i}", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(pages, "url string, text string")
+    gaz = spark.createDataFrame(
+        [(p, 0.0, 0.0) for p in places],
+        "place string, glat double, glon double",
+    )
+    got = {
+        r.url: r.place
+        for r in geoparse.parse_gazetteer(
+            df, gaz, prefilter=use_prefilter
+        ).collect()
+    }
+    assert got == _gz_ref(pages, places)
