@@ -334,6 +334,7 @@ def main() -> None:
         "curate_gopher": entry_mod.q_curate_gopher,
         "kmeans": entry_mod.q_kmeans,
         "bpe_train": entry_mod.q_bpe_train,
+        "gazetteer_multi": entry_mod.q_gazetteer_multi,
     }
     for name, fn in suite.items():
         queries[name] = round(

@@ -87,8 +87,9 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
-            # every registered query ships an oracle twin (79/79); a
-            # missing one is a contract regression, not a weaker mode
+            # every registered query ships an oracle twin (81/81 as
+            # of r5); a missing one is a contract regression, not a
+            # weaker mode
             print(f"FAIL  {name}: no oracle_sql() entry")
             failures += 1
             continue
