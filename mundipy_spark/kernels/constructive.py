@@ -331,7 +331,13 @@ def buffer_m(geom, dist_m: float, quad_segs: int = QUAD_SEGS):
 
 
 def is_valid(geom) -> bool:
-    """Rings closed, >=4 points, no self-intersections within a ring."""
+    """Rings closed, >=4 points, no self-intersections within a ring,
+    holes inside their shell (GEOS "hole lies outside shell" — checked
+    conservatively: a hole VERTEX strictly outside the shell ring is
+    sufficient evidence; shared boundary points stay valid, matching
+    GEOS's allowance of point touches). The hole check was added after
+    tools/fuzz_campaign.py generated hole-pokes-outside-shell polygons
+    that the old check called valid while shapely/GEOS call invalid."""
     for rings in predicates._polygons_of(geom):
         for ring in rings:
             r = np.asarray(ring, dtype=np.float64)
@@ -345,6 +351,14 @@ def is_valid(geom) -> bool:
                 nonadj = [j for j in range(i + 2, n) if not (i == 0 and j == n - 1)]
                 if nonadj and predicates.segments_intersect_any(a, segs[nonadj]):
                     return False
+        if len(rings) > 1:
+            shell = ("Polygon", [np.asarray(rings[0], dtype=np.float64)])
+            for hole in rings[1:]:
+                h = np.asarray(hole, dtype=np.float64)
+                if not predicates.points_in_geom(
+                    h[:, 0], h[:, 1], shell, boundary=True
+                ).all():
+                    return False
     return True
 
 
@@ -352,17 +366,73 @@ def make_valid(geom):
     """Normalization: close rings, drop degenerate (<3 distinct pts) rings,
     enforce CCW exterior / CW holes. Self-intersections remain (the
     even-odd predicates tolerate them), matching the *effect* of the
-    reference's lazy make_valid retry (mundipy/geometry.py:296-320)."""
+    reference's lazy make_valid retry (mundipy/geometry.py:296-320).
+
+    Holes escaping their shell (GEOS "hole lies outside shell", found
+    by tools/fuzz_campaign.py) get a REAL repair: under this engine's
+    even-odd interpretation the region of [shell, crossing-hole] IS
+    the symmetric difference of the two ring regions, so the polygon
+    is rebuilt as that xor via the overlay kernel on the (valid,
+    single-ring) operands — the repaired geometry is valid AND
+    point-set identical to what every even-odd kernel already
+    computed for the raw rings. May therefore return a MultiPolygon
+    for a Polygon input (like shapely's make_valid)."""
     t, data = geom
     if t == "Polygon":
-        return ("Polygon", _fix_rings(data))
+        return _valid_polygon(_fix_rings(data))
     if t == "MultiPolygon":
-        fixed = [_fix_rings(poly) for poly in data]
-        fixed = [p for p in fixed if p]
-        return ("MultiPolygon", fixed)
+        polys = []
+        for poly in data:
+            fixed = _fix_rings(poly)
+            if not fixed:
+                continue
+            g = _valid_polygon(fixed)
+            if g[0] == "Polygon":
+                if g[1]:
+                    polys.append(g[1])
+            else:
+                polys.extend(g[1])
+        return ("MultiPolygon", polys)
     if t == "GeometryCollection":
         return (t, [make_valid(g) for g in data])
     return geom
+
+
+def _valid_polygon(rings):
+    """rings are closure/orientation-fixed; returns a geometry whose
+    even-odd region equals theirs and whose holes lie inside their
+    shell. Fast path: every hole vertex inside-or-on the shell (the
+    valid case) — unchanged. Escaped holes rebuild as the xor of ring
+    regions (see make_valid docstring); if that overlay itself
+    degenerates, the normalized form is returned unchanged (the old,
+    pre-repair behavior)."""
+    if len(rings) <= 1:
+        return ("Polygon", rings)
+    shell = ("Polygon", [np.asarray(rings[0], dtype=np.float64)])
+    escaped = False
+    for hole in rings[1:]:
+        h = np.asarray(hole, dtype=np.float64)
+        if not predicates.points_in_geom(
+            h[:, 0], h[:, 1], shell, boundary=True
+        ).all():
+            escaped = True
+            break
+    if not escaped:
+        return ("Polygon", rings)
+    from mundipy_spark.kernels import overlay
+
+    acc = shell
+    try:
+        for hole in rings[1:]:
+            ring = np.asarray(hole, dtype=np.float64)[::-1]  # back to CCW
+            acc = overlay.overlay_op(
+                acc, ("Polygon", [ring]), "symmetric_difference"
+            )
+            if acc is None:
+                return ("MultiPolygon", [])
+    except Exception:  # noqa: BLE001 — degenerate repair: keep old form
+        return ("Polygon", rings)
+    return acc
 
 
 def _fix_rings(rings):

@@ -1383,11 +1383,28 @@ def _point_line_op(a, b, op: str, da: int):
 def overlay_eo(a, b, op: str):
     """Boolean overlay via even-odd segment arrangement — the hole-aware
     general path (inputs may be MultiPolygons with interior rings).
-    Degeneracies retry with scale-aware perturbation of b, like GH."""
+    Degeneracies retry with scale-aware perturbation of b, like GH;
+    if the whole ladder fails, the operands are ring-normalized
+    (closure + CCW-shell/CW-hole orientation — point-set identical
+    under even-odd interpretation) and the ladder retried: the
+    arrangement's stitch order depends on vertex order, and
+    normalization resolves inputs the perturbation alone cannot —
+    found by tools/fuzz_campaign.py on an INVALID hole-crossing-shell
+    polygon whose original vertex order left a dangling stitch end on
+    every perturbation rung."""
     last = None
     for k in range(6):
         try:
             return _overlay_eo_once(a, b, op, k)
+        except _Degenerate as e:
+            last = e
+            continue
+    from mundipy_spark.kernels import constructive
+
+    a2, b2 = constructive.make_valid(a), constructive.make_valid(b)
+    for k in range(6):
+        try:
+            return _overlay_eo_once(a2, b2, op, k)
         except _Degenerate as e:
             last = e
             continue

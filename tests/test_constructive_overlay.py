@@ -720,3 +720,54 @@ def test_split_pinches_far_from_origin_no_overflow():
         warnings.simplefilter("error")
         lobes = ov._split_pinches(pinched, tol=1e-9)
     assert len(lobes) == 2
+
+
+def test_escaped_hole_invalidity_repair_and_overlay():
+    """Fuzz-campaign findings (r5, tools/fuzz_campaign.py): a hole
+    poking OUTSIDE its shell is invalid (GEOS "hole lies outside
+    shell" — the old checker said valid), make_valid rebuilds it as
+    the even-odd-equivalent xor of the ring regions (valid output,
+    possibly MultiPolygon), and the eo overlay must not crash on the
+    raw invalid input (vertex-order-dependent dangling-stitch crash
+    fixed by the normalize-retry rung + the repair)."""
+    import numpy as np
+
+    shell = np.array(
+        [[-1.5, -1.5], [1.5, -1.5], [1.5, 1.5], [-1.5, 1.5], [-1.5, -1.5]]
+    )
+    # hole pokes out of the right edge
+    hole = np.array(
+        [[1.0, -0.5], [2.0, -0.5], [2.0, 0.5], [1.0, 0.5], [1.0, -0.5]]
+    )
+    a = ("Polygon", [shell, hole[::-1]])
+    assert not constructive.is_valid(a)
+    av = constructive.make_valid(a)
+    assert constructive.is_valid(av)
+    # even-odd region area: shell - hole∩shell + hole\shell
+    #   shell 9, hole 1, inside part 0.5, outside part 0.5 -> 9 - 0.5 + 0.5
+    assert abs(measure.geom_area_planar(av) - 9.0) < 1e-9
+    # raw invalid input: overlay completes (no dangling-stitch crash)
+    b = ("Polygon", [np.array([[0, 0], [3, 0], [3, 3], [0, 3], [0, 0]], float)])
+    for op in ("intersection", "union", "difference", "symmetric_difference"):
+        overlay.overlay_op(a, b, op)
+    # algebra holds on the repaired operand
+    ia = overlay.intersection_area_planar(av, b)
+    gu = overlay.overlay_op(av, b, "union")
+    assert abs(
+        measure.geom_area_planar(gu)
+        - (measure.geom_area_planar(av) + 9.0 - ia)
+    ) < 1e-9
+
+
+def test_valid_holed_polygon_untouched_by_make_valid():
+    """The repair path must not fire for valid holed polygons — the
+    fast path returns the normalized rings unchanged."""
+    import numpy as np
+
+    shell = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+    hole = np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], float)
+    g = ("Polygon", [shell, hole])
+    assert constructive.is_valid(("Polygon", [shell, hole[::-1]]))
+    gv = constructive.make_valid(g)
+    assert gv[0] == "Polygon" and len(gv[1]) == 2
+    assert abs(measure.geom_area_planar(gv) - 15.0) < 1e-9
