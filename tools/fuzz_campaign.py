@@ -242,7 +242,95 @@ def main() -> int:
     print(f"overlay: {n_ov} examples, {bad} failures")
     bad2 = check_predicates(n_pr, seed)
     print(f"predicates: {n_pr} examples, {bad2} failures")
-    return bad + bad2
+    bad3 = check_mixed(n_pr, seed)
+    print(f"mixed-dim: {n_pr} examples, {bad3} failures")
+    return bad + bad2 + bad3
+
+
+
+
+def rnd_line(rng):
+    n = int(rng.integers(2, 7))
+    pts = rng.uniform(-3, 3, (n, 2))
+    return ("LineString", pts)
+
+
+def rnd_points(rng):
+    n = int(rng.integers(1, 6))
+    p = rng.uniform(-3, 3, (n, 2))
+    return ("Point", p[0]) if n == 1 else ("MultiPoint", p)
+
+
+def check_mixed(n: int, seed: int) -> int:
+    """Mixed-dimension overlay invariants (the r4 point x line ops and
+    the line/point x polygon clips):
+    - length(line ∩ A) + length(line \\ A) == length(line);
+    - every point of (points ∩ A) is PIP-inside A (boundary incl.),
+      every point of (points \\ A) is PIP-outside;
+    - point x line set algebra partitions the point set."""
+    from mundipy_spark.kernels import measure as me
+
+    rng = np.random.default_rng(seed + 2)
+    bad = 0
+    for i in range(n):
+        A = star(rng, degenerate=(i % 4 == 0))
+        line = rnd_line(rng)
+        pts = rnd_points(rng)
+        try:
+            li = overlay.overlay_op(line, A, "intersection")
+            ld = overlay.overlay_op(line, A, "difference")
+            tot = me.geom_length_planar(line)
+            got = (me.geom_length_planar(li) if li else 0.0) + (
+                me.geom_length_planar(ld) if ld else 0.0
+            )
+            if abs(got - tot) > 1e-6 * max(1.0, tot):
+                print(f"FAIL line length partition at {i}: {got} vs {tot}")
+                _dump(line, A)
+                bad += 1
+                if bad >= 3:
+                    return bad
+            pi = overlay.overlay_op(pts, A, "intersection")
+            pd = overlay.overlay_op(pts, A, "difference")
+
+            def _pts(g):
+                if g is None:
+                    return np.empty((0, 2))
+                return np.asarray(g[1], dtype=np.float64).reshape(-1, 2)
+
+            inside = _pts(pi)
+            outside = _pts(pd)
+            if len(inside):
+                ok = predicates.points_in_geom(
+                    inside[:, 0], inside[:, 1], A, boundary=True
+                )
+                if not ok.all():
+                    print(f"FAIL point∩A outside A at {i}")
+                    _dump(pts, A)
+                    bad += 1
+            if len(outside):
+                ok = predicates.points_in_geom(
+                    outside[:, 0], outside[:, 1], A, boundary=True
+                )
+                if ok.any():
+                    print(f"FAIL point\\A inside A at {i}")
+                    _dump(pts, A)
+                    bad += 1
+            if len(inside) + len(outside) != _pts(pts).shape[0]:
+                print(f"FAIL point partition count at {i}")
+                _dump(pts, A)
+                bad += 1
+            # point x line: ∩ and \ partition the point set
+            pl = overlay.overlay_op(pts, line, "intersection")
+            pld = overlay.overlay_op(pts, line, "difference")
+            if len(_pts(pl)) + len(_pts(pld)) != _pts(pts).shape[0]:
+                print(f"FAIL point x line partition at {i}")
+                _dump(pts, line)
+                bad += 1
+        except Exception as exc:  # noqa: BLE001
+            print(f"CRASH mixed at {i}: {exc}")
+            _dump(line, A)
+            return bad + 1
+    return bad
 
 
 if __name__ == "__main__":
