@@ -231,6 +231,50 @@ def _dump(a, b) -> None:
     print("  B:", wkb.to_wkt(b)[:400])
 
 
+def check_mixed_predicates(n: int, seed: int) -> int:
+    """DE-9IM coherence for line/point vs polygon pairs: the named
+    predicates must equal their dimension-appropriate relate_pattern
+    definitions (crosses uses the dim(a)<dim(b) pattern T*T******;
+    within/touches/disjoint patterns are dimension-generic)."""
+    rng = np.random.default_rng(seed + 3)
+    bad = 0
+    for i in range(n):
+        A = star(rng, degenerate=(i % 3 == 0))
+        probe = rnd_line(rng) if i % 2 == 0 else rnd_points(rng)
+        try:
+            m = predicates.relate(probe, A)
+            checks = {
+                "within": predicates.relate_pattern(probe, A, "T*F**F***"),
+                "crosses": predicates.relate_pattern(probe, A, "T*T******"),
+                "disjoint": predicates.relate_pattern(probe, A, "FF*FF****"),
+                "touches": (
+                    predicates.relate_pattern(probe, A, "FT*******")
+                    or predicates.relate_pattern(probe, A, "F**T*****")
+                    or predicates.relate_pattern(probe, A, "F***T****")
+                ),
+            }
+            for name, want in checks.items():
+                got = getattr(predicates, name)(probe, A)
+                if got != want:
+                    print(
+                        f"FAIL mixed predicate {name} at {i}: got={got} "
+                        f"matrix={m}"
+                    )
+                    _dump(probe, A)
+                    bad += 1
+                    if bad >= 3:
+                        return bad
+            if predicates.intersects(probe, A) == predicates.disjoint(probe, A):
+                print(f"FAIL mixed intersects/disjoint at {i}: {m}")
+                _dump(probe, A)
+                bad += 1
+        except Exception as exc:  # noqa: BLE001
+            print(f"CRASH mixed predicates at {i}: {exc}")
+            _dump(probe, A)
+            return bad + 1
+    return bad
+
+
 def main() -> int:
     n_ov = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     n_pr = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
@@ -241,7 +285,9 @@ def main() -> int:
     print(f"predicates: {n_pr} examples, {bad2} failures")
     bad3 = check_mixed(n_pr, seed)
     print(f"mixed-dim: {n_pr} examples, {bad3} failures")
-    return bad + bad2 + bad3
+    bad4 = check_mixed_predicates(n_pr, seed)
+    print(f"mixed-dim predicates: {n_pr} examples, {bad4} failures")
+    return bad + bad2 + bad3 + bad4
 
 
 
